@@ -1,0 +1,125 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Term
+
+/** Basic Graph Pattern engine: a pattern DSL compiled to a pre-ordered
+  * DataFrame join chain.
+  *
+  * Semantics follow the reference's BGP engine (`lib/rdf/query/bgp/` modules):
+  * each triple pattern is a filtered projection of the triple table; patterns
+  * sharing variables join on them (equi hash join on term structs); disjoint
+  * patterns cross-product; the empty BGP yields exactly one empty solution
+  * (SPARQL §5.2.2, `bgp/simple.ex:17`); a variable repeated inside one
+  * pattern becomes a self-equality constraint (`query_planner.ex:38-65`).
+  *
+  * The join ORDER ports the reference's greedy planner
+  * (`query_planner.ex:10-23`): repeatedly pick the pattern with the fewest
+  * unsolved variables, tie-broken by position preference (bound subject ≫
+  * bound predicate ≫ bound object, with already-solved variables ranking
+  * between bound and free). We emit the joins already ordered, so Catalyst
+  * needs no RDF-aware statistics; physical strategy (broadcast vs shuffled
+  * hash vs sort-merge) stays Catalyst/AQE's choice.
+  *
+  * Variables whose name starts with '_' are non-projected (the reference's
+  * `:_`-prefixed variables and query bnodes, `blank_node_handler.ex:12-52`):
+  * they join like normal variables and are dropped from the result.
+  */
+object Bgp {
+
+  sealed trait Node
+  final case class Bound(t: Term) extends Node
+  final case class V(name: String) extends Node
+
+  final case class TriplePattern(s: Node, p: Node, o: Node) {
+    def nodes: Seq[(String, Node)] = Seq("s" -> s, "p" -> p, "o" -> o)
+    def vars: Seq[String] = nodes.collect { case (_, V(n)) => n }
+  }
+
+  final case class Pattern(patterns: Seq[TriplePattern])
+
+  object dsl {
+    def iri(s: String): Node = Bound(Term.iri(s))
+    def lit(s: String): Node = Bound(Term.str(s))
+    def term(t: Term): Node = Bound(t)
+    def v(name: String): Node = V(name)
+    def pat(s: Node, p: Node, o: Node): TriplePattern = TriplePattern(s, p, o)
+  }
+
+  /** Greedy planner: returns patterns in execution order. */
+  def plan(patterns: Seq[TriplePattern]): Seq[TriplePattern] = {
+    val ordered = Seq.newBuilder[TriplePattern]
+    var remaining = patterns.toList
+    var solved = Set.empty[String]
+    while (remaining.nonEmpty) {
+      // status code per position: bound=0, solved var=1, free var=2
+      def status(n: Node): Int = n match {
+        case Bound(_) => 0
+        case V(name) => if (solved(name)) 1 else 2
+      }
+      def key(p: TriplePattern): (Int, Int, Int, Int) = {
+        val unsolved = p.vars.distinct.count(!solved(_))
+        (unsolved, status(p.s), status(p.p), status(p.o))
+      }
+      val best = remaining.minBy(key)
+      ordered += best
+      solved ++= best.vars
+      remaining = remaining.filterNot(_ eq best)
+    }
+    ordered.result()
+  }
+
+  /** One pattern = filter + project of the triple table. Returns a DataFrame
+    * with one term-struct column per (deduped) variable. */
+  private def scan(triples: DataFrame, p: TriplePattern): DataFrame = {
+    var df = triples
+    // bound positions -> pushed-down filters
+    for ((pos, node) <- p.nodes) node match {
+      case Bound(t) => df = df.filter(col(pos) === Terms.constTerm(t))
+      case _ =>
+    }
+    // repeated variables -> self-equality constraints
+    val varPositions = p.nodes.collect { case (pos, V(n)) => (n, pos) }
+    for ((_, positions) <- varPositions.groupBy(_._1) if positions.size > 1) {
+      val ps = positions.map(_._2)
+      for (other <- ps.tail) df = df.filter(col(ps.head) === col(other))
+    }
+    val proj = varPositions.groupBy(_._1).map { case (name, positions) =>
+      col(positions.head._2).as(name)
+    }.toSeq
+    if (proj.isEmpty) df.select(lit(1).as("__exists")).limit(1)
+    else df.select(proj: _*)
+  }
+
+  /** Execute a BGP against a triple table (columns s/p/o as term structs).
+    * Result: one term-struct column per projected variable. */
+  def execute(spark: SparkSession, triples: DataFrame, bgp: Pattern): DataFrame = {
+    // empty BGP -> one empty solution (SPARQL empty group pattern)
+    if (bgp.patterns.isEmpty) return spark.range(1).drop("id")
+    val ordered = plan(bgp.patterns)
+    var solution: DataFrame = null
+    var solved = Set.empty[String]
+    for (p <- ordered) {
+      val sc = scan(triples, p)
+      if (solution == null) solution = sc
+      else {
+        val shared = p.vars.distinct.filter(solved)
+        solution =
+          if (shared.nonEmpty) solution.join(sc, shared, "inner")
+          else solution.crossJoin(sc).drop("__exists")
+      }
+      solved ++= p.vars
+    }
+    val projected = solved.toSeq.sorted.filterNot(_.startsWith("_"))
+    if (projected.isEmpty) solution.select().limit(1)
+    else solution.select(projected.map(col): _*).drop("__exists")
+  }
+
+  /** Convenience: execute and flatten each variable to its term `value`
+    * string (IRI string / bnode label / literal lexical). */
+  def executeValues(spark: SparkSession, triples: DataFrame, bgp: Pattern): DataFrame = {
+    val df = execute(spark, triples, bgp)
+    df.select(df.columns.map(c => col(c)("value").as(c)).toSeq: _*)
+  }
+}

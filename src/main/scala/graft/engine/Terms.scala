@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Term, TermKind, Triple, Quad, Vocab}
+
+/** Column-level helpers for the flat term struct
+  * (kind: byte, value: string, datatype: string, lang: string) — the Spark
+  * encoding of the reference's term model (SURVEY.md §1.2). All constructors
+  * are pure `Column` expressions so they stay inside whole-stage codegen.
+  */
+object Terms {
+
+  val termSchema: StructType = StructType(Seq(
+    StructField("kind", ByteType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("datatype", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true)))
+
+  val tripleSchema: StructType = StructType(Seq(
+    StructField("s", termSchema, nullable = false),
+    StructField("p", termSchema, nullable = false),
+    StructField("o", termSchema, nullable = false)))
+
+  val quadSchema: StructType = tripleSchema.add(StructField("g", termSchema, nullable = true))
+
+  private def nullStr: Column = lit(null).cast(StringType)
+
+  def term(kind: Column, value: Column, datatype: Column, lang: Column): Column =
+    struct(kind.cast(ByteType).as("kind"), value.as("value"),
+      datatype.as("datatype"), lang.as("lang"))
+
+  /** IRI term from a string column. */
+  def iri(value: Column): Column =
+    term(lit(TermKind.IRI), value, nullStr, nullStr)
+
+  def bnode(label: Column): Column =
+    term(lit(TermKind.BNODE), label, nullStr, nullStr)
+
+  def typedLit(lexical: Column, datatypeIri: String): Column =
+    term(lit(TermKind.LITERAL), lexical, lit(datatypeIri), nullStr)
+
+  def strLit(lexical: Column): Column = typedLit(lexical, Vocab.xsdString)
+
+  def intLit(v: Column): Column = typedLit(v.cast(StringType), Vocab.xsdInteger)
+
+  def langLit(lexical: Column, language: Column): Column =
+    term(lit(TermKind.LITERAL), lexical, lit(Vocab.rdfLangString), lower(language))
+
+  def constTerm(t: Term): Column =
+    term(lit(t.kind), lit(t.value),
+      if (t.datatype == null) nullStr else lit(t.datatype),
+      if (t.lang == null) nullStr else lit(t.lang))
+
+  // predicates over term columns (rdf-ex term guards, lib/rdf.ex:238-310)
+  def isIri(t: Column): Column = t("kind") === TermKind.IRI
+  def isBnode(t: Column): Column = t("kind") === TermKind.BNODE
+  def isLiteral(t: Column): Column = t("kind") === TermKind.LITERAL
+  def isResource(t: Column): Column = isIri(t) || isBnode(t)
+
+  /** N-Triples string form of a term column — pure Column expression
+    * (escaping per ntriples/encoder.ex:125-134). Used by the distributed
+    * serializer and by sortable key encoding. */
+  def ntString(t: Column): Column = {
+    val esc = ntEscape(t("value"))
+    when(t("kind") === TermKind.IRI, concat(lit("<"), t("value"), lit(">")))
+      .when(t("kind") === TermKind.BNODE, concat(lit("_:"), t("value")))
+      .when(t("lang").isNotNull,
+        concat(lit("\""), esc, lit("\"@"), t("lang")))
+      .when(t("datatype").isNull || t("datatype") === Vocab.xsdString,
+        concat(lit("\""), esc, lit("\"")))
+      .otherwise(concat(lit("\""), esc, lit("\"^^<"), t("datatype"), lit(">")))
+  }
+
+  private def ntEscape(v: Column): Column = {
+    // single-char translations cover \t \b \n \r \f; backslash and quote
+    // need two-char targets -> regexp/replace chain, backslash FIRST
+    var c = regexp_replace(v, "\\\\", "\\\\\\\\")
+    c = replace2(c, "\t", "\\t"); c = replace2(c, "\b", "\\b")
+    c = replace2(c, "\n", "\\n"); c = replace2(c, "\r", "\\r")
+    c = replace2(c, "\f", "\\f")
+    replace2(c, "\"", "\\\"")
+  }
+
+  private def replace2(c: Column, from: String, to: String): Column =
+    regexp_replace(c, java.util.regex.Pattern.quote(from),
+      java.util.regex.Matcher.quoteReplacement(to))
+
+  /** Sortable key for the SPARQL-ish total order used for deterministic
+    * output: kind, then NT form (code-point order). */
+  def sortKey(t: Column): Column = concat(t("kind").cast(StringType), lit("|"), ntString(t))
+
+  def tripleLine(s: Column, p: Column, o: Column): Column =
+    concat(ntString(s), lit(" "), ntString(p), lit(" "), ntString(o), lit(" ."))
+
+  /** Typed dataset from a DataFrame with s/p/o struct columns. */
+  def asTriples(df: DataFrame)(implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    df.select("s", "p", "o").as[Triple]
+  }
+
+  def asQuads(df: DataFrame)(implicit spark: SparkSession): Dataset[Quad] = {
+    import spark.implicits._
+    df.select("s", "p", "o", "g").as[Quad]
+  }
+}

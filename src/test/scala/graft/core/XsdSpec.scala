@@ -1,0 +1,87 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class XsdSpec extends AnyFunSuite {
+
+  test("canonical boolean") {
+    assert(Xsd.canonicalBoolean("true").contains("true"))
+    assert(Xsd.canonicalBoolean("1").contains("true"))
+    assert(Xsd.canonicalBoolean("0").contains("false"))
+    assert(Xsd.canonicalBoolean("TRUE").isEmpty)
+  }
+
+  test("canonical integer") {
+    assert(Xsd.canonicalInteger("042").contains("42"))
+    assert(Xsd.canonicalInteger("+42").contains("42"))
+    assert(Xsd.canonicalInteger("-042").contains("-42"))
+    assert(Xsd.canonicalInteger("-0").contains("0"))
+    assert(Xsd.canonicalInteger("0").contains("0"))
+    assert(Xsd.canonicalInteger("1.0").isEmpty)
+  }
+
+  // reference table: test/unit/xsd/datatypes/decimal_test.exs:189-209
+  test("canonical decimal matches reference canonical_decimal table") {
+    val cases = Seq(
+      "0" -> "0.0", "0.0" -> "0.0", "0.001" -> "0.001", "-0" -> "-0.0",
+      "-1" -> "-1.0", "-0.00" -> "-0.0", "1.00" -> "1.0", "1000" -> "1000.0",
+      "1000.000000" -> "1000.0", "12345.000" -> "12345.0", "42" -> "42.0",
+      "42.42" -> "42.42", "0.42" -> "0.42", "0.0042" -> "0.0042",
+      "010.020" -> "10.02", "-1.23" -> "-1.23", "-0.0123" -> "-0.0123",
+      "1" -> "1.0", "01" -> "1.0", "1." -> "1.0", "1.000000000" -> "1.0",
+      "+001.00" -> "1.0")
+    for ((in, out) <- cases)
+      assert(Xsd.canonicalDecimal(in).contains(out), s"decimal $in")
+    assert(Xsd.canonicalDecimal("1E+2").isEmpty) // exponent not decimal syntax
+    assert(Xsd.canonicalDecimal("foo").isEmpty)
+  }
+
+  // reference: double.ex:98-128 — exponential form, trailing-zero strip
+  test("canonical double") {
+    val cases = Seq(
+      "1.0" -> "1.0E0", "0.1" -> "1.0E-1", "1" -> "1.0E0", "-1" -> "-1.0E0",
+      "100" -> "1.0E2", "1.234E10" -> "1.234E10", "0" -> "0.0E0",
+      "-0" -> "-0.0E0", "12.34" -> "1.234E1", "0.0000123" -> "1.23E-5",
+      "1e3" -> "1.0E3", "+2.5" -> "2.5E0",
+      "NaN" -> "NaN", "INF" -> "INF", "-INF" -> "-INF")
+    for ((in, out) <- cases)
+      assert(Xsd.canonicalDouble(in).contains(out), s"double $in -> expected $out got ${Xsd.canonicalDouble(in)}")
+    assert(Xsd.canonicalDouble("abc").isEmpty)
+  }
+
+  test("canonical dateTime") {
+    assert(Xsd.canonicalDateTime("2010-01-01T00:00:00Z").contains("2010-01-01T00:00:00Z"))
+    assert(Xsd.canonicalDateTime("2010-01-01T01:00:00+01:00").contains("2010-01-01T00:00:00Z"))
+    assert(Xsd.canonicalDateTime("2010-01-01T00:00:00-01:00").contains("2010-01-01T01:00:00Z"))
+    assert(Xsd.canonicalDateTime("2009-12-31T23:30:00-01:00").contains("2010-01-01T00:30:00Z"))
+    assert(Xsd.canonicalDateTime("2010-01-01T00:00:00").contains("2010-01-01T00:00:00"))
+    assert(Xsd.canonicalDateTime("2010-01-01T00:00:00.500Z").contains("2010-01-01T00:00:00.5Z"))
+    assert(Xsd.canonicalDateTime("2010-01-01T00:00:00.000Z").contains("2010-01-01T00:00:00Z"))
+    // T24 rolls to next day (date_time.ex:58-67)
+    assert(Xsd.canonicalDateTime("2009-12-31T24:00:00").contains("2010-01-01T00:00:00"))
+    assert(Xsd.canonicalDateTime("2010-01-01T00:00:00-00:00").contains("2010-01-01T00:00:00Z"))
+    // '+'-prefixed years rejected (date_time.ex:34)
+    assert(Xsd.canonicalDateTime("+2010-01-01T00:00:00Z").isEmpty)
+    assert(Xsd.canonicalDateTime("0000-01-01T00:00:00Z").isEmpty) // year 0 invalid
+    assert(Xsd.canonicalDateTime("2010-02-30T00:00:00Z").isEmpty)
+  }
+
+  test("canonical date and time") {
+    assert(Xsd.canonicalDate("2010-01-01").contains("2010-01-01"))
+    assert(Xsd.canonicalDate("2010-01-01+00:00").contains("2010-01-01Z"))
+    assert(Xsd.canonicalDate("2010-01-01+01:00").contains("2010-01-01+01:00"))
+    assert(Xsd.canonicalDate("2010-13-01").isEmpty)
+    assert(Xsd.canonicalTime("12:30:45").contains("12:30:45"))
+    assert(Xsd.canonicalTime("13:30:45+01:00").contains("12:30:45Z"))
+    assert(Xsd.canonicalTime("00:30:45+01:00").contains("23:30:45Z"))
+    assert(Xsd.canonicalTime("25:30:45").isEmpty)
+  }
+
+  test("canonicalTerm leaves non-literals and unknown datatypes alone") {
+    val i = Term.iri("http://example.com/")
+    assert(Xsd.canonicalTerm(i) == i)
+    val g = Term.typedLit("raw", "http://example.com/custom")
+    assert(Xsd.canonicalTerm(g) == g)
+    assert(Xsd.canonicalTerm(Term.typedLit("042", Vocab.xsdInteger)).value == "42")
+  }
+}
