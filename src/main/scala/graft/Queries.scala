@@ -1,0 +1,430 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Vocab
+import graft.engine.{Bgp, Terms}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.WebKg
+
+/** The oracle-checked query registry: every operator claimed in SURVEY.md §2
+  * appears here as a Spark implementation plus (where SQL-expressible) an
+  * equivalent DuckDB oracle over the same parquet tables. Column names are
+  * aligned pairwise — the driver compares by sorted column name + value
+  * hash. Double-typed aggregates are rounded identically on both sides to
+  * absorb summation-order FP noise.
+  */
+object Queries {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val xsdInt = Vocab.xsdInteger
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ----------------------------------------------------------- relational
+    // aggregation with partial (map-side) combine: SURVEY §2.4
+    "q1_agg" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),6) AS avg_disc,
+             |count(*) AS n FROM lineitem GROUP BY 1,2""".stripMargin)),
+
+    // broadcast dimension joins: SURVEY §2.3
+    "q2_join_agg" -> Q(
+      (s, d) => {
+        val o = t(s, d, "orders"); val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      },
+      Some("""SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+             |FROM orders JOIN customer ON o_custkey=c_custkey
+             |JOIN nation ON c_nationkey=n_nationkey GROUP BY 1""".stripMargin)),
+
+    // left-semi join (include? / EXISTS semantics): SURVEY §2.2
+    "q3_semijoin" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part").filter(col("p_size") > 40)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left_semi")
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+             |GROUP BY 1""".stripMargin)),
+
+    // window function (first event per key)
+    "q4_window" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        t(s, d, "lineitem").withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate FROM (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             |    row_number() OVER (PARTITION BY l_suppkey
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+             |  FROM lineitem) WHERE rn = 1""".stripMargin)),
+
+    // top-k with deterministic tie-break: SURVEY §2.6
+    "q5_topk" -> Q(
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice").limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // set intersection: SURVEY §2.5
+    "q6_intersect" -> Q(
+      (s, d) => t(s, d, "orders").select(col("o_custkey").as("custkey"))
+        .intersect(t(s, d, "customer").filter(col("c_nationkey") < 5)
+          .select(col("c_custkey").as("custkey"))),
+      Some("""SELECT o_custkey AS custkey FROM orders
+             |INTERSECT
+             |SELECT c_custkey AS custkey FROM customer WHERE c_nationkey < 5""".stripMargin)),
+
+    // anti join (delete/except semantics): SURVEY §2.5
+    "q7_antijoin" -> Q(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // event-time bucketed aggregation (batch face of the streaming path)
+    "q8_events_agg" -> Q(
+      (s, d) => t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sv")),
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+             |round(sum(value),3) AS sv FROM events GROUP BY 1,2""".stripMargin)),
+
+    // -------------------------------------------------------- dedup family
+    "dedup_exact" -> Q(
+      (s, d) => Dedup.exact(t(s, d, "documents")),
+      Some("""SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    "dedup_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashLshCandidates(t(s, d, "documents")),
+      Some("""WITH tok AS (SELECT doc_id, source,
+             |    unnest(list_distinct(string_split_regex(text,'\s+'))) AS w FROM documents),
+             |mh AS (SELECT doc_id, source,
+             |  min(md5('0:'||w)) AS s0, min(md5('1:'||w)) AS s1,
+             |  min(md5('2:'||w)) AS s2, min(md5('3:'||w)) AS s3,
+             |  min(md5('4:'||w)) AS s4, min(md5('5:'||w)) AS s5,
+             |  min(md5('6:'||w)) AS s6, min(md5('7:'||w)) AS s7
+             |  FROM tok GROUP BY 1,2),
+             |bands AS (
+             |  SELECT doc_id, source, 0 AS band, md5(s0||s1) AS sig FROM mh UNION ALL
+             |  SELECT doc_id, source, 1, md5(s2||s3) FROM mh UNION ALL
+             |  SELECT doc_id, source, 2, md5(s4||s5) FROM mh UNION ALL
+             |  SELECT doc_id, source, 3, md5(s6||s7) FROM mh),
+             |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             |  FROM bands a JOIN bands b ON a.band=b.band AND a.sig=b.sig
+             |   AND a.source=b.source AND a.doc_id < b.doc_id)
+             |SELECT d1 AS doc_id, count(*) AS n_cand FROM cand GROUP BY 1""".stripMargin)),
+
+    "dedup_ngram_jaccard" -> Q(
+      (s, d) => Dedup.ngramJaccardNearDups(t(s, d, "documents")),
+      Some("""WITH tok AS (SELECT doc_id, source,
+             |    unnest(list_distinct(string_split_regex(text,'\s+'))) AS w FROM documents),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+             |  FROM tok a JOIN tok b ON a.w=b.w AND a.source=b.source
+             |   AND a.doc_id < b.doc_id GROUP BY 1,2),
+             |jac AS (SELECT d1, d2 FROM inter
+             |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             |  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8)
+             |SELECT doc_id, count(*) AS n_near FROM
+             |  (SELECT d1 AS doc_id FROM jac UNION ALL SELECT d2 FROM jac)
+             |GROUP BY 1""".stripMargin)),
+
+    "dedup_simhash" -> Q(
+      (s, d) => Dedup.simhash16(t(s, d, "documents")),
+      Some {
+        val bitSums = (0 until 16).map(j =>
+          s"sum(CASE WHEN substr(md5(w),${j + 1},1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val bits = (0 until 16).map(j => s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)")
+          .mkString("||")
+        s"""WITH tok AS (SELECT doc_id,
+           |    unnest(list_distinct(string_split_regex(text,'\\s+'))) AS w FROM documents),
+           |sums AS (SELECT doc_id, $bitSums FROM tok GROUP BY 1)
+           |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
+      }),
+
+    // ------------------------------------------------------- text analysis
+    "text_tokens" -> Q(
+      (s, d) => TextOps.tokenCounts(t(s, d, "documents")),
+      Some("""SELECT doc_id, len(string_split_regex(text,'\s+')) AS n_tokens,
+             |length(text) AS n_chars,
+             |list_sum(list_transform(string_split_regex(text,'\s+'),
+             |  w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS n_subwords
+             |FROM documents""".stripMargin)),
+
+    "text_quality" -> Q(
+      (s, d) => TextOps.qualityScores(t(s, d, "documents")),
+      Some("""SELECT doc_id, len(string_split_regex(text,'\s+')) AS n_tokens,
+             |round(len(list_filter(string_split_regex(text,'\s+'),
+             |  w -> w='the' OR w='a')) * 1.0 / len(string_split_regex(text,'\s+')), 6)
+             |  AS stopword_ratio,
+             |round((length(text) - (length(text)-length(replace(text,' ',''))))
+             |  * 1.0 / len(string_split_regex(text,'\s+')), 6) AS avg_word_len
+             |FROM documents""".stripMargin)),
+
+    "text_langid" -> Q(
+      (s, d) => TextOps.langId(t(s, d, "documents")),
+      Some("""WITH sc AS (SELECT doc_id,
+             |  len(list_filter(string_split_regex(text,'\s+'), w -> w='the' OR w='a')) AS en,
+             |  len(list_filter(string_split_regex(text,'\s+'), w -> w='le' OR w='la')) AS fr,
+             |  len(list_filter(string_split_regex(text,'\s+'), w -> w='der' OR w='die')) AS de,
+             |  len(list_filter(string_split_regex(text,'\s+'), w -> w='el' OR w='los')) AS es
+             |  FROM documents)
+             |SELECT doc_id, CASE WHEN en>=fr AND en>=de AND en>=es THEN 'en'
+             |  WHEN fr>=de AND fr>=es THEN 'fr' WHEN de>=es THEN 'de'
+             |  ELSE 'es' END AS pred_lang FROM sc""".stripMargin)),
+
+    "text_fingerprint" -> Q(
+      (s, d) => TextOps.fingerprints(t(s, d, "documents")),
+      Some("""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             |string_split_regex(text,'\s+'))),' ')) AS fp FROM documents""".stripMargin)),
+
+    // -------------------------------------------------- similarity search
+    "embed_cosine_topk" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 3)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+             |  FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |sc AS (SELECT qid, vec_id,
+             |  round(list_dot_product(qe, e) /
+             |    (sqrt(list_dot_product(qe,qe)) * sqrt(list_dot_product(e,e))), 4) AS cos
+             |  FROM q, c WHERE qid <> vec_id),
+             |r AS (SELECT qid, vec_id, cos,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+             |SELECT qid, vec_id, cos FROM r WHERE rn <= 3""".stripMargin)),
+
+    // approximate variant — not SQL-oracled (rows-only check)
+    "embed_lsh_ann" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.lshBucketedTopK(e, e.filter(col("vec_id") < 5), 3)
+      },
+      None),
+
+    // ------------------------------------------------------- multimodal
+    "multimodal_meta" -> Q(
+      (s, d) => Multimodal.describe(Multimodal.synthesize(t(s, d, "documents"))),
+      Some("""SELECT doc_id AS media_id,
+             |CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+             |ELSE 'video' END AS kind,
+             |octet_length(encode(text)) AS n_bytes, sha256(text) AS sig
+             |FROM documents""".stripMargin)),
+
+    // stub feature extraction — rows-only check (decode is the stub)
+    "multimodal_features" -> Q(
+      (s, d) => Multimodal.extractFeatures(Multimodal.synthesize(t(s, d, "documents")))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0")),
+      None),
+
+    // ----------------------------------------------------- RDF engine path
+    "rdf_extract" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sCol = concat(lit(WebKg.docNs), col("doc_id"))
+        docs.select(sCol.as("s"), lit(WebKg.pType).as("p"), lit(WebKg.vocab + "Document").as("o"))
+          .unionAll(docs.select(sCol.as("s"), lit(WebKg.pLang).as("p"), col("lang").as("o")))
+          .unionAll(docs.select(sCol.as("s"), lit(WebKg.vocab + "source").as("p"), col("source").as("o")))
+          .unionAll(docs.select(sCol.as("s"), lit(WebKg.vocab + "nchars").as("p"),
+            col("n_chars").cast("string").as("o")))
+      },
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS s,
+             |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+             |  'http://graft.dev/vocab#Document' AS o FROM documents
+             |UNION ALL SELECT 'http://graft.dev/doc/'||doc_id,
+             |  'http://graft.dev/vocab#lang', lang FROM documents
+             |UNION ALL SELECT 'http://graft.dev/doc/'||doc_id,
+             |  'http://graft.dev/vocab#source', source FROM documents
+             |UNION ALL SELECT 'http://graft.dev/doc/'||doc_id,
+             |  'http://graft.dev/vocab#nchars', CAST(n_chars AS VARCHAR) FROM documents""".stripMargin)),
+
+    // BGP join chain through the compiler, verified against plain SQL
+    "rdf_bgp" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sCol = Terms.iri(concat(lit(WebKg.docNs), col("doc_id")))
+        def p(iri: String) = Terms.iri(lit(iri))
+        val triples =
+          docs.select(sCol.as("s"), p(WebKg.pLang).as("p"), Terms.strLit(col("lang")).as("o"))
+            .unionAll(docs.select(sCol.as("s"), p(WebKg.vocab + "source").as("p"),
+              Terms.strLit(col("source")).as("o")))
+            .unionAll(docs.select(sCol.as("s"), p(WebKg.vocab + "nchars").as("p"),
+              Terms.typedLit(col("n_chars").cast("string"), xsdInt).as("o")))
+        import Bgp.dsl._
+        val q = Bgp.Pattern(Seq(
+          pat(v("doc"), iri(WebKg.pLang), lit("en")),
+          pat(v("doc"), iri(WebKg.vocab + "source"), lit("src7")),
+          pat(v("doc"), iri(WebKg.vocab + "nchars"), v("n"))))
+        Bgp.executeValues(s, triples, q)
+      },
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, CAST(n_chars AS VARCHAR) AS n
+             |FROM documents WHERE lang='en' AND source='src7'""".stripMargin)),
+
+    // N-Triples byte-form serialization (engine Column path vs SQL concat)
+    "rdf_ntriples" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sCol = Terms.iri(concat(lit(WebKg.docNs), col("doc_id")))
+        def p(iri: String) = Terms.iri(lit(iri))
+        val triples =
+          docs.select(sCol.as("s"), p(WebKg.pLang).as("p"),
+              Terms.langLit(col("source"), col("lang")).as("o"))
+            .unionAll(docs.select(sCol.as("s"), p(WebKg.vocab + "nchars").as("p"),
+              Terms.typedLit(col("n_chars").cast("string"), xsdInt).as("o")))
+        triples.select(Terms.tripleLine(col("s"), col("p"), col("o")).as("line"))
+      },
+      Some("""SELECT '<http://graft.dev/doc/'||doc_id||'> <http://graft.dev/vocab#lang> "'
+             |||source||'"@'||lang||' .' AS line FROM documents
+             |UNION ALL
+             |SELECT '<http://graft.dev/doc/'||doc_id||
+             |'> <http://graft.dev/vocab#nchars> "'||n_chars||
+             |'"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM documents""".stripMargin)),
+
+    // deterministic salted skolemization, cross-engine identical
+    "rdf_skolem" -> Q(
+      (s, d) => {
+        val skolemUdf = udf((scope: String, local: String) =>
+          graft.core.Skolem.label(scope, local))
+        t(s, d, "documents").select(col("doc_id"),
+          skolemUdf(concat(lit(WebKg.docNs), col("doc_id")), lit("author")).as("skolem"))
+      },
+      Some("""SELECT doc_id, 'sk'||md5('graft-skolem-v1:http://graft.dev/doc/'
+             |||doc_id||':author') AS skolem FROM documents""".stripMargin)),
+
+    // graph set ops (union/intersect/except: SURVEY §2.5) over triple sets
+    "graph_setops" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def g(f: DataFrame => DataFrame) = f(docs).select(
+          concat(lit(WebKg.docNs), col("doc_id")).as("s"),
+          lit(WebKg.pLang).as("p"), col("lang").as("o"))
+        val g1 = g(_.filter(col("lang") === "en"))
+        val g2 = g(_.filter(col("source").isin("src0", "src1", "src2", "src3", "src4")))
+        g1.intersect(g2).select(lit("inter").as("op"), col("s"))
+          .unionAll(g1.except(g2).select(lit("except").as("op"), col("s")))
+          .groupBy("op").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH g1 AS (SELECT 'http://graft.dev/doc/'||doc_id AS s FROM documents WHERE lang='en'),
+             |g2 AS (SELECT 'http://graft.dev/doc/'||doc_id AS s FROM documents
+             |  WHERE source IN ('src0','src1','src2','src3','src4'))
+             |SELECT 'inter' AS op, count(*) AS n FROM (SELECT s FROM g1 INTERSECT SELECT s FROM g2)
+             |UNION ALL
+             |SELECT 'except', count(*) FROM (SELECT s FROM g1 EXCEPT SELECT s FROM g2)""".stripMargin)),
+
+    // BFS reachability (SURVEY §2.8) vs recursive-CTE oracle
+    "graph_reach" -> Q(
+      (s, d) => WebKg.reachable(WebKg.docEdges(t(s, d, "documents")), 1L, 4),
+      Some("""WITH RECURSIVE n AS (SELECT count(*) AS c FROM documents),
+             |e AS (SELECT doc_id AS src, (doc_id*2) % (SELECT c FROM n) AS dst FROM documents
+             |  UNION ALL SELECT doc_id, (doc_id*3+1) % (SELECT c FROM n) FROM documents),
+             |r(node, depth) AS (SELECT CAST(1 AS BIGINT), 0
+             |  UNION ALL SELECT e.dst, r.depth+1 FROM r JOIN e ON e.src=r.node WHERE r.depth < 4)
+             |SELECT node, min(depth) AS depth FROM r GROUP BY 1""".stripMargin)),
+
+    // --------------------------------------------- the KG pipeline itself
+    // full extraction over synthesized web pages, flat oracle projection
+    "kg_extract" -> Q(
+      (s, d) => WebKg.extractFlat(WebKg.synthesizeWebPages(t(s, d, "documents"))),
+      Some(kgPagesSql +
+        """SELECT url AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+          |  'http://graft.dev/vocab#WebPage' AS o FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#title', 'Doc '||doc_id
+          |  FROM pages WHERE doc_id % 10 <> 9
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#lang', lang FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#links',
+          |  'https://'||source||'.example.org/doc/'||((doc_id*7+1)%100000) FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#created',
+          |  strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#textSha', md5(text) FROM pages""".stripMargin)),
+
+    // extraction + set-semantic dedup over a duplicated (re-crawled) corpus
+    "kg_dedup" -> Q(
+      (s, d) => WebKg.dedupTriples(
+        WebKg.extractFlat(WebKg.synthesizeWebPages(t(s, d, "documents"), withDuplicates = true)))
+        .groupBy("p").agg(count(lit(1)).as("n"), countDistinct(col("s")).as("n_subjects")),
+      Some(kgPagesSql +
+        """, tr AS (
+          |SELECT url AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+          |  'http://graft.dev/vocab#WebPage' AS o FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#title', 'Doc '||doc_id
+          |  FROM pages WHERE doc_id % 10 <> 9
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#lang', lang FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#links',
+          |  'https://'||source||'.example.org/doc/'||((doc_id*7+1)%100000) FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#created',
+          |  strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#textSha', md5(text) FROM pages)
+          |SELECT p, count(*) AS n, count(DISTINCT s) AS n_subjects
+          |FROM (SELECT DISTINCT s, p, o FROM tr) GROUP BY 1""".stripMargin)),
+
+    // per-url byte-identity of extracted text (the BASELINE.json invariant)
+    "kg_text_identity" -> Q(
+      (s, d) => {
+        val pages = WebKg.synthesizeWebPages(t(s, d, "documents"))
+        pages.select(
+          sum(when(WebKg.extractedText === col("text"), 1L).otherwise(0L)).as("n_identical"),
+          count(lit(1)).as("n_pages"))
+      },
+      Some("SELECT count(*) AS n_identical, count(*) AS n_pages FROM documents")),
+
+    // entity linking: mention detection + broadcast-join resolve
+    "kg_entity_link" -> Q(
+      (s, d) => WebKg.entityLink(t(s, d, "documents"), WebKg.defaultDictionary),
+      Some("""WITH dict(surface, entity) AS (VALUES
+             |  ('customer','http://graft.dev/entity/customer'),
+             |  ('part','http://graft.dev/entity/part'),
+             |  ('order','http://graft.dev/entity/order'),
+             |  ('supplier','http://graft.dev/entity/supplier'),
+             |  ('spark','http://graft.dev/entity/spark'),
+             |  ('vector','http://graft.dev/entity/vector')),
+             |tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w FROM documents)
+             |SELECT 'http://graft.dev/doc/'||doc_id AS s,
+             |  'http://graft.dev/vocab#mentions' AS p, entity AS o,
+             |  count(*) AS n_mentions
+             |FROM tok JOIN dict ON w = surface GROUP BY 1,2,3""".stripMargin)))
+
+  /** Shared DuckDB CTE reproducing synthesizeWebPages (no duplicates). */
+  private lazy val kgPagesSql: String =
+    """WITH pages AS (SELECT doc_id, text, lang, source,
+      |  'https://'||source||'.example.org/doc/'||doc_id AS url,
+      |  TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts
+      |  FROM documents)
+      |""".stripMargin
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.fn }.toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.collect { case (n, Q(_, Some(sql))) => n -> sql.replace('\n', ' ') }.toMap
+}

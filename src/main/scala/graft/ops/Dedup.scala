@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for web-scale corpora: exact, MinHash+LSH, SimHash,
+  * and n-gram Jaccard. All are shuffle-on-key plans: the only wide
+  * operations are hash aggregations on (doc/band/token) keys and an
+  * equi-join on LSH bucket keys, so they scale linearly with executors —
+  * there is never an all-pairs comparison without a blocking key.
+  *
+  * Hash primitive is md5-hex (cross-engine reproducible); minima over hex
+  * strings use lexicographic order, which every engine agrees on for ASCII.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the minimum doc_id.
+    * Output: (h, n, keeper). The classic hash-groupBy with map-side partial
+    * aggregation; at 100 TB this is one shuffle on a 128-bit key. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+
+  /** (doc_id, source, w) exploded distinct-token relation. */
+  private def tokenRelation(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      explode(TextOps.distinctTokens(col("text"))).as("w"))
+
+  /** MinHash signatures: `numHashes` min-of-keyed-md5 values per doc.
+    * One aggregation over the exploded token relation. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val tok = tokenRelation(docs)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("w")))).as(s"s$i"))
+    tok.groupBy(col("doc_id"), col("source")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: `numHashes` minhashes grouped into bands of
+    * `rowsPerBand`; docs sharing a (blocking key, band, band-signature)
+    * bucket become candidate pairs. Output: (doc_id, n_cand) — candidate
+    * count per doc (doc_id = smaller id of each pair).
+    *
+    * `source` doubles as the blocking key so bucket joins stay bounded per
+    * block — at web scale the block is the domain/shard, exactly the salted
+    * bucketing of the north star. */
+  def minhashLshCandidates(docs: DataFrame, numHashes: Int = 8,
+                           rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val mh = minhashSignatures(docs, numHashes)
+    val nBands = numHashes / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val sig = md5(concat((0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*))
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bands = mh.select(col("doc_id"), col("source"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("source"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    cand.groupBy(col("d1").as("doc_id")).agg(count(lit(1)).as("n_cand"))
+  }
+
+  /** n-gram (token) Jaccard near-dup: pairs within the same blocking key
+    * with |A∩B| / |A∪B| >= threshold. Output: (doc_id, n_near) — near-dup
+    * partner count per doc over both pair directions. */
+  def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val tok = tokenRelation(docs)
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = tok.as("a"); val b = tok.as("b")
+    val inter = a.join(b,
+        col("a.w") === col("b.w") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= threshold)
+    // count partners in both directions so the metric is per-doc symmetric
+    jac.select(col("d1").as("doc_id")).unionAll(jac.select(col("d2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+  }
+
+  private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** 16-bit SimHash from the per-token md5 hex digits: bit j is the sign of
+    * the sum over tokens of ±1 by the j-th hex digit's top bit. Output:
+    * (doc_id, simhash) as a 16-char bitstring. One explode + one hash agg. */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val tok = tokenRelation(docs).withColumn("h", md5(col("w")))
+    val sums = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 16).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query set
+  *   against the full corpus; one narrow pass + a per-query top-k window.
+  *   The dot product is `zip_with` + `aggregate` (codegen'd, no UDF).
+  * - `lshBucketedTopK`: the scale path — sign-bit LSH against deterministic
+  *   pseudo-hyperplanes buckets the corpus so each query only scans its
+  *   bucket; turns the all-pairs scan into an equi-join on bucket keys.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision (deterministic order,
+    * cross-engine reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector. Queries are expected to be
+    * a small set (gets broadcast). Output: (qid, vec_id, cos) with cos
+    * rounded for stable ranking. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = embeddings.select(col("vec_id"), col("embedding"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Deterministic pseudo-hyperplane weight for (plane k, dimension i):
+    * integer in [-3, 3] from a fixed linear congruence — reproducible with
+    * no stored model. */
+  private def planeWeight(k: Int, i: Column): Column =
+    pmod(i * 31 + lit(k * 17 + 7), lit(7)) - 3
+
+  /** Sign-bit bucket id over `nPlanes` pseudo-hyperplanes. */
+  def lshBucket(e: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { k =>
+      val proj = aggregate(
+        zip_with(e, sequence(lit(0), size(e) - 1),
+          (x, i) => x.cast("double") * planeWeight(k, i).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << k)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+    * Same output shape as bruteForceTopK (may miss true neighbors — that is
+    * the recall/cost trade). */
+  def lshBucketedTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                      nPlanes: Int = 8): DataFrame = {
+    val c = embeddings.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+}

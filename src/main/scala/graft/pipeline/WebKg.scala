@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Iri, Skolem, Vocab}
+import graft.engine.Terms
+
+/** The knowledge-graph construction pipeline over an Iceberg-style web-page
+  * table `(url, warc_ts, html, text, lang)` (BASELINE.json input_hint):
+  * per-document triple extraction -> skolemization -> canonicalization ->
+  * dedup -> entity linking -> materialization.
+  *
+  * Everything up to dedup is a narrow, per-row projection (no shuffle);
+  * dedup is one hash-aggregate shuffle on the triple key; entity linking is
+  * an explode + broadcast join. At 1000 executors the plan has exactly two
+  * wide edges (dedup, link-aggregate), both on well-distributed keys, with
+  * `source`-derived domains as the natural partition pruning axis.
+  */
+object WebKg {
+
+  val vocab = "http://graft.dev/vocab#"
+  val docNs = "http://graft.dev/doc/"
+  val entityNs = "http://graft.dev/entity/"
+  val pType: String = Vocab.rdfType
+  val pTitle = vocab + "title"
+  val pLang = vocab + "lang"
+  val pLink = vocab + "links"
+  val pCreated = vocab + "created"
+  val pTextHash = vocab + "textSha"
+  val pMentions = vocab + "mentions"
+  val cWebPage = vocab + "WebPage"
+
+  /** Deterministic synthetic web-page table derived from the `documents`
+    * corpus (seeded by doc_id; no external data): skewed domains via
+    * `source`, 10% title-less pages, ~10% duplicate re-crawls, relative
+    * links, multi-language. Pure Column expressions -> reproducible on any
+    * engine, byte-for-byte. */
+  def synthesizeWebPages(docs: DataFrame, withDuplicates: Boolean = false): DataFrame = {
+    val base = docs.select(
+      concat(lit("https://"), col("source"), lit(".example.org/doc/"),
+        col("doc_id")).as("url"),
+      expr("TIMESTAMP '2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")
+        .as("warc_ts"),
+      concat(
+        lit("<html><head><title>"),
+        when(pmod(col("doc_id"), lit(10)) === 9, lit(""))
+          .otherwise(concat(lit("Doc "), col("doc_id"))),
+        lit("</title></head><body><p>"), col("text"),
+        lit("</p><a href=\"/doc/"), pmod(col("doc_id") * 7 + 1, lit(100000)),
+        lit("\">next</a></body></html>")).cast("binary").as("html"),
+      col("text"), col("lang"))
+    if (!withDuplicates) base
+    // re-crawl duplicates: same url, same content (idempotent extraction)
+    else base.unionAll(base.filter(
+      element_at(split(col("url"), "/"), -1).cast("long") % 10 === 0))
+  }
+
+  private def htmlStr: Column = col("html").cast("string")
+
+  /** Text extraction from html: the content of the <p> body region. The
+    * per-row invariant (BASELINE.json): byte-identical extracted text per
+    * url — extractedText(synthesizeWebPages(d)) == d.text. */
+  def extractedText: Column = regexp_extract(htmlStr, "<p>(.*)</p>", 1)
+
+  def extractedTitle: Column = regexp_extract(htmlStr, "<title>([^<]*)</title>", 1)
+
+  def extractedHref: Column = regexp_extract(htmlStr, "href=\"([^\"]*)\"", 1)
+
+  private val resolveUdf = udf((ref: String, base: String) => Iri.resolve(ref, base))
+
+  /** Per-document triple extraction: web pages -> flat (s, p, o) string
+    * triples (the oracle-comparable projection; `extractTriples` lifts the
+    * same rows to term structs). One narrow flatMap-shaped projection via
+    * unioned selects — no shuffle, no UDF except IRI resolution. */
+  def extractFlat(pages: DataFrame): DataFrame = {
+    val s = col("url")
+    val typ = pages.select(s.as("s"), lit(pType).as("p"), lit(cWebPage).as("o"))
+    val title = pages.select(s.as("s"), lit(pTitle).as("p"), extractedTitle.as("o"))
+      .filter(col("o") =!= "")
+    val lang = pages.select(s.as("s"), lit(pLang).as("p"), col("lang").as("o"))
+    val link = pages.select(s.as("s"), lit(pLink).as("p"),
+        resolveUdf(extractedHref, col("url")).as("o"))
+      .filter(col("o").isNotNull)
+    val created = pages.select(s.as("s"), lit(pCreated).as("p"),
+      date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("o"))
+    val sha = pages.select(s.as("s"), lit(pTextHash).as("p"),
+      md5(extractedText).as("o"))
+    typ.unionAll(title).unionAll(lang).unionAll(link).unionAll(created).unionAll(sha)
+  }
+
+  /** Term-struct extraction: same rows as extractFlat but typed — IRIs for
+    * type/link objects, langString for lang, xsd:dateTime for created. */
+  def extractTriples(pages: DataFrame): DataFrame = {
+    val s = Terms.iri(col("url"))
+    def row(p: String, o: Column) = Seq(s.as("s"), Terms.iri(lit(p)).as("p"), o.as("o"))
+    val typ = pages.select(row(pType, Terms.iri(lit(cWebPage))): _*)
+    val title = pages.filter(extractedTitle =!= "")
+      .select(row(pTitle, Terms.strLit(extractedTitle)): _*)
+    val lang = pages.select(row(pLang, Terms.strLit(col("lang"))): _*)
+    val link = pages.withColumn("resolved", resolveUdf(extractedHref, col("url")))
+      .filter(col("resolved").isNotNull)
+      .select(row(pLink, Terms.iri(col("resolved"))): _*)
+    val created = pages.select(row(pCreated,
+      Terms.typedLit(date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), Vocab.xsdDateTime)): _*)
+    typ.unionAll(title).unionAll(lang).unionAll(link).unionAll(created)
+  }
+
+  /** Set-semantic graph: the reference's triple stores dedup on insert
+    * (description.ex:135-152) — in Spark that is one hash aggregate on the
+    * full triple key (AQE handles skewed predicates). */
+  def dedupTriples(triples: DataFrame): DataFrame = triples.dropDuplicates()
+
+  /** Entity linking, stage 2 (score & resolve): mention tokens broadcast-
+    * joined against an entity dictionary. Stage-1 candidate blocking at
+    * corpus scale is Dedup.minhashLshCandidates on surface forms. Output:
+    * (s, p, o) mention triples, one per (document, entity) with count>=1. */
+  def entityLink(docs: DataFrame, dictionary: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = dictionary.toDF("surface", "entity")
+    docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .join(broadcast(dict), col("w") === col("surface"))
+      .groupBy(col("doc_id"), col("entity")).agg(count(lit(1)).as("n_mentions"))
+      .select(concat(lit(docNs), col("doc_id")).as("s"),
+        lit(pMentions).as("p"), col("entity").as("o"), col("n_mentions"))
+  }
+
+  /** Default dictionary: TPC-ish corpus words -> entity IRIs. */
+  val defaultDictionary: Seq[(String, String)] =
+    Seq("customer", "part", "order", "supplier", "spark", "vector")
+      .map(w => w -> (entityNs + w))
+
+  /** BFS reachability (graph.ex reachability semantics): iterative frontier
+    * join, depth-bounded. Edges (src, dst) as longs; returns (node,
+    * depth=min). Each iteration is one shuffled equi-join — depth is small
+    * and the visited set stays distributed. */
+  def reachable(edges: DataFrame, start: Long, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq((start, 0)).toDF("node", "depth")
+    var frontier = visited
+    for (d <- 1 to maxDepth) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(d).as("depth"))
+        .distinct()
+      val newNodes = next.join(visited.select("node"), Seq("node"), "left_anti")
+      frontier = newNodes
+      visited = visited.unionAll(newNodes)
+    }
+    visited.groupBy("node").agg(min("depth").as("depth"))
+  }
+
+  /** Deterministic link graph over the documents: i -> (2i)%n, (3i+1)%n. */
+  def docEdges(docs: DataFrame): DataFrame = {
+    val n = docs.count() // small metadata-only action; n is a plan constant
+    docs.select(col("doc_id").as("src"), pmod(col("doc_id") * 2, lit(n)).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 3 + 1, lit(n)).as("dst")))
+  }
+}

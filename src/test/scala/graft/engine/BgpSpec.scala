@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Term, Triple}
+import graft.engine.Bgp.dsl._
+
+class BgpSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val ex = "http://ex.org/"
+  private def triples = {
+    import spark.implicits._
+    Seq(
+      Triple(Term.iri(ex + "alice"), Term.iri(ex + "knows"), Term.iri(ex + "bob")),
+      Triple(Term.iri(ex + "bob"), Term.iri(ex + "knows"), Term.iri(ex + "carol")),
+      Triple(Term.iri(ex + "alice"), Term.iri(ex + "name"), Term.str("Alice")),
+      Triple(Term.iri(ex + "bob"), Term.iri(ex + "name"), Term.str("Bob")),
+      Triple(Term.iri(ex + "carol"), Term.iri(ex + "name"), Term.str("Carol")),
+      Triple(Term.iri(ex + "self"), Term.iri(ex + "sameAs"), Term.iri(ex + "self"))
+    ).toDF()
+  }
+
+  test("empty BGP yields exactly one empty solution (SPARQL 5.2.2)") {
+    val r = Bgp.execute(spark, triples, Bgp.Pattern(Seq.empty))
+    assert(r.count() == 1)
+    assert(r.columns.isEmpty)
+  }
+
+  test("single pattern scan with bound predicate") {
+    // projected columns come back variable-name-sorted: ("n", "s")
+    val q = Bgp.Pattern(Seq(pat(v("s"), iri(ex + "name"), v("n"))))
+    val r = Bgp.executeValues(spark, triples, q).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(r == Set("Alice" -> (ex + "alice"), "Bob" -> (ex + "bob"), "Carol" -> (ex + "carol")))
+  }
+
+  test("join chain over shared variable") {
+    val q = Bgp.Pattern(Seq(
+      pat(v("a"), iri(ex + "knows"), v("b")),
+      pat(v("b"), iri(ex + "knows"), v("c"))))
+    val r = Bgp.executeValues(spark, triples, q).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == ex + "alice" && r.head.getString(2) == ex + "carol")
+  }
+
+  test("repeated variable = self-equality constraint") {
+    val q = Bgp.Pattern(Seq(pat(v("x"), iri(ex + "sameAs"), v("x"))))
+    val r = Bgp.executeValues(spark, triples, q).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq(ex + "self"))
+  }
+
+  test("underscore-prefixed vars join but are not projected") {
+    val q = Bgp.Pattern(Seq(
+      pat(v("_p"), iri(ex + "knows"), v("b")),
+      pat(v("b"), iri(ex + "name"), v("n"))))
+    val r = Bgp.executeValues(spark, triples, q)
+    assert(r.columns.toSeq == Seq("b", "n"))
+    assert(r.collect().map(_.getString(1)).toSet == Set("Bob", "Carol"))
+  }
+
+  test("disjoint patterns cross-product") {
+    val q = Bgp.Pattern(Seq(
+      pat(iri(ex + "alice"), iri(ex + "name"), v("an")),
+      pat(iri(ex + "bob"), iri(ex + "name"), v("bn"))))
+    val r = Bgp.executeValues(spark, triples, q).collect()
+    assert(r.length == 1)
+  }
+
+  test("fully bound pattern acts as existence filter") {
+    val hit = Bgp.Pattern(Seq(pat(iri(ex + "alice"), iri(ex + "knows"), iri(ex + "bob"))))
+    assert(Bgp.execute(spark, triples, hit).count() == 1)
+    val miss = Bgp.Pattern(Seq(pat(iri(ex + "alice"), iri(ex + "knows"), iri(ex + "carol"))))
+    assert(Bgp.execute(spark, triples, miss).count() == 0)
+  }
+
+  test("planner prefers bound-subject patterns first (query_planner.ex heuristic)") {
+    val p1 = pat(v("a"), v("b"), v("c"))          // 3 free vars
+    val p2 = pat(iri(ex + "alice"), iri(ex + "knows"), v("a")) // 1 free var, bound s+p
+    val p3 = pat(v("a"), iri(ex + "name"), v("n"))  // 2 free vars
+    val planned = Bgp.plan(Seq(p1, p3, p2))
+    assert(planned.head == p2)
+    assert(planned(1) == p3) // 'a' solved after p2 -> p3 has fewest unsolved
+    assert(planned(2) == p1)
+  }
+}

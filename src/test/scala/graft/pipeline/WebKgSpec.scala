@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebKgSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the customer joins a part order", "en", "src0", 31L),
+      (1L, "spark vector merge customer", "fr", "src0", 27L),
+      (9L, "no title page text", "de", "src1", 18L),
+      (10L, "dup page text spark", "en", "src1", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("extracted text is byte-identical per url (BASELINE invariant)") {
+    val pages = WebKg.synthesizeWebPages(docs)
+    val n = pages.select(
+      sum(when(WebKg.extractedText === col("text"), 1).otherwise(0)).as("id"),
+      count(lit(1)).as("all")).collect().head
+    assert(n.getLong(0) == n.getLong(1))
+  }
+
+  test("title extraction: 10% of pages are title-less and emit no title triple") {
+    val flat = WebKg.extractFlat(WebKg.synthesizeWebPages(docs))
+    val titles = flat.filter(col("p") === WebKg.pTitle).collect()
+    assert(titles.length == 3) // doc 9 has no title
+    assert(!titles.map(_.getString(0)).exists(_.contains("/doc/9")))
+  }
+
+  test("re-crawl duplicates vanish after set-semantic dedup") {
+    val withDups = WebKg.extractFlat(WebKg.synthesizeWebPages(docs, withDuplicates = true))
+    val noDups = WebKg.extractFlat(WebKg.synthesizeWebPages(docs))
+    assert(withDups.count() > noDups.count())
+    assert(WebKg.dedupTriples(withDups).count() == noDups.count())
+  }
+
+  test("link objects are resolved absolute IRIs") {
+    val flat = WebKg.extractFlat(WebKg.synthesizeWebPages(docs))
+    val links = flat.filter(col("p") === WebKg.pLink).collect().map(_.getString(2))
+    assert(links.nonEmpty)
+    assert(links.forall(_.startsWith("https://src")))
+    assert(links.forall(_.contains(".example.org/doc/")))
+  }
+
+  test("created literal is canonical xsd:dateTime UTC") {
+    val flat = WebKg.extractFlat(WebKg.synthesizeWebPages(docs))
+    val created = flat.filter(col("p") === WebKg.pCreated).collect().map(_.getString(2))
+    assert(created.forall(_.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z")))
+    assert(created.forall(c => graft.core.Xsd.canonicalDateTime(c).contains(c)))
+  }
+
+  test("entity linking finds dictionary mentions with counts") {
+    val links = WebKg.entityLink(docs, WebKg.defaultDictionary).collect()
+    val byKey = links.map(r => (r.getString(0), r.getString(2)) -> r.getLong(3)).toMap
+    assert(byKey((WebKg.docNs + "0", WebKg.entityNs + "customer")) == 1L)
+    assert(byKey((WebKg.docNs + "1", WebKg.entityNs + "spark")) == 1L)
+    assert(!byKey.keySet.exists(_._2.endsWith("/supplier")))
+  }
+
+  test("reachability BFS returns minimum depths") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val r = WebKg.reachable(edges, 1L, 3).collect()
+      .map(row => row.getLong(0) -> row.getInt(1)).toMap
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+}
