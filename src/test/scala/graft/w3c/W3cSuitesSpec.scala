@@ -1,0 +1,113 @@
+package graft.w3c
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** W3C conformance: manifest-driven acceptance tests over the vendored
+  * fixtures (same suites the reference runs in test/acceptance). Asserts
+  * FULL pass — any regression names the failing entries. */
+class W3cSuitesSpec extends AnyFunSuite {
+
+  private def runSuite(dir: String, base: String): Unit = {
+    val suite = W3c.loadManifest(dir, base)
+    assert(suite.entries.nonEmpty, s"no entries in $dir")
+    val failures = suite.entries.flatMap { e =>
+      W3c.runEntry(suite, e) match {
+        case W3c.Pass => None
+        case W3c.Fail(r) => Some(s"${e.name.getOrElse(e.iri)}: $r")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${suite.entries.size} failed:\n  " + failures.take(10).mkString("\n  "))
+  }
+
+  private val root = "/root/reference/test/data/rdf-tests/rdf11"
+  private val webBase = "https://w3c.github.io/rdf-tests/rdf/rdf11"
+
+  test("W3C RDF 1.1 Turtle suite (301 tests)") {
+    runSuite(s"$root/rdf-turtle", s"$webBase/rdf-turtle/")
+  }
+  test("W3C RDF 1.1 N-Triples suite (70 tests)") {
+    runSuite(s"$root/rdf-n-triples", s"$webBase/rdf-n-triples/")
+  }
+  test("W3C RDF 1.1 N-Quads suite (87 tests)") {
+    runSuite(s"$root/rdf-n-quads", s"$webBase/rdf-n-quads/")
+  }
+  test("W3C RDF 1.1 TriG suite (341 tests)") {
+    runSuite(s"$root/rdf-trig", s"$webBase/rdf-trig/")
+  }
+
+  test("W3C RDFC-1.0 canonicalization suite (86 tests)") {
+    val dir = "/root/reference/test/data/rdf-canon-tests"
+    val base = "https://w3c.github.io/rdf-canon/tests/"
+    val suite = W3c.loadManifest(dir, base)
+    assert(suite.entries.nonEmpty)
+    val failures = suite.entries.flatMap { e =>
+      val kind = e.kinds.find(_.startsWith(W3c.rdfc)).map(_.stripPrefix(W3c.rdfc))
+      val algo = e.hashAlgorithm.map {
+        case "SHA384" => "SHA-384"; case "SHA512" => "SHA-512"; case a => a
+      }.getOrElse("SHA-256")
+      try {
+        val in = NTriples.parseDocument(W3c.readFile(W3c.localPath(dir, base, e.action.get)))
+        kind match {
+          case Some("RDFC10EvalTest") =>
+            val expected = W3c.readFile(W3c.localPath(dir, base, e.result.get))
+            if (Rdfc10.canonicalNQuads(in, hashAlgorithm = algo) == expected) None
+            else Some(s"${e.name.get}: canonical nquads differ")
+          case Some("RDFC10MapTest") =>
+            val expectedJson = W3c.readFile(W3c.localPath(dir, base, e.result.get))
+            val expPairs = "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r
+              .findAllMatchIn(expectedJson).map(m => m.group(1) -> m.group(2)).toMap
+            val (_, mapping) = Rdfc10.canonicalize(in, hashAlgorithm = algo)
+            if (mapping == expPairs) None else Some(s"${e.name.get}: mapping differs")
+          case Some("RDFC10NegativeEvalTest") =>
+            // poison graph must trip the HNDQ call budget
+            try { Rdfc10.canonicalize(in, hndqCallLimit = 3); Some(s"${e.name.get}: no poison abort") }
+            catch { case _: Rdfc10.PoisonedGraph => None }
+          case other => Some(s"${e.name.get}: unsupported $other")
+        }
+      } catch { case ex: Exception => Some(s"${e.name.getOrElse(e.iri)}: $ex") }
+    }
+    assert(failures.isEmpty, failures.take(10).mkString("\n"))
+  }
+
+  test("isomorphism fixtures: isomorphic pairs match, non-isomorphic do not") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def pairs(root: String): Seq[(String, Seq[Quad], Seq[Quad])] =
+      Files.list(Paths.get(root)).iterator().asScala.toSeq.map(_.toString).sorted.map { d =>
+        val fs = Files.list(Paths.get(d)).iterator().asScala.toSeq
+          .map(_.toString).filter(f => f.endsWith(".nt") || f.endsWith(".nq")).sorted
+        assert(fs.size == 2, s"$d: ${fs.size} files")
+        (d, NTriples.parseDocument(W3c.readFile(fs(0))),
+          NTriples.parseDocument(W3c.readFile(fs(1))))
+      }
+    for ((d, a, b) <- pairs("/root/reference/test/data/isomorphic"))
+      assert(Rdfc10.isomorphic(a, b), s"$d should be isomorphic")
+    for ((d, a, b) <- pairs("/root/reference/test/data/non-isomorphic"))
+      assert(!Rdfc10.isomorphic(a, b), s"$d should NOT be isomorphic")
+  }
+
+  test("Turtle encoder round-trip: decode(encode(g)) isomorphic to g") {
+    val g = Turtle.parse(W3c.readFile(
+      "/root/reference/test/data/rdf-tests/rdf11/rdf-turtle/turtle-syntax-bnode-05.ttl"),
+      "http://example/base/").triples
+    val enc = TurtleEncoder.encode(g, Map("rdf" -> Vocab.rdf))
+    val back = Turtle.parse(enc).triples
+    assert(Rdfc10.isomorphicTriples(g, back), s"encoded:\n$enc")
+
+    // and one with every literal shape
+    val lits = Seq(
+      Triple(Term.iri("http://e/s"), Term.iri("http://e/p"), Term.int(42)),
+      Triple(Term.iri("http://e/s"), Term.iri("http://e/p"), Term.bool(true)),
+      Triple(Term.iri("http://e/s"), Term.iri("http://e/p"),
+        Term.typedLit("1.5", Vocab.xsdDecimal)),
+      Triple(Term.iri("http://e/s"), Term.iri("http://e/p"),
+        Term.typedLit("1.5E2", Vocab.xsdDouble)),
+      Triple(Term.iri("http://e/s"), Term.iri("http://e/p"), Term.langLit("héllo\n", "en")),
+      Triple(Term.bnode("x"), Term.iri("http://e/p"), Term.str("plain \"quoted\"")))
+    val enc2 = TurtleEncoder.encode(lits)
+    val back2 = Turtle.parse(enc2).triples
+    assert(Rdfc10.isomorphicTriples(lits, back2), s"encoded:\n$enc2")
+  }
+}
