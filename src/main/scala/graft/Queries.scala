@@ -398,6 +398,59 @@ object Queries {
       },
       Some("SELECT count(*) AS n_identical, count(*) AS n_pages FROM documents")),
 
+    // distributed Turtle decode: per-document parse inside mapPartitions,
+    // counts cross-checked against plain SQL
+    "rdf_turtle_decode" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select(
+          concat(lit(WebKg.docNs), col("doc_id")).as("id"),
+          concat(lit("@prefix g: <http://graft.dev/vocab#> .\n<> g:lang \""),
+            col("lang"), lit("\" ; g:nchars "), col("n_chars"),
+            lit(" ; g:src \""), col("source"), lit("\" .")).as("ttl"))
+          .as[(String, String)]
+        graft.engine.Graphs.parseTurtleDocs(docs)
+          .groupBy(col("p")("value").as("p"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("o")("value")).as("n_obj"))
+      },
+      Some("""SELECT 'http://graft.dev/vocab#lang' AS p, count(*) AS n,
+             |  count(DISTINCT lang) AS n_obj FROM documents
+             |UNION ALL SELECT 'http://graft.dev/vocab#nchars', count(*),
+             |  count(DISTINCT n_chars) FROM documents
+             |UNION ALL SELECT 'http://graft.dev/vocab#src', count(*),
+             |  count(DISTINCT source) FROM documents""".stripMargin)),
+
+    // per-group RDFC-1.0 canonicalization (rows-only: labels are hash-
+    // derived; determinism is asserted in GraphsSpec)
+    "rdf_canonicalize" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val quads = docs.select(col("doc_id").cast("string").as("doc"),
+            Terms.bnode(concat(lit("a"), col("doc_id"))).as("s"),
+            Terms.iri(lit(WebKg.vocab + "lang")).as("p"),
+            Terms.strLit(col("lang")).as("o"))
+          .unionAll(docs.select(col("doc_id").cast("string").as("doc"),
+            Terms.bnode(concat(lit("a"), col("doc_id"))).as("s"),
+            Terms.iri(lit(WebKg.vocab + "knows")).as("p"),
+            Terms.bnode(concat(lit("b"), col("doc_id"))).as("o")))
+        graft.engine.Graphs.canonicalizePerGroup(quads, "doc")
+          .select(col("doc"), col("s")("value").as("subject_label"),
+            col("p")("value").as("p"))
+      },
+      None),
+
+    // bucketed materialization with per-partition lineage + resume
+    // (rows-only: bucket ids use Spark's Murmur3 hash)
+    "kg_materialize" -> Q(
+      (s, d) => {
+        val root = s"/tmp/graft_materialize_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val triples = WebKg.extractFlat(WebKg.synthesizeWebPages(t(s, d, "documents")))
+        graft.pipeline.Materialize.materialize(triples, root, 16, "verify")
+          .orderBy("bucket")
+      },
+      None),
+
     // entity linking: mention detection + broadcast-join resolve
     "kg_entity_link" -> Q(
       (s, d) => WebKg.entityLink(t(s, d, "documents"), WebKg.defaultDictionary),

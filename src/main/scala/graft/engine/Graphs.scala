@@ -1,0 +1,172 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** The rdf-ex Graph/Dataset/Data API surface lifted onto DataFrames of term
+  * structs (columns s/p/o, optional g). Every operation is a declarative
+  * plan: set ops are hash joins/aggregates, point ops are pushed-down
+  * filters; nothing collects to the driver except explicit `values`-style
+  * API-edge calls. Citations are to the reference semantics in SURVEY §2.
+  */
+object Graphs {
+
+  // ---------------------------------------------------------------- algebra
+
+  /** Set-semantic add/union (Data.merge, data.ex:471-523). Skolemized ids
+    * make plain union safe (no bnode capture). */
+  def add(g: DataFrame, other: DataFrame): DataFrame =
+    g.unionByName(other).dropDuplicates()
+
+  /** Graph.delete (graph.ex:437-511): input-shaped removal. */
+  def delete(g: DataFrame, other: DataFrame): DataFrame =
+    g.join(other, g.columns.toSeq, "left_anti")
+
+  /** Graph.put (graph.ex:309-340): replace whole subjects — the classic
+    * upsert; anti-join old on new subject keys, then union. */
+  def put(g: DataFrame, replacement: DataFrame): DataFrame = {
+    val newSubjects = replacement.select("s").distinct()
+    g.join(newSubjects, Seq("s"), "left_anti").unionByName(replacement).dropDuplicates()
+  }
+
+  /** Graph.put_properties (graph.ex:371-407): replace (s,p) pairs. */
+  def putProperties(g: DataFrame, replacement: DataFrame): DataFrame = {
+    val keys = replacement.select("s", "p").distinct()
+    g.join(keys, Seq("s", "p"), "left_anti").unionByName(replacement).dropDuplicates()
+  }
+
+  /** Graph.intersection (graph.ex:1209-1236). */
+  def intersection(g: DataFrame, other: DataFrame): DataFrame = g.intersect(other)
+
+  /** include? (graph.ex:1146-1178): statement containment via anti-join. */
+  def includesAll(g: DataFrame, statements: DataFrame): Boolean =
+    statements.join(g, statements.columns.toSeq, "left_anti").isEmpty
+
+  /** Graph.equal? modulo prefixes (graph.ex:1399-1406). */
+  def equalGraphs(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** rename_resource (graph.ex:772-792) — the skolemization primitive as a
+    * column transform over all positions. */
+  def renameResource(g: DataFrame, from: Term, to: Term): DataFrame = {
+    val f = Terms.constTerm(from); val t = Terms.constTerm(to)
+    g.select(g.columns.map { c =>
+      when(col(c) === f, t).otherwise(col(c)).as(c)
+    }.toSeq: _*)
+  }
+
+  // ------------------------------------------------------- projections/stats
+
+  def describes(g: DataFrame, subject: Term): Boolean =
+    !g.filter(col("s") === Terms.constTerm(subject)).isEmpty
+
+  /** Point lookup of one subject's Description (graph.ex:808-863) — a
+    * pushed-down filter; with subject bucketing this prunes partitions. */
+  def description(g: DataFrame, subject: Term): DataFrame =
+    g.filter(col("s") === Terms.constTerm(subject))
+
+  def subjects(g: DataFrame): DataFrame = g.select("s").distinct()
+  def predicates(g: DataFrame): DataFrame = g.select("p").distinct()
+  def objects(g: DataFrame): DataFrame = g.select("o").distinct()
+
+  /** resources: subjects + non-literal objects (data.ex:1049). */
+  def resources(g: DataFrame): DataFrame =
+    g.select("s").unionAll(g.filter(Terms.isResource(col("o"))).select("o"))
+      .distinct()
+
+  def statementCount(g: DataFrame): Long = g.count()
+  def subjectCount(g: DataFrame): Long = subjects(g).count()
+  def predicateCount(g: DataFrame): Long = predicates(g).count()
+
+  /** values/2 nested-map projection at the API edge (graph.ex:1328-1391):
+    * one row per subject with map(predicate -> objects). */
+  def values(g: DataFrame): DataFrame =
+    g.groupBy(col("s")("value").as("subject"), col("p")("value").as("k"))
+      .agg(collect_list(col("o")("value")).as("v"))
+      .groupBy("subject")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("predications"))
+
+  // ------------------------------------------------------------ serialization
+
+  /** Canonical sorted N-Triples lines of a term-struct graph — Column-only
+    * expressions, global sort only at the output edge. */
+  def toCanonicalNtLines(g: DataFrame): Dataset[String] = {
+    import g.sparkSession.implicits._
+    g.select(Terms.tripleLine(col("s"), col("p"), col("o")).as("value"))
+      .orderBy("value").as[String]
+  }
+
+  /** Distributed Turtle decode: one document per row (url/id, turtle text)
+    * -> term-struct quads tagged with the document id. Parse is per-document
+    * inside mapPartitions — embarrassingly parallel. */
+  def parseTurtleDocs(docs: Dataset[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { case (docId, text) =>
+      Turtle.parse(text, docId).triples.map(t => (docId, t.s, t.p, t.o))
+    }.toDF("doc", "s", "p", "o")
+  }
+
+  // -------------------------------------------------------- canonicalization
+
+  /** Distributed RDFC-1.0, one independent graph per group key (the
+    * per-document case of the north star): each group is canonicalized by
+    * the sequential spec algorithm inside mapGroups, and its c14n labels are
+    * made globally unique by prefixing the group key's hash. Output columns:
+    * (key, s, p, o). */
+  def canonicalizePerGroup(quads: DataFrame, keyCol: String): DataFrame = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    quads.select(col(keyCol).cast("string"),
+        col("s"), col("p"), col("o"))
+      .as[(String, Term, Term, Term)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        val quadSeq = rows.map(r => Quad(r._2, r._3, r._4, null)).toSeq
+        val (canon, _) = Rdfc10.canonicalize(quadSeq)
+        val prefix = Skolem.hash128Hex(key).take(16)
+        canon.map { q =>
+          def rel(t: Term): Term =
+            if (t != null && t.isBnode) Term(TermKind.BNODE, s"$prefix-${t.value}", null, null)
+            else t
+          (key, rel(q.s), q.p, rel(q.o))
+        }
+      }.toDF(keyCol, "s", "p", "o")
+  }
+
+  /** Blank-node connected components via iterative min-label propagation
+    * over bnode co-occurrence edges — the grouping step before full-dataset
+    * RDFC when graphs are NOT pre-partitioned by document. Returns
+    * (label, component) for every bnode label. */
+  def bnodeComponents(g: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = g.sparkSession
+    val bn = TermKind.BNODE
+    // vertex set
+    val labels = g.select(col("s").as("t")).unionAll(g.select(col("o").as("t")))
+      .filter(col("t")("kind") === bn).select(col("t")("value").as("label")).distinct()
+    // edges: bnodes co-occurring in one triple
+    val both = g.filter(col("s")("kind") === bn && col("o")("kind") === bn)
+      .select(col("s")("value").as("a"), col("o")("value").as("b"))
+    val edges = both.unionAll(both.select(col("b").as("a"), col("a").as("b"))).distinct()
+    var comp = labels.withColumn("component", col("label"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // each bnode adopts the min of its own and its neighbors' components
+      val neighborMin = edges
+        .join(comp.select(col("label").as("b_l"), col("component").as("b_c")),
+          col("b") === col("b_l"))
+        .groupBy(col("a").as("label")).agg(min(col("b_c")).as("nc"))
+      val next = comp.join(neighborMin, Seq("label"), "left")
+        .withColumn("newComp",
+          when(col("nc").isNotNull, least(col("component"), col("nc")))
+            .otherwise(col("component")))
+      val changed = next.filter(col("newComp") =!= col("component")).limit(1).count()
+      comp = next.select(col("label"), col("newComp").as("component"))
+      converged = changed == 0
+      i += 1
+    }
+    comp
+  }
+}

@@ -1,0 +1,152 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.pipeline.Materialize
+
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val ex = "http://ex.org/"
+  private def tri(s: String, p: String, o: Term) =
+    Triple(Term.iri(ex + s), Term.iri(ex + p), o)
+
+  private def g1 = {
+    import spark.implicits._
+    Seq(
+      tri("a", "p", Term.str("1")), tri("a", "q", Term.str("2")),
+      tri("b", "p", Term.str("3")), tri("b", "p", Term.iri(ex + "a"))).toDF()
+  }
+
+  test("add is set-semantic union") {
+    import spark.implicits._
+    val other = Seq(tri("a", "p", Term.str("1")), tri("c", "p", Term.str("9"))).toDF()
+    assert(Graphs.add(g1, other).count() == 5)
+  }
+
+  test("delete removes exactly the given statements") {
+    import spark.implicits._
+    val del = Seq(tri("a", "p", Term.str("1"))).toDF()
+    val out = Graphs.delete(g1, del)
+    assert(out.count() == 3)
+    assert(!Graphs.includesAll(out, del))
+  }
+
+  test("put replaces whole subjects") {
+    import spark.implicits._
+    val repl = Seq(tri("a", "r", Term.str("new"))).toDF()
+    val out = Graphs.put(g1, repl)
+    assert(out.count() == 3) // a's two old triples gone, one new, b's two stay
+    assert(Graphs.includesAll(out, repl))
+  }
+
+  test("putProperties replaces only (s,p) pairs") {
+    import spark.implicits._
+    val repl = Seq(tri("a", "p", Term.str("new"))).toDF()
+    val out = Graphs.putProperties(g1, repl)
+    assert(out.count() == 4) // a/p replaced, a/q kept
+    assert(Graphs.includesAll(out, repl))
+  }
+
+  test("projections and counts") {
+    assert(Graphs.subjectCount(g1) == 2)
+    assert(Graphs.predicateCount(g1) == 2)
+    assert(Graphs.statementCount(g1) == 4)
+    assert(Graphs.resources(g1).count() == 2) // {a, b}; a is subject AND object
+    assert(Graphs.describes(g1, Term.iri(ex + "a")))
+    assert(!Graphs.describes(g1, Term.iri(ex + "zzz")))
+    assert(Graphs.description(g1, Term.iri(ex + "a")).count() == 2)
+  }
+
+  test("renameResource substitutes across all positions") {
+    val out = Graphs.renameResource(g1, Term.iri(ex + "a"), Term.iri(ex + "A2"))
+    assert(Graphs.description(out, Term.iri(ex + "A2")).count() == 2)
+    assert(!Graphs.describes(out, Term.iri(ex + "a")))
+    // object position too
+    import spark.implicits._
+    assert(Graphs.includesAll(out, Seq(tri("b", "p", Term.iri(ex + "A2"))).toDF()))
+  }
+
+  test("values produces per-subject predication maps") {
+    val v = Graphs.values(g1).collect()
+    assert(v.length == 2)
+  }
+
+  test("equalGraphs and intersection") {
+    assert(Graphs.equalGraphs(g1, g1.orderBy(rand(7))))
+    assert(Graphs.intersection(g1, g1.limit(2)).count() == 2)
+  }
+
+  test("distributed Turtle decode per document") {
+    import spark.implicits._
+    val docs = Seq(
+      ("http://d/1", "@prefix e: <http://ex.org/> . e:a e:p \"x\", \"y\" ."),
+      ("http://d/2", "<s> <p> [ <q> 42 ] ."))
+    val out = Graphs.parseTurtleDocs(spark.createDataset(docs))
+    assert(out.count() == 4)
+    // relative IRIs resolved against the document id as base
+    assert(out.filter(col("doc") === "http://d/2" &&
+      col("s")("value") === "http://d/s").count() == 1)
+  }
+
+  test("canonicalizePerGroup gives deterministic, group-unique bnode labels") {
+    import spark.implicits._
+    def doc(id: String) = Seq(
+      (id, Term.bnode("x"), Term.iri(ex + "p"), Term.str("v")),
+      (id, Term.bnode("x"), Term.iri(ex + "q"), Term.bnode("y")))
+    val quads = (doc("d1") ++ doc("d2")).toDF("doc", "s", "p", "o")
+    val out1 = Graphs.canonicalizePerGroup(quads, "doc").collect()
+      .map(r => (r.getString(0), r.getStruct(1).getString(1))).sorted.toSeq
+    val out2 = Graphs.canonicalizePerGroup(quads, "doc").collect()
+      .map(r => (r.getString(0), r.getStruct(1).getString(1))).sorted.toSeq
+    assert(out1 == out2) // deterministic
+    val labels = out1.map(_._2).distinct
+    assert(labels.size == 2) // one canonical subject label per doc, prefixed uniquely
+  }
+
+  test("bnodeComponents groups co-occurring bnodes") {
+    import spark.implicits._
+    val g = Seq(
+      Triple(Term.bnode("a"), Term.iri(ex + "p"), Term.bnode("b")),
+      Triple(Term.bnode("b"), Term.iri(ex + "p"), Term.bnode("c")),
+      Triple(Term.bnode("z"), Term.iri(ex + "p"), Term.str("v"))).toDF()
+    val comp = Graphs.bnodeComponents(g).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp("a") == comp("b") && comp("b") == comp("c"))
+    assert(comp("z") != comp("a"))
+  }
+
+  test("materialize with lineage supports checkpoint resume") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val triples = (0 until 100)
+      .map(i => (s"http://ex.org/s$i", ex + "p", s"o$i")).toDF("s", "p", "o")
+    val first = Materialize.materialize(triples, root, numBuckets = 8, batchId = "b1")
+    assert(first.count() == 8)
+    assert(Materialize.readGraph(spark, root).count() == 100)
+    // resume: everything already materialized -> zero new lineage rows
+    val second = Materialize.materialize(triples, root, numBuckets = 8, batchId = "b2")
+    assert(second.count() == 0)
+    // partial resume: wipe lineage rows for two buckets, re-run
+    val lineage = Materialize.readLineage(spark, root).get
+    val keep = lineage.filter(col("bucket") >= 2)
+    keep.write.mode("overwrite").parquet(s"$root/lineage2")
+    spark.read.parquet(s"$root/lineage2").write.mode("overwrite").parquet(s"$root/lineage")
+    val third = Materialize.materialize(triples, root, numBuckets = 8, batchId = "b3")
+    assert(third.count() == 2)
+    assert(Materialize.readGraph(spark, root).count() == 100) // idempotent overwrite
+  }
+
+  test("diff yields additions and deletions") {
+    import spark.implicits._
+    val before = Seq(("s1", "p", "a"), ("s2", "p", "b")).toDF("s", "p", "o")
+    val after = Seq(("s1", "p", "a"), ("s3", "p", "c")).toDF("s", "p", "o")
+    val (adds, dels) = Materialize.diff(before, after)
+    assert(adds.collect().map(_.getString(0)).toSeq == Seq("s3"))
+    assert(dels.collect().map(_.getString(0)).toSeq == Seq("s2"))
+  }
+}
