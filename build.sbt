@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = one JVM for driver+executors; size the heap for 32-thread
+  // shuffles (the box has ~125g; the driver can override via SPARK_DRIVER_MEM).
+  // Pre-size the heap and use the throughput collector: growing a large heap
+  // under 32 allocation-heavy threads spends most CPU in kernel page faults
+  // on this microVM kernel.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-Xms16g",
+  "-XX:+UseParallelGC",
 )

@@ -30,6 +30,19 @@ object WebKg {
   val pMentions = vocab + "mentions"
   val cWebPage = vocab + "WebPage"
 
+  /** Deterministic corpus replication for scale runs: each source row
+    * becomes `k` rows with distinct doc_ids (doc_id*k + i) — unique urls,
+    * same text distribution. Pure Column ops, no data files. */
+  def replicateDocs(docs: DataFrame, k: Int): DataFrame = {
+    // parallelism comes from the range side (numSlices partitions), so the
+    // replicated corpus is born parallel — no repartition shuffle needed
+    val spark = docs.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism * 2, k)
+    spark.range(0, k, 1, parts).crossJoin(broadcast(docs))
+      .select((col("doc_id") * k + col("id")).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Deterministic synthetic web-page table derived from the `documents`
     * corpus (seeded by doc_id; no external data): skewed domains via
     * `source`, 10% title-less pages, ~10% duplicate re-crawls, relative
@@ -50,9 +63,12 @@ object WebKg {
         lit("\">next</a></body></html>")).cast("binary").as("html"),
       col("text"), col("lang"))
     if (!withDuplicates) base
-    // re-crawl duplicates: same url, same content (idempotent extraction)
-    else base.unionAll(base.filter(
-      element_at(split(col("url"), "/"), -1).cast("long") % 10 === 0))
+    // re-crawl duplicates: same url, same content (idempotent extraction).
+    // Emitted via explode so the source is scanned ONCE, not per-branch.
+    else base.withColumn("__copy", explode(
+        when(element_at(split(col("url"), "/"), -1).cast("long") % 10 === 0,
+          sequence(lit(0), lit(1))).otherwise(sequence(lit(0), lit(0)))))
+      .drop("__copy")
   }
 
   private def htmlStr: Column = col("html").cast("string")
@@ -68,41 +84,55 @@ object WebKg {
 
   private val resolveUdf = udf((ref: String, base: String) => Iri.resolve(ref, base))
 
-  /** Per-document triple extraction: web pages -> flat (s, p, o) string
-    * triples (the oracle-comparable projection; `extractTriples` lifts the
-    * same rows to term structs). One narrow flatMap-shaped projection via
-    * unioned selects — no shuffle, no UDF except IRI resolution. */
-  def extractFlat(pages: DataFrame): DataFrame = {
-    val s = col("url")
-    val typ = pages.select(s.as("s"), lit(pType).as("p"), lit(cWebPage).as("o"))
-    val title = pages.select(s.as("s"), lit(pTitle).as("p"), extractedTitle.as("o"))
-      .filter(col("o") =!= "")
-    val lang = pages.select(s.as("s"), lit(pLang).as("p"), col("lang").as("o"))
-    val link = pages.select(s.as("s"), lit(pLink).as("p"),
-        resolveUdf(extractedHref, col("url")).as("o"))
-      .filter(col("o").isNotNull)
-    val created = pages.select(s.as("s"), lit(pCreated).as("p"),
-      date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("o"))
-    val sha = pages.select(s.as("s"), lit(pTextHash).as("p"),
-      md5(extractedText).as("o"))
-    typ.unionAll(title).unionAll(lang).unionAll(link).unionAll(created).unionAll(sha)
+  /** IRI resolution with a codegen fast path: absolute refs and
+    * root-relative refs (the overwhelming majority of web hrefs) resolve as
+    * pure Column expressions; everything else falls back to the full
+    * RFC 3986 §5.2 UDF. Keeps whole-stage codegen on the hot path. */
+  def resolveHref(ref: Column, base: Column): Column = {
+    val origin = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    when(ref.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), ref)
+      .when(ref.startsWith("/") && !ref.startsWith("//") && origin =!= "",
+        concat(origin, ref))
+      .otherwise(resolveUdf(ref, base))
   }
 
-  /** Term-struct extraction: same rows as extractFlat but typed — IRIs for
-    * type/link objects, langString for lang, xsd:dateTime for created. */
+  /** Per-document triple extraction: web pages -> flat (s, p, o) string
+    * triples (the oracle-comparable projection; `extractTriples` lifts the
+    * same rows to term structs). ONE scan of the page table: all predicates
+    * are built into an array and exploded — the flatMap shape — instead of
+    * one union branch (= one scan) per predicate. No shuffle; the only UDF
+    * is IRI resolution. */
+  def extractFlat(pages: DataFrame): DataFrame = {
+    def po(p: String, o: Column) = struct(lit(p).as("p"), o.as("o"))
+    pages.select(col("url").as("s"), explode(array(
+        po(pType, lit(cWebPage)),
+        po(pTitle, when(extractedTitle =!= "", extractedTitle)),
+        po(pLang, col("lang")),
+        po(pLink, resolveHref(extractedHref, col("url"))),
+        po(pCreated, date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        po(pTextHash, md5(extractedText)))).as("po"))
+      .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
+      .filter(col("o").isNotNull)
+  }
+
+  /** Term-struct extraction: same statements as extractFlat but typed —
+    * IRIs for type/link objects, xsd:string/xsd:dateTime literals. Single
+    * scan + explode, like extractFlat. */
   def extractTriples(pages: DataFrame): DataFrame = {
-    val s = Terms.iri(col("url"))
-    def row(p: String, o: Column) = Seq(s.as("s"), Terms.iri(lit(p)).as("p"), o.as("o"))
-    val typ = pages.select(row(pType, Terms.iri(lit(cWebPage))): _*)
-    val title = pages.filter(extractedTitle =!= "")
-      .select(row(pTitle, Terms.strLit(extractedTitle)): _*)
-    val lang = pages.select(row(pLang, Terms.strLit(col("lang"))): _*)
-    val link = pages.withColumn("resolved", resolveUdf(extractedHref, col("url")))
-      .filter(col("resolved").isNotNull)
-      .select(row(pLink, Terms.iri(col("resolved"))): _*)
-    val created = pages.select(row(pCreated,
-      Terms.typedLit(date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), Vocab.xsdDateTime)): _*)
-    typ.unionAll(title).unionAll(lang).unionAll(link).unionAll(created)
+    def po(p: String, o: Column) = struct(Terms.iri(lit(p)).as("p"), o.as("o"))
+    val nullTerm = lit(null).cast(Terms.termSchema)
+    pages.select(Terms.iri(col("url")).as("s"), explode(array(
+        po(pType, Terms.iri(lit(cWebPage))),
+        po(pTitle, when(extractedTitle =!= "", Terms.strLit(extractedTitle)).otherwise(nullTerm)),
+        po(pLang, Terms.strLit(col("lang"))),
+        po(pLink, {
+          val r = resolveHref(extractedHref, col("url"))
+          when(r.isNotNull, Terms.iri(r)).otherwise(nullTerm)
+        }),
+        po(pCreated, Terms.typedLit(
+          date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), Vocab.xsdDateTime)))).as("po"))
+      .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
+      .filter(col("o").isNotNull)
   }
 
   /** Set-semantic graph: the reference's triple stores dedup on insert
