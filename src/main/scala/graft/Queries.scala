@@ -116,6 +116,23 @@ object Queries {
       Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
              |round(sum(value),3) AS sv FROM events GROUP BY 1,2""".stripMargin)),
 
+    // Structured Streaming face of q8: file-source stream -> watermarked
+    // 1-hour windows, run to completion on the static input; the window
+    // start equals date_trunc('hour') so the batch SQL is the oracle
+    "stream_events_window" -> Q(
+      (s, d) => {
+        // file-stream sources need a DIRECTORY of files: stage the table
+        val dir = s"/tmp/graft_stream_events_${math.abs(d.hashCode)}"
+        val events = t(s, d, "events")
+        events.write.mode("overwrite").parquet(dir)
+        val stream = graft.engine.Streaming.windowedEventCounts(
+          s.readStream.schema(events.schema).parquet(dir))
+        graft.engine.Streaming.runToCompletion(stream,
+          s"stream_events_${math.abs(d.hashCode)}", outputMode = "complete")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+             |round(sum(value),3) AS sv FROM events GROUP BY 1,2""".stripMargin)),
+
     // -------------------------------------------------------- dedup family
     "dedup_exact" -> Q(
       (s, d) => Dedup.exact(t(s, d, "documents")),

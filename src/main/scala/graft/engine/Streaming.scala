@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.pipeline.WebKg
+
+/** Structured Streaming face of the engine.
+  *
+  * The reference's "streaming" is lazy pull-based pipelines and line-wise
+  * serialization streams (SURVEY §2.11 — no watermarks/windows exist there).
+  * Here the same extraction pipeline runs incrementally: a file-source
+  * stream of web pages -> per-microbatch triple extraction (the identical
+  * Column plan as batch — exactly-once per file), plus an event-time
+  * windowed aggregation with a watermark for the events table. At scale
+  * this is the "crawl keeps arriving" deployment: checkpointed, resumable,
+  * no recomputation of seen files.
+  */
+object Streaming {
+
+  /** Streaming triple extraction: watch a directory of page parquet files,
+    * extract triples incrementally. The returned DataFrame is a streaming
+    * plan — start it with writeStream (foreachBatch -> Materialize for the
+    * lineage path). */
+  def streamingExtraction(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    WebKg.extractFlat(spark.readStream.schema(schema).parquet(dir))
+
+  /** Event-time windowed counts with a watermark (late data beyond the
+    * watermark is dropped). Batch-equivalent: q8_events_agg. */
+  def windowedEventCounts(events: DataFrame,
+                          window: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      // watermarks need TIMESTAMP (LTZ); parquet streaming may infer NTZ
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
+
+  /** Run a streaming query over a static directory to completion (test/
+    * verify path): memory sink, process-all-available, return the result. */
+  def runToCompletion(streaming: DataFrame, queryName: String,
+                      outputMode: String = "append"): DataFrame = {
+    val spark = streaming.sparkSession
+    val q = streaming.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

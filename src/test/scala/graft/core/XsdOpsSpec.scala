@@ -1,0 +1,91 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class XsdOpsSpec extends AnyFunSuite {
+  private def i(v: Long) = Term.int(v)
+  private def dec(s: String) = Term.typedLit(s, Vocab.xsdDecimal)
+  private def dbl(s: String) = Term.typedLit(s, Vocab.xsdDouble)
+
+  test("numeric type promotion matrix (numeric.ex)") {
+    // integer + integer -> integer
+    assert(XsdOps.add(i(1), i(2)).contains(i(3)))
+    // integer / integer -> DECIMAL
+    assert(XsdOps.divide(i(1), i(2)).get.datatype == Vocab.xsdDecimal)
+    assert(XsdOps.divide(i(1), i(2)).get.value == "0.5")
+    // decimal + integer -> decimal
+    assert(XsdOps.add(dec("1.5"), i(1)).get == dec("2.5"))
+    // decimal + double -> double
+    assert(XsdOps.add(dec("1.5"), dbl("1.0E0")).get.datatype == Vocab.xsdDouble)
+    // double keeps double
+    assert(XsdOps.multiply(dbl("2.0E0"), dbl("3.0E0")).contains(dbl("6.0E0")))
+    // divide by zero invalid except double
+    assert(XsdOps.divide(i(1), i(0)).isEmpty)
+    assert(XsdOps.divide(dec("1.0"), dec("0.0")).isEmpty)
+    assert(XsdOps.divide(dbl("1.0E0"), dbl("0.0E0")).contains(dbl("INF")))
+  }
+
+  test("abs round ceil floor") {
+    assert(XsdOps.abs(i(-5)).contains(i(5)))
+    assert(XsdOps.abs(dec("-1.5")).contains(dec("1.5")))
+    assert(XsdOps.round(dec("2.5")).contains(dec("3.0")))
+    assert(XsdOps.round(dec("-2.5")).contains(dec("-2.0"))) // half to +inf
+    assert(XsdOps.round(dec("2.4449"), 2).contains(dec("2.44")))
+    assert(XsdOps.ceil(dec("1.1")).contains(dec("2.0")))
+    assert(XsdOps.floor(dec("-1.1")).contains(dec("-2.0")))
+    assert(XsdOps.round(dbl("2.5E0")).contains(dbl("3.0E0")))
+  }
+
+  test("effective boolean value (boolean.ex ebv)") {
+    assert(XsdOps.ebv(Term.bool(true)).contains(true))
+    assert(XsdOps.ebv(Term.str("")).contains(false))
+    assert(XsdOps.ebv(Term.str("x")).contains(true))
+    assert(XsdOps.ebv(i(0)).contains(false))
+    assert(XsdOps.ebv(i(7)).contains(true))
+    assert(XsdOps.ebv(dbl("NaN")).contains(false))
+    // invalid boolean lexical -> false
+    assert(XsdOps.ebv(Term.typedLit("maybe", Vocab.xsdBoolean)).contains(false))
+    // non-literal -> error
+    assert(XsdOps.ebv(Term.iri("http://x")).isEmpty)
+  }
+
+  test("3-valued logic with error propagation") {
+    assert(XsdOps.logicalAnd(Some(false), None).contains(false))
+    assert(XsdOps.logicalAnd(Some(true), None).isEmpty)
+    assert(XsdOps.logicalOr(Some(true), None).contains(true))
+    assert(XsdOps.logicalOr(Some(false), None).isEmpty)
+    assert(XsdOps.not(Term.str("")).contains(true))
+  }
+
+  test("cross-type compare") {
+    assert(XsdOps.compare(i(1), dec("1.0")).contains(0))
+    assert(XsdOps.lessThan(i(1), dbl("1.5E0")).contains(true))
+    assert(XsdOps.compare(Term.str("a"), Term.str("b")).contains(-1))
+    assert(XsdOps.compare(Term.bool(false), Term.bool(true)).contains(-1))
+    assert(XsdOps.compare(
+      Term.typedLit("2010-01-01T01:00:00+01:00", Vocab.xsdDateTime),
+      Term.typedLit("2010-01-01T00:00:00Z", Vocab.xsdDateTime)).contains(0))
+    // incomparable -> None (literal.ex returns nil)
+    assert(XsdOps.compare(Term.str("1"), i(1)).isEmpty)
+    assert(XsdOps.compare(dbl("NaN"), dbl("1.0E0")).isEmpty)
+  }
+
+  test("sortKey gives a numeric-consistent total order") {
+    val terms = Seq(dec("-10.5"), i(-2), dec("0.0"), i(1), dec("1.5"), dbl("2.0E0"), i(100))
+    val sorted = scala.util.Random.shuffle(terms).sortBy(XsdOps.sortKey)
+    assert(sorted.map(t => XsdOps.parseNumeric(t).get.toDouble) ==
+      Seq(-10.5, -2.0, 0.0, 1.0, 1.5, 2.0, 100.0))
+  }
+
+  test("casts (do_cast rules)") {
+    assert(XsdOps.cast(Term.bool(true), Vocab.xsdDouble).contains(dbl("1.0E0")))
+    assert(XsdOps.cast(Term.bool(false), Vocab.xsdInteger).contains(i(0)))
+    assert(XsdOps.cast(Term.str("3.14"), Vocab.xsdDecimal).contains(dec("3.14")))
+    assert(XsdOps.cast(dec("3.14"), Vocab.xsdInteger).contains(i(3)))
+    assert(XsdOps.cast(dbl("1.0E2"), Vocab.xsdInteger).contains(i(100)))
+    assert(XsdOps.cast(i(42), Vocab.xsdString).contains(Term.str("42")))
+    assert(XsdOps.cast(dbl("NaN"), Vocab.xsdInteger).isEmpty)
+    assert(XsdOps.cast(Term.str("abc"), Vocab.xsdInteger).isEmpty)
+    assert(XsdOps.cast(i(0), Vocab.xsdBoolean).contains(Term.bool(false)))
+  }
+}

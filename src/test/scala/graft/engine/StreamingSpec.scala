@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.WebKg
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("streaming extraction over a file source equals the batch extraction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val docs = Seq(
+      (0L, "alpha beta", "en", "src0", 10L),
+      (1L, "gamma delta", "fr", "src1", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pages = WebKg.synthesizeWebPages(docs)
+    pages.write.mode("overwrite").parquet(dir)
+
+    val stream = Streaming.streamingExtraction(spark, dir, pages.schema)
+    assert(stream.isStreaming)
+    val got = Streaming.runToCompletion(stream, "stream_extract")
+    val expected = WebKg.extractFlat(spark.read.parquet(dir))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("watermarked windowed event counts match batch date_trunc aggregation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-01-01 10:05:00"), "click", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2025-01-01 10:55:00"), "click", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2025-01-01 11:05:00"), "view", 4.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = Streaming.windowedEventCounts(
+      spark.readStream.schema(events.schema).parquet(dir))
+    // complete mode: a finite source's watermark never passes the last
+    // window, so append would hold the final windows back
+    val got = Streaming.runToCompletion(stream, "stream_events", outputMode = "complete")
+      .orderBy("h", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2025-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2025-01-01 11:00:00.0", "view", 1L, 4.0)))
+  }
+}
