@@ -456,6 +456,46 @@ object Queries {
       },
       None),
 
+    // SPARQL-ish total order over typed literal terms: rank by the
+    // engine's sortable term key == numeric order in plain SQL
+    "rdf_order" -> Q(
+      (s, d) => {
+        val keyUdf = udf((lex: String) =>
+          graft.core.XsdOps.sortKey(graft.core.Term.typedLit(lex, xsdInt)))
+        val w = Window.orderBy(
+          keyUdf(col("o_orderkey").cast("string")), col("o_orderkey"))
+        t(s, d, "orders").select(col("o_orderkey"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 100)
+      },
+      Some("""SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rank
+             |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    // distributed per-document Turtle serialization (encode inside
+    // mapGroups), re-parsed and counted — round-trip through both codecs
+    "rdf_turtle_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val triples = docs.select(col("doc_id").cast("string").as("doc"),
+            Terms.iri(concat(lit(WebKg.docNs), col("doc_id"))).as("s"),
+            Terms.iri(lit(WebKg.pLang)).as("p"), Terms.strLit(col("lang")).as("o"))
+          .unionAll(docs.select(col("doc_id").cast("string").as("doc"),
+            Terms.iri(concat(lit(WebKg.docNs), col("doc_id"))).as("s"),
+            Terms.iri(lit(WebKg.vocab + "nchars")).as("p"),
+            Terms.typedLit(col("n_chars").cast("string"), xsdInt).as("o")))
+        val ttl = graft.engine.Graphs.toTurtlePerGroup(triples, "doc",
+          Map("g" -> WebKg.vocab))
+        // decode what we encoded, per document, and count by predicate
+        graft.engine.Graphs.parseTurtleDocs(ttl.as[(String, String)])
+          .groupBy(col("p")("value").as("p"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("o")("value")).as("n_obj"))
+      },
+      Some("""SELECT 'http://graft.dev/vocab#lang' AS p, count(*) AS n,
+             |  count(DISTINCT lang) AS n_obj FROM documents
+             |UNION ALL SELECT 'http://graft.dev/vocab#nchars', count(*),
+             |  count(DISTINCT n_chars) FROM documents""".stripMargin)),
+
     // bucketed materialization with per-partition lineage + resume
     // (rows-only: bucket ids use Spark's Murmur3 hash)
     "kg_materialize" -> Q(

@@ -108,6 +108,22 @@ object Graphs {
     }.toDF("doc", "s", "p", "o")
   }
 
+  /** Distributed Turtle serialization: one deterministic Turtle document
+    * per group key (named graph / document), built inside mapGroups with
+    * the same encoder the single-graph API uses. Output: (key, turtle). */
+  def toTurtlePerGroup(triples: DataFrame, keyCol: String,
+                       prefixes: Map[String, String] = Map.empty): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples.select(col(keyCol).cast("string"), col("s"), col("p"), col("o"))
+      .as[(String, Term, Term, Term)]
+      .groupByKey(_._1)
+      .mapGroups { (key, rows) =>
+        val ts = rows.map(r => Triple(r._2, r._3, r._4)).toSeq
+        (key, TurtleEncoder.encode(ts, prefixes))
+      }.toDF(keyCol, "turtle")
+  }
+
   // -------------------------------------------------------- canonicalization
 
   /** Distributed RDFC-1.0, one independent graph per group key (the
