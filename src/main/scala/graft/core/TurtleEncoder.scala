@@ -67,8 +67,7 @@ object TurtleEncoder {
   private def pnLocalSafe(local: String): Boolean =
     local.nonEmpty &&
       local.forall(c => Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.') &&
-      local.head != '-' && local.head != '.' && local.last != '.' &&
-      !(local.head >= '0' && local.head <= '9' && false) // digits allowed first
+      local.head != '-' && local.head != '.' && local.last != '.'
 
   private def literal(t: Term, prefixes: Map[String, String]): String = {
     val lex = t.value
