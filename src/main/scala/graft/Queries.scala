@@ -141,38 +141,26 @@ object Queries {
 
     "dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashLshCandidates(t(s, d, "documents")),
-      Some("""WITH tok AS (SELECT doc_id, source,
-             |    unnest(list_distinct(string_split_regex(text,'\s+'))) AS w FROM documents),
-             |mh AS (SELECT doc_id, source,
-             |  min(md5('0:'||w)) AS s0, min(md5('1:'||w)) AS s1,
-             |  min(md5('2:'||w)) AS s2, min(md5('3:'||w)) AS s3,
-             |  min(md5('4:'||w)) AS s4, min(md5('5:'||w)) AS s5,
-             |  min(md5('6:'||w)) AS s6, min(md5('7:'||w)) AS s7
-             |  FROM tok GROUP BY 1,2),
-             |bands AS (
-             |  SELECT doc_id, source, 0 AS band, md5(s0||s1) AS sig FROM mh UNION ALL
-             |  SELECT doc_id, source, 1, md5(s2||s3) FROM mh UNION ALL
-             |  SELECT doc_id, source, 2, md5(s4||s5) FROM mh UNION ALL
-             |  SELECT doc_id, source, 3, md5(s6||s7) FROM mh),
-             |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-             |  FROM bands a JOIN bands b ON a.band=b.band AND a.sig=b.sig
-             |   AND a.source=b.source AND a.doc_id < b.doc_id)
-             |SELECT d1 AS doc_id, count(*) AS n_cand FROM cand GROUP BY 1""".stripMargin)),
+      Some(lshCandSql +
+        "SELECT d1 AS doc_id, count(*) AS n_cand FROM cand GROUP BY 1")),
 
+    // two-stage near-dup: LSH blocking -> exact Jaccard verify over the
+    // candidate pairs ONLY (the raw token-token join is quadratic per
+    // common token at corpus scale)
     "dedup_ngram_jaccard" -> Q(
       (s, d) => Dedup.ngramJaccardNearDups(t(s, d, "documents")),
-      Some("""WITH tok AS (SELECT doc_id, source,
-             |    unnest(list_distinct(string_split_regex(text,'\s+'))) AS w FROM documents),
-             |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
-             |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-             |  FROM tok a JOIN tok b ON a.w=b.w AND a.source=b.source
-             |   AND a.doc_id < b.doc_id GROUP BY 1,2),
-             |jac AS (SELECT d1, d2 FROM inter
-             |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-             |  WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.8)
-             |SELECT doc_id, count(*) AS n_near FROM
-             |  (SELECT d1 AS doc_id FROM jac UNION ALL SELECT d2 FROM jac)
-             |GROUP BY 1""".stripMargin)),
+      Some(lshCandSql +
+        """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+          |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+          |  JOIN tok a ON a.doc_id = c.d1
+          |  JOIN tok b ON b.doc_id = c.d2 AND b.w = a.w
+          |  GROUP BY 1,2),
+          |jac AS (SELECT i.d1, i.d2 FROM inter i
+          |  JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+          |  WHERE i.i * 1.0 / (s1.n + s2.n - i.i) >= 0.8)
+          |SELECT doc_id, count(*) AS n_near FROM
+          |  (SELECT d1 AS doc_id FROM jac UNION ALL SELECT d2 FROM jac)
+          |GROUP BY 1""".stripMargin)),
 
     "dedup_simhash" -> Q(
       (s, d) => Dedup.simhash16(t(s, d, "documents")),
@@ -191,10 +179,12 @@ object Queries {
     // ------------------------------------------------------- text analysis
     "text_tokens" -> Q(
       (s, d) => TextOps.tokenCounts(t(s, d, "documents")),
+      // outer CAST: DuckDB's list_sum returns HUGEINT (int128) — the
+      // driver's value hash is type-sensitive, Spark emits BIGINT
       Some("""SELECT doc_id, len(string_split_regex(text,'\s+')) AS n_tokens,
              |length(text) AS n_chars,
-             |list_sum(list_transform(string_split_regex(text,'\s+'),
-             |  w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS n_subwords
+             |CAST(list_sum(list_transform(string_split_regex(text,'\s+'),
+             |  w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords
              |FROM documents""".stripMargin)),
 
     "text_quality" -> Q(
@@ -328,14 +318,12 @@ object Queries {
              |'> <http://graft.dev/vocab#nchars> "'||n_chars||
              |'"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM documents""".stripMargin)),
 
-    // deterministic salted skolemization, cross-engine identical
+    // deterministic salted skolemization, cross-engine identical; pure
+    // Column md5 path (codegen'd) — Skolem.label is the Scala-API twin
     "rdf_skolem" -> Q(
-      (s, d) => {
-        val skolemUdf = udf((scope: String, local: String) =>
-          graft.core.Skolem.label(scope, local))
-        t(s, d, "documents").select(col("doc_id"),
-          skolemUdf(concat(lit(WebKg.docNs), col("doc_id")), lit("author")).as("skolem"))
-      },
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        Terms.skolemLabel(concat(lit(WebKg.docNs), col("doc_id")), lit("author"))
+          .as("skolem")),
       Some("""SELECT doc_id, 'sk'||md5('graft-skolem-v1:http://graft.dev/doc/'
              |||doc_id||':author') AS skolem FROM documents""".stripMargin)),
 
@@ -457,16 +445,18 @@ object Queries {
       None),
 
     // SPARQL-ish total order over typed literal terms: rank by the
-    // engine's sortable term key == numeric order in plain SQL
+    // engine's sortable term key == numeric order in plain SQL. Scale-safe
+    // plan: distributed top-k (TakeOrderedAndProject) on the Column-encoded
+    // key, then row_number over only the k survivors — no global
+    // single-task window, no UDF. Key parity with XsdOps.sortKey is
+    // asserted in XsdOpsSpec.
     "rdf_order" -> Q(
       (s, d) => {
-        val keyUdf = udf((lex: String) =>
-          graft.core.XsdOps.sortKey(graft.core.Term.typedLit(lex, xsdInt)))
-        val w = Window.orderBy(
-          keyUdf(col("o_orderkey").cast("string")), col("o_orderkey"))
-        t(s, d, "orders").select(col("o_orderkey"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 100)
+        val key = Terms.intSortKey(col("o_orderkey").cast("string"))
+        val top = t(s, d, "orders").select(col("o_orderkey"), key.as("k"))
+          .orderBy(col("k"), col("o_orderkey")).limit(100)
+        val w = Window.orderBy(col("k"), col("o_orderkey"))
+        top.withColumn("rank", row_number().over(w)).select("o_orderkey", "rank")
       },
       Some("""SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rank
              |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin)),
@@ -523,6 +513,31 @@ object Queries {
              |  'http://graft.dev/vocab#mentions' AS p, entity AS o,
              |  count(*) AS n_mentions
              |FROM tok JOIN dict ON w = surface GROUP BY 1,2,3""".stripMargin)))
+
+  /** Shared DuckDB CTE chain reproducing Dedup.minhashLshPairs: distinct
+    * tokens -> 8 minhashes -> 4 bands -> bucket-cap 64 -> candidate pairs.
+    * Ends after the `cand` CTE so callers append either the count
+    * projection or further verify-stage CTEs. */
+  private lazy val lshCandSql: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |    unnest(list_distinct(string_split_regex(text,'\s+'))) AS w FROM documents),
+      |mh AS (SELECT doc_id, source,
+      |  min(md5('0:'||w)) AS s0, min(md5('1:'||w)) AS s1,
+      |  min(md5('2:'||w)) AS s2, min(md5('3:'||w)) AS s3,
+      |  min(md5('4:'||w)) AS s4, min(md5('5:'||w)) AS s5,
+      |  min(md5('6:'||w)) AS s6, min(md5('7:'||w)) AS s7
+      |  FROM tok GROUP BY 1,2),
+      |bands AS (
+      |  SELECT doc_id, source, 0 AS band, md5(s0||s1) AS sig FROM mh UNION ALL
+      |  SELECT doc_id, source, 1, md5(s2||s3) FROM mh UNION ALL
+      |  SELECT doc_id, source, 2, md5(s4||s5) FROM mh UNION ALL
+      |  SELECT doc_id, source, 3, md5(s6||s7) FROM mh),
+      |capped AS (SELECT * FROM bands
+      |  QUALIFY count(*) OVER (PARTITION BY band, sig, source) <= 64),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM capped a JOIN capped b ON a.band=b.band AND a.sig=b.sig
+      |   AND a.source=b.source AND a.doc_id < b.doc_id)
+      |""".stripMargin
 
   /** Shared DuckDB CTE reproducing synthesizeWebPages (no duplicates). */
   private lazy val kgPagesSql: String =

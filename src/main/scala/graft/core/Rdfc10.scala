@@ -146,7 +146,10 @@ object Rdfc10 {
         data.append(relHash)
         var chosenPath = ""
         var chosenIssuer: Issuer = null
-        for (perm <- bns.toSeq.distinct.permutations) {
+        // permute the MULTISET as the spec does (the reference's Hn keeps
+        // duplicates, canonicalization.ex builds `terms ++ new`); Scala's
+        // .permutations already yields each distinct arrangement once
+        for (perm <- bns.toSeq.permutations) {
           var issuerCopy = issuer.copy()
           val path = new StringBuilder
           val recursionList = mutable.Buffer.empty[String]

@@ -207,8 +207,14 @@ object XsdOps {
 
   /** Sortable key for a deterministic TOTAL order over terms (used for
     * orderBy): kind, then per-datatype comparable encoding, falling back to
-    * NT byte form. Numerics are encoded sign + 20-digit-padded integer part
-    * + fraction so byte order == numeric order. */
+    * NT byte form. Numerics are encoded so byte order == numeric order:
+    * the first body char classes the value (' '=-INF < '!'=wide-negative <
+    * '0'=negative < '5'=non-negative (incl. '5~'=wide-positive) < 'y'=+INF
+    * < 'z'=NaN). Negatives invert digits and close with a '~' sentinel
+    * (above any digit) so shorter fractions rank correctly (-1 > -1.5);
+    * integer parts wider than the 20-digit pad get a 6-digit length header
+    * so |x| >= 1e20 stays ordered. Fraction trailing zeros are stripped so
+    * equal values ("1.5" vs "1.50") share one key. */
   def sortKey(t: Term): String = {
     if (t == null) return " "
     val tag = t.kind.toString
@@ -219,20 +225,26 @@ object XsdOps {
           case NInt(v) => new JBD(v.bigInteger)
           case NDec(v) => v
           case NDbl(v) if v.isNaN || v.isInfinite =>
-            return s"$tag|N|${if (v.isNaN) "z-nan" else if (v > 0) "y-inf" else "0-inf"}"
+            return s"$tag|N|" + (if (v.isNaN) "znan" else if (v > 0) "yinf" else " inf")
           case NDbl(v) => JBD.valueOf(v)
         }
         val neg = bd.signum < 0
         val abs = bd.abs.toPlainString
-        val (ip, fp) = abs.indexOf('.') match {
+        val (ip, fp0) = abs.indexOf('.') match {
           case -1 => (abs, "")
           case i => (abs.substring(0, i), abs.substring(i + 1))
         }
-        val ipPad = ("0" * (20 - ip.length)) + ip
-        val key = ipPad + "." + fp
-        // negative numbers: invert digits so bigger magnitude sorts first
-        if (neg) s"$tag|N|0" + key.map(c => if (c.isDigit) ('9' - (c - '0')).toChar else c)
-        else s"$tag|N|5$key"
+        val fp = fp0.reverse.dropWhile(_ == '0').reverse
+        def inv(s: String) = s.map(c => if (c.isDigit) ('9' - (c - '0')).toChar else c)
+        val body =
+          if (!neg) {
+            if (ip.length <= 20) "5" + ("0" * (20 - ip.length)) + ip + "." + fp
+            else "5~" + f"${ip.length}%06d" + ip + "." + fp
+          } else {
+            if (ip.length <= 20) "0" + inv(("0" * (20 - ip.length)) + ip + "." + fp) + "~"
+            else "!" + f"${999999 - ip.length}%06d" + inv(ip + "." + fp) + "~"
+          }
+        s"$tag|N|$body"
       case None => s"$tag|S|${NTriples.termString(t)}"
     }
   }

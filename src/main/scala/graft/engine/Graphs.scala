@@ -154,9 +154,14 @@ object Graphs {
   /** Blank-node connected components via iterative min-label propagation
     * over bnode co-occurrence edges — the grouping step before full-dataset
     * RDFC when graphs are NOT pre-partitioned by document. Returns
-    * (label, component) for every bnode label. */
-  def bnodeComponents(g: DataFrame, maxIter: Int = 10): DataFrame = {
-    val spark = g.sparkSession
+    * (label, component) for every bnode label.
+    *
+    * Scale hygiene: the edge set is cached once, each round's labels are
+    * localCheckpoint'ed so round i is one join (not a replay of rounds
+    * 1..i-1), and the convergence probe runs on the materialized frame.
+    * Non-convergence THROWS — a silently split component would make the
+    * downstream per-component RDFC canonicalization emit wrong labels. */
+  def bnodeComponents(g: DataFrame, maxIter: Int = 20): DataFrame = {
     val bn = TermKind.BNODE
     // vertex set
     val labels = g.select(col("s").as("t")).unionAll(g.select(col("o").as("t")))
@@ -164,8 +169,9 @@ object Graphs {
     // edges: bnodes co-occurring in one triple
     val both = g.filter(col("s")("kind") === bn && col("o")("kind") === bn)
       .select(col("s")("value").as("a"), col("o")("value").as("b"))
-    val edges = both.unionAll(both.select(col("b").as("a"), col("a").as("b"))).distinct()
-    var comp = labels.withColumn("component", col("label"))
+    val edges = both.unionAll(both.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var comp = labels.withColumn("component", col("label")).localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -175,14 +181,20 @@ object Graphs {
           col("b") === col("b_l"))
         .groupBy(col("a").as("label")).agg(min(col("b_c")).as("nc"))
       val next = comp.join(neighborMin, Seq("label"), "left")
-        .withColumn("newComp",
+        .select(col("label"), col("component"),
           when(col("nc").isNotNull, least(col("component"), col("nc")))
-            .otherwise(col("component")))
-      val changed = next.filter(col("newComp") =!= col("component")).limit(1).count()
+            .otherwise(col("component")).as("newComp"))
+        .localCheckpoint() // truncate lineage; also backs the convergence probe
+      converged = next.filter(col("newComp") =!= col("component")).isEmpty
       comp = next.select(col("label"), col("newComp").as("component"))
-      converged = changed == 0
       i += 1
     }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"bnodeComponents did not converge after $maxIter rounds — " +
+          "a bnode chain longer than maxIter would be silently split; " +
+          "raise maxIter for graphs with very deep bnode chains")
     comp
   }
 }

@@ -91,6 +91,20 @@ object Terms {
     * output: kind, then NT form (code-point order). */
   def sortKey(t: Column): Column = concat(t("kind").cast(StringType), lit("|"), ntString(t))
 
+  /** Column twin of `XsdOps.sortKey` for NON-NEGATIVE xsd:integer lexicals
+    * up to 20 digits (the common hot path: ids, counts, order keys) — byte
+    * order == numeric order, whole-stage-codegen friendly. Parity with the
+    * Scala function is asserted in XsdOpsSpec. */
+  def intSortKey(lex: Column): Column =
+    concat(lit(s"${TermKind.LITERAL}|N|5"), lpad(lex, 20, "0"), lit("."))
+
+  /** Column twin of `Skolem.label` — the deterministic salted skolem id as
+    * a pure codegen'd expression for the extraction hot path; the Scala
+    * function stays as the driver-side/API twin. */
+  def skolemLabel(scope: Column, local: Column,
+                  salt: String = graft.core.Skolem.defaultSalt): Column =
+    concat(lit("sk"), md5(concat(lit(salt + ":"), scope, lit(":"), local)))
+
   def tripleLine(s: Column, p: Column, o: Column): Column =
     concat(ntString(s), lit(" "), ntString(p), lit(" "), ntString(o), lit(" ."))
 

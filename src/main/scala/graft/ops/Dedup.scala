@@ -35,16 +35,19 @@ object Dedup {
     tok.groupBy(col("doc_id"), col("source")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH banding: `numHashes` minhashes grouped into bands of
+  /** LSH candidate PAIRS: `numHashes` minhashes grouped into bands of
     * `rowsPerBand`; docs sharing a (blocking key, band, band-signature)
-    * bucket become candidate pairs. Output: (doc_id, n_cand) — candidate
-    * count per doc (doc_id = smaller id of each pair).
+    * bucket become candidate pairs (d1 < d2, distinct).
     *
     * `source` doubles as the blocking key so bucket joins stay bounded per
     * block — at web scale the block is the domain/shard, exactly the salted
-    * bucketing of the north star. */
-  def minhashLshCandidates(docs: DataFrame, numHashes: Int = 8,
-                           rowsPerBand: Int = 2): DataFrame = {
+    * bucketing of the north star. `bucketCap` drops degenerate buckets
+    * (e.g. near-empty docs all hashing together) BEFORE the self-join: one
+    * hot bucket is quadratic within the bucket, so buckets larger than the
+    * cap are discarded — standard LSH hygiene; a bucket that big is
+    * near-useless for similarity anyway. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+                      bucketCap: Int = 64): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val mh = minhashSignatures(docs, numHashes)
     val nBands = numHashes / rowsPerBand
@@ -55,29 +58,40 @@ object Dedup {
     val bands = mh.select(col("doc_id"), col("source"),
         explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("source"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = bands.as("a"); val b = bands.as("b")
-    val cand = a.join(b,
+    val okBuckets = bands.groupBy("band", "sig", "source")
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= bucketCap).drop("__bn")
+    val capped = bands.join(okBuckets, Seq("band", "sig", "source"))
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    cand.groupBy(col("d1").as("doc_id")).agg(count(lit(1)).as("n_cand"))
   }
 
-  /** n-gram (token) Jaccard near-dup: pairs within the same blocking key
-    * with |A∩B| / |A∪B| >= threshold. Output: (doc_id, n_near) — near-dup
-    * partner count per doc over both pair directions. */
+  /** LSH candidate counts per doc (doc_id = smaller id of each pair).
+    * Output: (doc_id, n_cand). */
+  def minhashLshCandidates(docs: DataFrame, numHashes: Int = 8,
+                           rowsPerBand: Int = 2, bucketCap: Int = 64): DataFrame =
+    minhashLshPairs(docs, numHashes, rowsPerBand, bucketCap)
+      .groupBy(col("d1").as("doc_id")).agg(count(lit(1)).as("n_cand"))
+
+  /** n-gram (token) Jaccard near-dup, TWO-STAGE: LSH blocking generates
+    * candidate pairs, then exact Jaccard verifies ONLY those pairs — the
+    * standard block→verify plan. (A raw token-token equi-join is quadratic
+    * per common token: every doc pair sharing "the" becomes a join row.)
+    * The verify stage joins each candidate pair to its two per-doc distinct
+    * token SETS (collect_set arrays, bounded by doc length) and computes
+    * |A∩B| / |A∪B| per pair with array_intersect — no token-level shuffle.
+    * Output: (doc_id, n_near) — near-dup partner count per doc over both
+    * pair directions. */
   def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val tok = tokenRelation(docs)
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = tok.as("a"); val b = tok.as("b")
-    val inter = a.join(b,
-        col("a.w") === col("b.w") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    val jac = inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+    val pairs = minhashLshPairs(docs)
+    val tokSets = tokenRelation(docs).groupBy("doc_id")
+      .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n"))
+    val jac = pairs
+      .join(tokSets.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
+      .join(tokSets.select(col("doc_id").as("d2"), col("toks").as("t2"), col("n").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
     // count partners in both directions so the metric is per-doc symmetric

@@ -91,7 +91,10 @@ object WebKg {
   def resolveHref(ref: Column, base: Column): Column = {
     val origin = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
     when(ref.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), ref)
-      .when(ref.startsWith("/") && !ref.startsWith("//") && origin =!= "",
+      // "/." routes to the UDF: RFC 3986 dot-segment removal ("/../x",
+      // "/a/./b") is not a plain concat
+      .when(ref.startsWith("/") && !ref.startsWith("//") &&
+          !ref.contains("/.") && origin =!= "",
         concat(origin, ref))
       .otherwise(resolveUdf(ref, base))
   }
@@ -162,21 +165,34 @@ object WebKg {
 
   /** BFS reachability (graph.ex reachability semantics): iterative frontier
     * join, depth-bounded. Edges (src, dst) as longs; returns (node,
-    * depth=min). Each iteration is one shuffled equi-join — depth is small
-    * and the visited set stays distributed. */
+    * depth=min). Each iteration is one shuffled equi-join; lineage is
+    * TRUNCATED per iteration via localCheckpoint so iteration d costs one
+    * join, not the replay of joins 1..d-1 — per-iteration wall time stays
+    * flat at depth 10+. Edges are cached once (they are re-scanned every
+    * iteration). Early exit on an empty frontier. */
   def reachable(edges: DataFrame, start: Long, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var visited = Seq((start, 0)).toDF("node", "depth")
+    val e = edges.persist()
+    var visited = Seq((start, 0)).toDF("node", "depth").localCheckpoint()
     var frontier = visited
-    for (d <- 1 to maxDepth) {
-      val next = frontier.join(edges, col("node") === col("src"))
+    var d = 1
+    var done = false
+    while (d <= maxDepth && !done) {
+      val newNodes = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(d).as("depth"))
         .distinct()
-      val newNodes = next.join(visited.select("node"), Seq("node"), "left_anti")
-      frontier = newNodes
-      visited = visited.unionAll(newNodes)
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint() // truncate lineage: one materialized frontier per depth
+      done = newNodes.isEmpty
+      if (!done) {
+        frontier = newNodes
+        visited = visited.unionAll(newNodes).localCheckpoint()
+      }
+      d += 1
     }
+    e.unpersist()
+    // depths are unique per node by construction (anti-join against visited)
     visited.groupBy("node").agg(min("depth").as("depth"))
   }
 

@@ -77,6 +77,31 @@ class XsdOpsSpec extends AnyFunSuite {
       Seq(-10.5, -2.0, 0.0, 1.0, 1.5, 2.0, 100.0))
   }
 
+  test("sortKey: negative fractions, wide integers, specials (ADVICE r1)") {
+    def k(t: Term) = XsdOps.sortKey(t)
+    // -1.5 < -1 (empty negative fraction closes with the high sentinel)
+    assert(k(dec("-1.5")) < k(i(-1)))
+    assert(k(dec("-1.55")) < k(dec("-1.5")))
+    // equal values, different lexicals -> identical keys
+    assert(k(dec("1.50")) == k(dec("1.5")))
+    assert(k(dec("-1.50")) == k(dec("-1.5")))
+    // integer parts wider than the 20-digit pad stay ordered
+    val big = Term.typedLit("1" + "0" * 20, Vocab.xsdInteger)       // 1e20
+    val bigger = Term.typedLit("2" + "0" * 20, Vocab.xsdInteger)
+    val huge = Term.typedLit("1" + "0" * 25, Vocab.xsdInteger)      // 1e25
+    assert(k(i(Long.MaxValue)) < k(big))
+    assert(k(big) < k(bigger))
+    assert(k(bigger) < k(huge))
+    assert(k(Term.typedLit("-" + "1" + "0" * 20, Vocab.xsdInteger)) <
+      k(Term.typedLit("-" + "9" * 20, Vocab.xsdInteger)))
+    assert(k(Term.typedLit("-" + "1" + "0" * 25, Vocab.xsdInteger)) <
+      k(Term.typedLit("-" + "1" + "0" * 20, Vocab.xsdInteger)))
+    // -INF < wide negative < negative < 0 < positive < wide positive < +INF < NaN
+    val order = Seq(dbl("-INF"), Term.typedLit("-" + "1" + "0" * 20, Vocab.xsdInteger),
+      i(-1), i(0), i(1), big, dbl("INF"), dbl("NaN"))
+    assert(order.map(k) == order.map(k).sorted)
+  }
+
   test("casts (do_cast rules)") {
     assert(XsdOps.cast(Term.bool(true), Vocab.xsdDouble).contains(dbl("1.0E0")))
     assert(XsdOps.cast(Term.bool(false), Vocab.xsdInteger).contains(i(0)))

@@ -120,6 +120,23 @@ class GraphsSpec extends AnyFunSuite {
     assert(comp("z") != comp("a"))
   }
 
+  test("bnodeComponents converges on a deep chain and 3 components") {
+    import spark.implicits._
+    // component 1: a 15-bnode chain (diameter > the old default of 10
+    // rounds; min-label still converges because labels propagate from the
+    // minimum, but assert correctness rather than silent splitting)
+    val chain = (0 until 14).map(i =>
+      Triple(Term.bnode(f"c$i%02d"), Term.iri(ex + "p"), Term.bnode(f"c${i + 1}%02d")))
+    val comp2 = Seq(Triple(Term.bnode("m"), Term.iri(ex + "p"), Term.bnode("n")))
+    val comp3 = Seq(Triple(Term.bnode("z"), Term.iri(ex + "p"), Term.str("v")))
+    val g = (chain ++ comp2 ++ comp3).toDF()
+    val comp = Graphs.bnodeComponents(g, maxIter = 20).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((0 to 14).map(i => comp(f"c$i%02d")).distinct.size == 1)
+    assert(comp("m") == comp("n"))
+    assert(Set(comp("c00"), comp("m"), comp("z")).size == 3)
+  }
+
   test("materialize with lineage supports checkpoint resume") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_mat").toString

@@ -1,0 +1,45 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Skolem, Term, Vocab, XsdOps}
+
+/** Parity between the Column twins in Terms and their Scala-API originals:
+  * the whole point of the Column versions is to keep the hot path inside
+  * whole-stage codegen WITHOUT changing a byte of output. */
+class TermsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("intSortKey Column == XsdOps.sortKey for non-negative integers") {
+    import spark.implicits._
+    val lexes = Seq("0", "1", "7", "42", "100", "99999", "12345678901234567890")
+    val got = lexes.toDF("lex")
+      .select(col("lex"), Terms.intSortKey(col("lex")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (lex <- lexes)
+      assert(got(lex) == XsdOps.sortKey(Term.typedLit(lex, Vocab.xsdInteger)),
+        s"intSortKey mismatch for $lex")
+  }
+
+  test("skolemLabel Column == Skolem.label") {
+    import spark.implicits._
+    val rows = Seq(("http://ex.org/page/1", "author"),
+      ("http://ex.org/page/2", "b0"), ("urn:x", ""))
+    val got = rows.toDF("scope", "local")
+      .select(col("scope"), col("local"),
+        Terms.skolemLabel(col("scope"), col("local")).as("sk"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    for ((scope, local) <- rows)
+      assert(got((scope, local)) == Skolem.label(scope, local))
+  }
+
+  test("skolemLabel plan contains no UDF") {
+    import spark.implicits._
+    val df = Seq("a").toDF("x")
+      .select(Terms.skolemLabel(col("x"), lit("l")).as("sk"))
+    assert(!df.queryExecution.executedPlan.toString.contains("UDF"))
+  }
+}

@@ -72,4 +72,17 @@ class WebKgSpec extends AnyFunSuite {
       .map(row => row.getLong(0) -> row.getInt(1)).toMap
     assert(r == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
   }
+
+  test("reachability at depth 10+: deep chain converges, lineage stays flat") {
+    import spark.implicits._
+    // a 12-node chain plus two disconnected components; depth 10 must reach
+    // node 10 and stop growing after the chain is exhausted (early exit)
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val other = Seq((100L, 101L), (200L, 201L))
+    val edges = (chain ++ other).toDF("src", "dst")
+    val r = WebKg.reachable(edges, 0L, 10).collect()
+      .map(row => row.getLong(0) -> row.getInt(1)).toMap
+    assert(r == (0L to 10L).map(i => i -> i.toInt).toMap)
+    assert(!r.contains(100L) && !r.contains(200L))
+  }
 }

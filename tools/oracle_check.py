@@ -43,6 +43,12 @@ for name, sql in sorted(oracle.items()):
     bad = None
     for c in exp.columns:
         e, g = exp[c], got[c]
+        # dtype-strict like the driver's hash: DuckDB HUGEINT (int128) comes
+        # back as object/float while Spark BIGINT is int64 — a value-equal
+        # but type-different column is a driver hash_match failure
+        if e.dtype.kind != g.dtype.kind:
+            bad = f"col {c}: dtype {g.dtype} != oracle dtype {e.dtype}"
+            break
         if e.dtype.kind == "f" or g.dtype.kind == "f":
             ok = all(
                 (math.isnan(x) and math.isnan(y)) or abs(x - y) <= 1e-9 * max(1, abs(x))
