@@ -298,6 +298,35 @@ object Queries {
       Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, CAST(n_chars AS VARCHAR) AS n
              |FROM documents WHERE lang='en' AND source='src7'""".stripMargin)),
 
+    // RDF-star end-to-end: annotation triples built as Column expressions
+    // (quoted-triple terms in subject position), then a BGP with a nested
+    // quoted pattern that destructures and unifies the inner variables
+    "rdf_star_bgp" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sCol = Terms.iri(concat(lit(WebKg.docNs), col("doc_id")))
+        def p(iri: String) = Terms.iri(lit(iri))
+        val langLit = Terms.strLit(col("lang"))
+        val base = docs.select(sCol.as("s"), p(WebKg.pLang).as("p"), langLit.as("o"))
+        val src = docs.select(sCol.as("s"), p(WebKg.vocab + "source").as("p"),
+          Terms.strLit(col("source")).as("o"))
+        // annotation: << doc :lang lang >> :confidence n_chars
+        val ann = docs.select(
+          Terms.quoted(sCol, p(WebKg.pLang), langLit).as("s"),
+          p(WebKg.vocab + "confidence").as("p"),
+          Terms.typedLit(col("n_chars").cast("string"), xsdInt).as("o"))
+        val triples = base.unionAll(src).unionAll(ann)
+        import Bgp.dsl._
+        val q = Bgp.Pattern(Seq(
+          pat(v("doc"), iri(WebKg.vocab + "source"), lit("src3")),
+          pat(qt(v("doc"), iri(WebKg.pLang), v("lang")),
+            iri(WebKg.vocab + "confidence"), v("n"))))
+        Bgp.executeValues(s, triples, q)
+      },
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, lang,
+             |CAST(n_chars AS VARCHAR) AS n FROM documents
+             |WHERE source='src3'""".stripMargin)),
+
     // N-Triples byte-form serialization (engine Column path vs SQL concat)
     "rdf_ntriples" -> Q(
       (s, d) => {

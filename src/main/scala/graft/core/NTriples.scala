@@ -68,6 +68,11 @@ object NTriples {
       if (t.lang != null) q + "@" + t.lang
       else if (t.datatype == null || t.datatype == Vocab.xsdString) q
       else q + "^^<" + t.datatype + ">"
+    case TermKind.TRIPLE =>
+      // re-canonicalize inner literals with canonicalEscape
+      val inner = parseQuotedString(t.value)
+      "<< " + canonicalTermString(inner.s) + " " + canonicalTermString(inner.p) +
+        " " + canonicalTermString(inner.o) + " >>"
     case _ => termString(t)
   }
 
@@ -84,7 +89,25 @@ object NTriples {
       if (t.lang != null) q + "@" + t.lang
       else if (t.datatype == null || t.datatype == Vocab.xsdString) q
       else q + "^^<" + t.datatype + ">"
+    // a quoted triple's value IS its canonical "<< s p o >>" byte form
+    case TermKind.TRIPLE => t.value
     case k => throw new IllegalArgumentException(s"unsupported term kind $k")
+  }
+
+  /** Canonical N-Triples-star byte form of a quoted triple — the `value` of
+    * a kind=TRIPLE term. Built from termString so the form is unique per
+    * triple, making string equality == term equality. */
+  def quotedString(t: Triple): String =
+    "<< " + termString(t.s) + " " + termString(t.p) + " " + termString(t.o) + " >>"
+
+  /** Destructure the canonical "<< s p o >>" form back into a Triple. */
+  def parseQuotedString(value: String): Triple = {
+    val p = new LineParser(value)
+    p.skipWs()
+    val t = p.quotedTriple()
+    p.skipWs()
+    if (!p.atEnd) p.fail("trailing content after '>>'")
+    t
   }
 
   def tripleLine(t: Triple): String =
@@ -162,6 +185,8 @@ object NTriples {
     private var pos = 0
     def atEnd: Boolean = pos >= line.length || line.charAt(pos) == '#'
     def peek: Char = if (pos < line.length) line.charAt(pos) else '\u0000'
+    def peekAt(o: Int): Char =
+      if (pos + o < line.length) line.charAt(pos + o) else '\u0000'
     def skipWs(): Unit = {
       while (pos < line.length && (line.charAt(pos) == ' ' || line.charAt(pos) == '\t')) pos += 1
     }
@@ -172,10 +197,27 @@ object NTriples {
     def fail(msg: String): Nothing = throw ParseError(s"$msg at col $pos", line)
 
     def term(): Term = peek match {
+      case '<' if peekAt(1) == '<' => Term.quoted(quotedTriple())
       case '<' => iriRef()
       case '_' => bnode()
       case '"' => literal()
       case _ => fail("expected term")
+    }
+
+    /** RDF-star quoted triple "<< t t t >>" (ntriples-star grammar): inner
+      * subject ∈ {IRI, bnode, quoted}, predicate ∈ {IRI}, object any. */
+    def quotedTriple(): Triple = {
+      pos += 2 // '<<'
+      skipWs()
+      val s = term()
+      skipWs(); val p = term()
+      skipWs(); val o = term()
+      skipWs()
+      if (!(peek == '>' && peekAt(1) == '>')) fail("expected '>>'")
+      pos += 2
+      val t = Triple(s, p, o)
+      if (!t.isValid) fail("invalid quoted triple (position constraints)")
+      t
     }
 
     private def iriRef(): Term = {
@@ -255,7 +297,10 @@ object NTriples {
         while (pos < line.length && (Character.isLetterOrDigit(line.charAt(pos)) || line.charAt(pos) == '-')) pos += 1
         if (pos == start) fail("empty language tag")
         val tag = line.substring(start, pos)
-        if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*")) fail("bad language tag")
+        // RDF 1.2 directional language strings: optional base direction
+        // suffix "--ltr"/"--rtl" (lowercase only; the reference does not
+        // support these yet — its syntax suite skips nt-ttl-base-1/2)
+        if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*(--(ltr|rtl))?")) fail("bad language tag")
         // data-model lowercase normalization, like the reference's LangString
         Term(TermKind.LITERAL, lex, Vocab.rdfLangString, tag.toLowerCase)
       } else if (pos + 1 < line.length && line.charAt(pos) == '^' && line.charAt(pos + 1) == '^') {

@@ -14,7 +14,7 @@ object TermKind {
   val IRI: Byte = 0
   val BNODE: Byte = 1
   val LITERAL: Byte = 2
-  /** reserved for RDF-star quoted triples */
+  /** RDF-star quoted triple (RDF 1.2 triple term) */
   val TRIPLE: Byte = 3
 }
 
@@ -24,13 +24,24 @@ object TermKind {
   * - kind=LITERAL: value = lexical form; datatype = datatype IRI
   *   (never null — plain literals carry xsd:string, language-tagged ones
   *   rdf:langString with lang != null)
+  * - kind=TRIPLE:  value = the quoted triple's canonical N-Triples-star
+  *   byte form "<< s p o >>" (the reference models triple-valued terms as
+  *   nested tuples, lib/rdf/star/triple.ex:111 — a recursive struct can't
+  *   be a fixed Spark schema, so we keep the schema flat and make the
+  *   canonical byte form the identity: equality and hashing are plain
+  *   string ops; destructuring parses on demand via Term.asTriple)
   */
 final case class Term(kind: Byte, value: String, datatype: String, lang: String) {
   def isIri: Boolean = kind == TermKind.IRI
   def isBnode: Boolean = kind == TermKind.BNODE
   def isLiteral: Boolean = kind == TermKind.LITERAL
+  /** RDF-star quoted triple. */
+  def isQuoted: Boolean = kind == TermKind.TRIPLE
   /** IRI or blank node (rdf-ex `RDF.resource?`, lib/rdf.ex:238-260). */
   def isResource: Boolean = isIri || isBnode
+  /** Destructure a quoted-triple term (None for other kinds). */
+  def asTriple: Option[Triple] =
+    if (isQuoted) Some(NTriples.parseQuotedString(value)) else None
 }
 
 object Term {
@@ -53,14 +64,20 @@ object Term {
   def dbl(v: Double): Term = typedLit(Xsd.canonicalDoubleValue(v), Vocab.xsdDouble)
   def dec(v: BigDecimal): Term =
     typedLit(Xsd.canonicalDecimal(v.bigDecimal.toPlainString).getOrElse(v.bigDecimal.toPlainString), Vocab.xsdDecimal)
+
+  /** RDF-star quoted triple as a term (star/statement.ex semantics). */
+  def quoted(t: Triple): Term =
+    Term(TermKind.TRIPLE, NTriples.quotedString(t), null, null)
 }
 
-/** A triple; position constraints per statement.ex:270-301:
-  * s ∈ {IRI, BNODE}, p ∈ {IRI}, o ∈ {IRI, BNODE, LITERAL}. */
+/** A triple; position constraints per statement.ex:270-301, extended for
+  * RDF-star (star/statement.ex): s ∈ {IRI, BNODE, TRIPLE}, p ∈ {IRI},
+  * o ∈ {IRI, BNODE, LITERAL, TRIPLE}. */
 final case class Triple(s: Term, p: Term, o: Term) {
   def isValid: Boolean =
     s != null && p != null && o != null &&
-      s.isResource && p.isIri && (o.isResource || o.isLiteral)
+      (s.isResource || s.isQuoted) && p.isIri &&
+      (o.isResource || o.isLiteral || o.isQuoted)
 }
 
 /** A quad; g = null means the default graph; g ∈ {IRI, BNODE, null}. */

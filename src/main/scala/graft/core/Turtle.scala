@@ -12,7 +12,10 @@ import scala.collection.mutable
   *
   * Documents are small relative to a corpus — the distributed story is
   * "parse per document inside mapPartitions", not a distributed parser.
-  * RDF-star (<< >> / {| |}) is not supported in this slice.
+  * RDF-star is supported: quoted triples `<< s p o >>` in subject/object
+  * position and annotation blocks `{| ... |}` (turtle_parser.yrl:64-72 —
+  * an annotation asserts the base triple AND the annotation triples with
+  * the quoted form as subject).
   */
 object Turtle {
 
@@ -131,6 +134,9 @@ object Turtle {
         skipWs(); expect('.')
       } else if (peek == '(') {
         val c = collection(); skipWs(); predicateObjectList(c); skipWs(); expect('.')
+      } else if (peek == '<' && peekAt(1) == '<') {
+        val s0 = quotedTriple(); skipWs()
+        predicateObjectList(s0); skipWs(); expect('.')
       } else {
         val s0 = if (peek == '_') blankNodeLabel() else iriTerm()
         skipWs()
@@ -212,9 +218,10 @@ object Turtle {
         if (peek == ';') {
           pos += 1
           skipWs()
-          // trailing semicolons allowed; stop before '.' ']' or another ';'
+          // trailing semicolons allowed; stop before '.' ']' '}' or the
+          // '|}' closing an annotation block
           while (peek == ';') { pos += 1; skipWs() }
-          if (peek == '.' || peek == ']' || peek == '}') go = false
+          if (peek == '.' || peek == ']' || peek == '}' || peek == '|') go = false
         } else go = false
       }
     }
@@ -226,6 +233,17 @@ object Turtle {
         val o = objectTerm()
         emit(subj, p, o)
         skipWs()
+        // RDF-star annotation: assert the triple (already emitted) and add
+        // the annotation's predications on the QUOTED form as subject
+        if (peek == '{' && peekAt(1) == '|') {
+          pos += 2
+          skipWs()
+          predicateObjectList(Term.quoted(Triple(subj, p, o)))
+          skipWs()
+          if (!(peek == '|' && peekAt(1) == '}')) fail("expected '|}'")
+          pos += 2
+          skipWs()
+        }
         if (peek == ',') pos += 1 else go = false
       }
     }
@@ -242,6 +260,7 @@ object Turtle {
     }
 
     private def subject(): Term = peek match {
+      case '<' if peekAt(1) == '<' => quotedTriple()
       case '<' => iriTermFromRef()
       case '_' => blankNodeLabel()
       case '(' => collection()
@@ -249,12 +268,59 @@ object Turtle {
     }
 
     private def objectTerm(): Term = peek match {
+      case '<' if peekAt(1) == '<' => quotedTriple()
       case '<' => iriTermFromRef()
       case '_' => blankNodeLabel()
       case '(' => collection()
       case '[' =>
         if (anonAhead()) { val b = freshBnode(); pos = skipAnon(pos); b }
         else bnodePropertyList()
+      case '"' | '\'' => rdfLiteral()
+      case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') => numericLiteral()
+      case 't' if matchesKeyword("true") => pos += 4; Term.bool(true)
+      case 'f' if matchesKeyword("false") => pos += 5; Term.bool(false)
+      case _ => iriTerm()
+    }
+
+    // ---- RDF-star quoted triples (turtle_parser.yrl:64-72)
+
+    /** quotedTriple ::= '<<' qtSubject verb qtObject '>>' */
+    private def quotedTriple(): Term = {
+      pos += 2 // '<<'
+      skipWs()
+      val s = qtSubject()
+      skipWs()
+      val p = verb()
+      skipWs()
+      val o = qtObject()
+      skipWs()
+      if (!(peek == '>' && peekAt(1) == '>')) fail("expected '>>'")
+      pos += 2
+      val t = Triple(s, p, o)
+      if (!t.isValid) fail("invalid quoted triple (position constraints)")
+      Term.quoted(t)
+    }
+
+    /** qtSubject ::= iri | BlankNode | quotedTriple (no property lists,
+      * no collections inside a quoted triple). */
+    private def qtSubject(): Term = peek match {
+      case '<' if peekAt(1) == '<' => quotedTriple()
+      case '<' => iriTermFromRef()
+      case '_' => blankNodeLabel()
+      case '[' =>
+        if (anonAhead()) { val b = freshBnode(); pos = skipAnon(pos); b }
+        else fail("property list not allowed in quoted triple")
+      case _ => iriTerm()
+    }
+
+    /** qtObject ::= iri | BlankNode | literal | quotedTriple */
+    private def qtObject(): Term = peek match {
+      case '<' if peekAt(1) == '<' => quotedTriple()
+      case '<' => iriTermFromRef()
+      case '_' => blankNodeLabel()
+      case '[' =>
+        if (anonAhead()) { val b = freshBnode(); pos = skipAnon(pos); b }
+        else fail("property list not allowed in quoted triple")
       case '"' | '\'' => rdfLiteral()
       case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') => numericLiteral()
       case 't' if matchesKeyword("true") => pos += 4; Term.bool(true)
@@ -447,7 +513,8 @@ object Turtle {
         val start = pos
         while (Character.isLetterOrDigit(peek) || peek == '-') pos += 1
         val tag = in.substring(start, pos)
-        if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*")) fail("bad language tag")
+        // RDF 1.2 directional language strings ("--ltr"/"--rtl", lowercase)
+        if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*(--(ltr|rtl))?")) fail("bad language tag")
         Term.langLit(lex, tag)
       } else if (peek == '^' && peekAt(1) == '^') {
         pos += 2

@@ -49,6 +49,12 @@ object TurtleEncoder {
     case TermKind.IRI => iri(t.value, prefixes)
     case TermKind.BNODE => "_:" + t.value
     case TermKind.LITERAL => literal(t, prefixes)
+    case TermKind.TRIPLE =>
+      // re-encode the quoted triple with the document's prefixes
+      val inner = NTriples.parseQuotedString(t.value)
+      "<< " + term(inner.s, prefixes) + " " +
+        (if (inner.p.value == Vocab.rdfType) "a" else term(inner.p, prefixes)) +
+        " " + term(inner.o, prefixes) + " >>"
     case k => throw new IllegalArgumentException(s"unsupported term kind $k")
   }
 

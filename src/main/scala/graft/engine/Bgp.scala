@@ -31,10 +31,21 @@ object Bgp {
   sealed trait Node
   final case class Bound(t: Term) extends Node
   final case class V(name: String) extends Node
+  /** RDF-star quoted-triple pattern with possibly-nested variables
+    * (reference: quoted_triple_with_variables?, bgp/helper.ex:99-142). A
+    * fully-bound quoted pattern should be a plain `Bound(Term.quoted(...))`
+    * — `dsl.qt` collapses that case automatically. */
+  final case class QPat(s: Node, p: Node, o: Node) extends Node
+
+  def varsOf(n: Node): Seq[String] = n match {
+    case V(name) => Seq(name)
+    case QPat(a, b, c) => Seq(a, b, c).flatMap(varsOf)
+    case _ => Nil
+  }
 
   final case class TriplePattern(s: Node, p: Node, o: Node) {
     def nodes: Seq[(String, Node)] = Seq("s" -> s, "p" -> p, "o" -> o)
-    def vars: Seq[String] = nodes.collect { case (_, V(n)) => n }
+    def vars: Seq[String] = nodes.flatMap { case (_, n) => varsOf(n) }
   }
 
   final case class Pattern(patterns: Seq[TriplePattern])
@@ -45,6 +56,11 @@ object Bgp {
     def term(t: Term): Node = Bound(t)
     def v(name: String): Node = V(name)
     def pat(s: Node, p: Node, o: Node): TriplePattern = TriplePattern(s, p, o)
+    /** Quoted-triple pattern; collapses to a constant term when var-free. */
+    def qt(s: Node, p: Node, o: Node): Node = (s, p, o) match {
+      case (Bound(a), Bound(b), Bound(c)) => Bound(Term.quoted(graft.core.Triple(a, b, c)))
+      case _ => QPat(s, p, o)
+    }
   }
 
   /** Greedy planner: returns patterns in execution order. */
@@ -57,6 +73,9 @@ object Bgp {
       def status(n: Node): Int = n match {
         case Bound(_) => 0
         case V(name) => if (solved(name)) 1 else 2
+        case q: QPat =>
+          val vs = varsOf(q)
+          if (vs.isEmpty) 0 else if (vs.forall(solved)) 1 else 2
       }
       def key(p: TriplePattern): (Int, Int, Int, Int) = {
         val unsolved = p.vars.distinct.count(!solved(_))
@@ -71,23 +90,30 @@ object Bgp {
   }
 
   /** One pattern = filter + project of the triple table. Returns a DataFrame
-    * with one term-struct column per (deduped) variable. */
+    * with one term-struct column per (deduped) variable. Quoted-triple
+    * patterns destructure kind=TRIPLE values level by level: each QPat adds
+    * one parsed struct column, then its sub-nodes filter/bind against the
+    * parsed fields (the reference's nested match_triple unification,
+    * bgp/helper.ex:113-127). */
   private def scan(triples: DataFrame, p: TriplePattern): DataFrame = {
     var df = triples
-    // bound positions -> pushed-down filters
-    for ((pos, node) <- p.nodes) node match {
-      case Bound(t) => df = df.filter(col(pos) === Terms.constTerm(t))
-      case _ =>
+    val bindings = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    var qtCount = 0
+    def walk(node: Node, expr: Column): Unit = node match {
+      case Bound(t) => df = df.filter(expr === Terms.constTerm(t))
+      case V(n) => bindings += n -> expr
+      case QPat(qs, qp, qo) =>
+        df = df.filter(expr("kind") === graft.core.TermKind.TRIPLE)
+        val name = s"__qt$qtCount"; qtCount += 1
+        df = df.withColumn(name, Terms.parseQuoted(expr("value")))
+        walk(qs, col(name)("s")); walk(qp, col(name)("p")); walk(qo, col(name)("o"))
     }
+    for ((pos, node) <- p.nodes) walk(node, col(pos))
     // repeated variables -> self-equality constraints
-    val varPositions = p.nodes.collect { case (pos, V(n)) => (n, pos) }
-    for ((_, positions) <- varPositions.groupBy(_._1) if positions.size > 1) {
-      val ps = positions.map(_._2)
-      for (other <- ps.tail) df = df.filter(col(ps.head) === col(other))
-    }
-    val proj = varPositions.groupBy(_._1).map { case (name, positions) =>
-      col(positions.head._2).as(name)
-    }.toSeq
+    val grouped = bindings.groupBy(_._1)
+    for ((_, cols) <- grouped if cols.size > 1; other <- cols.tail)
+      df = df.filter(cols.head._2 === other._2)
+    val proj = grouped.map { case (name, cols) => cols.head._2.as(name) }.toSeq
     if (proj.isEmpty) df.select(lit(1).as("__exists")).limit(1)
     else df.select(proj: _*)
   }

@@ -66,6 +66,8 @@ object Terms {
     val esc = ntEscape(t("value"))
     when(t("kind") === TermKind.IRI, concat(lit("<"), t("value"), lit(">")))
       .when(t("kind") === TermKind.BNODE, concat(lit("_:"), t("value")))
+      // quoted triple: value IS the canonical "<< s p o >>" byte form
+      .when(t("kind") === TermKind.TRIPLE, t("value"))
       .when(t("lang").isNotNull,
         concat(lit("\""), esc, lit("\"@"), t("lang")))
       .when(t("datatype").isNull || t("datatype") === Vocab.xsdString,
@@ -107,6 +109,26 @@ object Terms {
 
   def tripleLine(s: Column, p: Column, o: Column): Column =
     concat(ntString(s), lit(" "), ntString(p), lit(" "), ntString(o), lit(" ."))
+
+  /** RDF-star quoted-triple term from three term columns — builds the same
+    * canonical "<< s p o >>" byte form as `Term.quoted`/NTriples
+    * .quotedString, as a pure Column expression (annotation emission stays
+    * inside whole-stage codegen). */
+  def quoted(s: Column, p: Column, o: Column): Column =
+    term(lit(TermKind.TRIPLE),
+      concat(lit("<< "), ntString(s), lit(" "), ntString(p), lit(" "),
+        ntString(o), lit(" >>")),
+      nullStr, nullStr)
+
+  private val parseQuotedUdf = udf((v: String) =>
+    try { if (v == null) null else graft.core.NTriples.parseQuotedString(v) }
+    catch { case _: Exception => null })
+
+  /** Destructure a quoted-triple term's canonical byte form into a struct
+    * of (s, p, o) term structs. Genuinely lambda-shaped (recursive grammar)
+    * so a UDF is the right tool; used only on the star-pattern match path,
+    * never in bulk serialization. */
+  def parseQuoted(value: Column): Column = parseQuotedUdf(value)
 
   /** Typed dataset from a DataFrame with s/p/o struct columns. */
   def asTriples(df: DataFrame)(implicit spark: SparkSession): Dataset[Triple] = {

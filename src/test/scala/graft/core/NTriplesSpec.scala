@@ -91,4 +91,40 @@ class NTriplesSpec extends AnyFunSuite {
     assert(lines == lines.sorted)
     assert(lines.head.contains("/a>"))
   }
+
+  test("RDF-star quoted triples round-trip and validate positions") {
+    val base = Triple(Term.iri(ex + "s"), Term.iri(ex + "p"), Term.str("o"))
+    val q = Term.quoted(base)
+    // construct -> destructure is the identity
+    assert(q.asTriple.contains(base))
+    // parse the quoted subject form, byte round-trip
+    val line = s"${NTriples.termString(q)} <${ex}certainty> \"0.9\"^^<${Vocab.xsdDecimal}> ."
+    val parsed = NTriples.parseTripleLine(line).get
+    assert(parsed.s == q)
+    assert(NTriples.tripleLine(parsed) == line)
+    // nested quoting round-trips
+    val nested = Term.quoted(Triple(q, Term.iri(ex + "r"), Term.int(1)))
+    val line2 = s"${NTriples.termString(nested)} <${ex}z> <${ex}w> ."
+    assert(NTriples.parseTripleLine(line2).get.s == nested)
+    // quoted triple in predicate position -> reject
+    assertThrows[NTriples.ParseError](
+      NTriples.parseTripleLine(s"<${ex}a> ${NTriples.termString(q)} <${ex}b> ."))
+    // literal as quoted-triple subject -> reject
+    assertThrows[NTriples.ParseError](
+      NTriples.parseTripleLine(s"""<< "XYZ" <${ex}p> <${ex}o> >> <${ex}q> <${ex}z> ."""))
+    // quoted triple as graph name -> reject
+    assertThrows[NTriples.ParseError](
+      NTriples.parseLine(s"<${ex}a> <${ex}p> <${ex}b> ${NTriples.termString(q)} ."))
+  }
+
+  test("Turtle annotation {| |} asserts base triple plus quoted predications") {
+    val doc = s"""@prefix : <$ex> .
+                 |:s :p :o {| :r :z ; :w "v" |} .""".stripMargin
+    val ts = Turtle.parse(doc).triples
+    val base = Triple(Term.iri(ex + "s"), Term.iri(ex + "p"), Term.iri(ex + "o"))
+    assert(ts.contains(base))
+    assert(ts.contains(Triple(Term.quoted(base), Term.iri(ex + "r"), Term.iri(ex + "z"))))
+    assert(ts.contains(Triple(Term.quoted(base), Term.iri(ex + "w"), Term.str("v"))))
+    assert(ts.size == 3)
+  }
 }

@@ -76,6 +76,62 @@ class BgpSpec extends AnyFunSuite {
     assert(Bgp.execute(spark, triples, miss).count() == 0)
   }
 
+  private def starTriples = {
+    import spark.implicits._
+    val base = Triple(Term.iri(ex + "alice"), Term.iri(ex + "age"), Term.int(30))
+    val base2 = Triple(Term.iri(ex + "bob"), Term.iri(ex + "age"), Term.int(40))
+    Seq(
+      base, base2,
+      // annotations: << s p o >> certainty n
+      Triple(Term.quoted(base), Term.iri(ex + "certainty"), Term.dec(BigDecimal("0.9"))),
+      Triple(Term.quoted(base2), Term.iri(ex + "certainty"), Term.dec(BigDecimal("0.5"))),
+      // nested: << << s p o >> certainty x >> saidBy carol
+      Triple(Term.quoted(Triple(Term.quoted(base), Term.iri(ex + "certainty"),
+        Term.dec(BigDecimal("0.9")))), Term.iri(ex + "saidBy"), Term.iri(ex + "carol"))
+    ).toDF()
+  }
+
+  test("quoted-triple pattern destructures and unifies nested vars (RDF-star)") {
+    // who has an annotated age, and with what certainty?
+    val q = Bgp.Pattern(Seq(
+      pat(qt(v("who"), iri(ex + "age"), v("age")), iri(ex + "certainty"), v("c"))))
+    val r = Bgp.executeValues(spark, starTriples, q).collect()
+      .map(r => (r.getString(2), r.getString(0), r.getString(1))).toSet
+    assert(r == Set((ex + "alice", "30", "0.9"), (ex + "bob", "40", "0.5")))
+  }
+
+  test("fully bound quoted pattern collapses to a constant (dsl.qt)") {
+    val q = Bgp.Pattern(Seq(
+      pat(qt(iri(ex + "alice"), iri(ex + "age"),
+        term(Term.int(30))), iri(ex + "certainty"), v("c"))))
+    val r = Bgp.executeValues(spark, starTriples, q).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("0.9"))
+  }
+
+  test("two-level nested quoted pattern") {
+    val q = Bgp.Pattern(Seq(
+      pat(qt(qt(v("who"), iri(ex + "age"), v("age")), iri(ex + "certainty"), v("c")),
+        iri(ex + "saidBy"), v("src"))))
+    val r = Bgp.executeValues(spark, starTriples, q).collect()
+    assert(r.length == 1)
+    val row = r.head // columns sorted: age, c, src, who
+    assert(row.getString(0) == "30" && row.getString(1) == "0.9" &&
+      row.getString(2) == ex + "carol" && row.getString(3) == ex + "alice")
+  }
+
+  test("quoted pattern joins with plain patterns on shared vars") {
+    import spark.implicits._
+    val withNames = starTriples.unionByName(Seq(
+      Triple(Term.iri(ex + "alice"), Term.iri(ex + "name"), Term.str("Alice")),
+      Triple(Term.iri(ex + "bob"), Term.iri(ex + "name"), Term.str("Bob"))).toDF())
+    val q = Bgp.Pattern(Seq(
+      pat(v("who"), iri(ex + "name"), v("n")),
+      pat(qt(v("who"), iri(ex + "age"), v("age")), iri(ex + "certainty"),
+        term(Term.dec(BigDecimal("0.9"))))))
+    val r = Bgp.executeValues(spark, withNames, q).collect()
+    assert(r.length == 1 && r.head.getString(1) == "Alice")
+  }
+
   test("planner prefers bound-subject patterns first (query_planner.ex heuristic)") {
     val p1 = pat(v("a"), v("b"), v("c"))          // 3 free vars
     val p2 = pat(iri(ex + "alice"), iri(ex + "knows"), v("a")) // 1 free var, bound s+p

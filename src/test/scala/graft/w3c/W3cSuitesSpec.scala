@@ -8,17 +8,24 @@ import graft.core._
   * FULL pass — any regression names the failing entries. */
 class W3cSuitesSpec extends AnyFunSuite {
 
-  private def runSuite(dir: String, base: String): Unit = {
+  private def runSuite(dir: String, base: String,
+                       skips: Set[String] = Set.empty): Unit = {
     val suite = W3c.loadManifest(dir, base)
     assert(suite.entries.nonEmpty, s"no entries in $dir")
-    val failures = suite.entries.flatMap { e =>
+    def basename(e: W3c.Entry): String = e.action.map { a =>
+      val f = a.substring(a.lastIndexOf('/') + 1)
+      val i = f.lastIndexOf('.')
+      if (i > 0) f.substring(0, i) else f
+    }.getOrElse("")
+    val run = suite.entries.filterNot(e => skips(basename(e)))
+    val failures = run.flatMap { e =>
       W3c.runEntry(suite, e) match {
         case W3c.Pass => None
         case W3c.Fail(r) => Some(s"${e.name.getOrElse(e.iri)}: $r")
       }
     }
     assert(failures.isEmpty,
-      s"${failures.size}/${suite.entries.size} failed:\n  " + failures.take(10).mkString("\n  "))
+      s"${failures.size}/${run.size} failed:\n  " + failures.take(10).mkString("\n  "))
   }
 
   private val root = "/root/reference/test/data/rdf-tests/rdf11"
@@ -35,6 +42,52 @@ class W3cSuitesSpec extends AnyFunSuite {
   }
   test("W3C RDF 1.1 TriG suite (341 tests)") {
     runSuite(s"$root/rdf-trig", s"$webBase/rdf-trig/")
+  }
+
+  // ---- RDF 1.2 / RDF-star suites (the same ones the reference runs in
+  // test/acceptance/*star*). The three eval skips match the reference's own
+  // skip list: the produced graphs are correct but carry different bnode
+  // labels, and star-aware dataset canonicalization (the isomorphism
+  // backend) is not yet specified (w3c/rdf-canon#2).
+  private val root12 = "/root/reference/test/data/rdf-tests/rdf12"
+  private val webBase12 = "https://w3c.github.io/rdf-tests/rdf/rdf12"
+  private val starEvalSkips = Set(
+    "turtle-star-eval-bnode-1", "turtle-star-eval-bnode-2", "turtle-star-eval-annotation-2",
+    "trig-star-eval-bnode-1", "trig-star-eval-bnode-2", "trig-star-eval-annotation-2")
+
+  test("W3C RDF 1.2 Turtle-star syntax suite") {
+    runSuite(s"$root12/rdf-turtle/syntax", s"$webBase12/rdf-turtle/syntax/")
+  }
+  test("W3C RDF 1.2 Turtle-star eval suite") {
+    runSuite(s"$root12/rdf-turtle/eval", s"$webBase12/rdf-turtle/eval/", starEvalSkips)
+  }
+  test("W3C RDF 1.2 TriG-star syntax suite") {
+    runSuite(s"$root12/rdf-trig/syntax", s"$webBase12/rdf-trig/syntax/")
+  }
+  test("W3C RDF 1.2 TriG-star eval suite") {
+    runSuite(s"$root12/rdf-trig/eval", s"$webBase12/rdf-trig/eval/", starEvalSkips)
+  }
+  test("RDF-star N-Triples syntax suite") {
+    runSuite("/root/reference/test/data/rdf-star/nt/syntax",
+      "https://w3c.github.io/rdf-star/tests/nt/syntax#")
+  }
+
+  test("RDF-star N-Quads: graph-name variants parse and match the NT sibling") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val nqDir = "/root/reference/test/data/rdf-star/nq/syntax"
+    val ntDir = "/root/reference/test/data/rdf-star/nt/syntax"
+    val files = Files.list(Paths.get(nqDir)).iterator().asScala.toSeq
+      .map(_.toString).filter(_.endsWith(".nq")).sorted
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val quads = NTriples.parseDocument(W3c.readFile(f))
+      val graphs = quads.map(_.g).distinct
+      assert(graphs == Seq(Term.iri("http://example/Graph")), s"$f graphs: $graphs")
+      val nt = f.replace(nqDir, ntDir).replace("nquads-", "ntriples-").replace(".nq", ".nt")
+      val triples = NTriples.parseDocument(W3c.readFile(nt))
+      assert(quads.map(_.triple).toSet == triples.map(_.triple).toSet, s"$f != $nt")
+    }
   }
 
   test("W3C RDFC-1.0 canonicalization suite (86 tests)") {
