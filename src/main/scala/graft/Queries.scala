@@ -298,6 +298,31 @@ object Queries {
       Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, CAST(n_chars AS VARCHAR) AS n
              |FROM documents WHERE lang='en' AND source='src7'""".stripMargin)),
 
+    // XSD bounded-integer subtypes driver-visible: facet validation, cast
+    // into a bounded target, and EBV, all through the Scala datatype kernel
+    // (UDFs on purpose — the query verifies the kernel's semantics against
+    // plain SQL range checks; the hot extraction path never runs these)
+    "rdf_xsd_bounded" -> Q(
+      (s, d) => {
+        import graft.core.{Term, Vocab, Xsd, XsdOps}
+        val xsdShort = Vocab.xsd + "short"
+        val xsdUInt = Vocab.xsd + "unsignedInt"
+        val validShort = udf((lex: String) => Xsd.valid(lex, xsdShort))
+        val castUInt = udf((lex: String) =>
+          XsdOps.cast(Term.typedLit(lex, Vocab.xsdInteger), xsdUInt).map(_.value).orNull)
+        val ebvLong = udf((lex: String) =>
+          XsdOps.ebv(Term.typedLit(lex, Vocab.xsdLong)).getOrElse(false))
+        t(s, d, "documents")
+          .select(col("doc_id"), (col("n_chars") * 100 - 20000).cast("string").as("lex"))
+          .select(col("doc_id"), validShort(col("lex")).as("valid_short"),
+            castUInt(col("lex")).as("as_unsigned_int"), ebvLong(col("lex")).as("ebv"))
+      },
+      Some("""SELECT doc_id, (v BETWEEN -32768 AND 32767) AS valid_short,
+             |CASE WHEN v BETWEEN 0 AND 4294967295 THEN CAST(v AS VARCHAR) END
+             |  AS as_unsigned_int,
+             |(v <> 0) AS ebv
+             |FROM (SELECT doc_id, n_chars * 100 - 20000 AS v FROM documents)""".stripMargin)),
+
     // RDF-star end-to-end: annotation triples built as Column expressions
     // (quoted-triple terms in subject position), then a BGP with a nested
     // quoted pattern that destructures and unifies the inner variables

@@ -105,6 +105,7 @@ object Vocab {
   val xsdAnyUri = xsd + "anyURI"
   val xsdLong = xsd + "long"
   val xsdInt = xsd + "int"
+  val xsdBase64Binary = xsd + "base64Binary"
 
   val rdfType = rdf + "type"
   val rdfLangString = rdf + "langString"

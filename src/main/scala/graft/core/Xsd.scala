@@ -225,19 +225,97 @@ object Xsd {
     (y, m, d)
   }
 
+  // --------------------------------------- bounded-integer subtypes (facets)
+
+  /** MinInclusive/MaxInclusive facets of the 12 bounded-integer subtypes,
+    * exactly the reference's restriction tree (lib/rdf/xsd/datatypes/
+    * long.ex etc. via lib/rdf/xsd/datatype/restriction.ex): each derived
+    * type is xsd:integer's lexical space narrowed to a value range. */
+  val integerFacets: Map[String, (Option[BigInt], Option[BigInt])] = {
+    val x = Vocab.xsd
+    Map(
+      x + "long" -> (Some(BigInt("-9223372036854775808")), Some(BigInt("9223372036854775807"))),
+      x + "int" -> (Some(BigInt(-2147483648L)), Some(BigInt(2147483647L))),
+      x + "short" -> (Some(BigInt(-32768)), Some(BigInt(32767))),
+      x + "byte" -> (Some(BigInt(-128)), Some(BigInt(127))),
+      x + "nonNegativeInteger" -> (Some(BigInt(0)), None),
+      x + "positiveInteger" -> (Some(BigInt(1)), None),
+      x + "unsignedLong" -> (Some(BigInt(0)), Some(BigInt("18446744073709551615"))),
+      x + "unsignedInt" -> (Some(BigInt(0)), Some(BigInt(4294967295L))),
+      x + "unsignedShort" -> (Some(BigInt(0)), Some(BigInt(65535))),
+      x + "unsignedByte" -> (Some(BigInt(0)), Some(BigInt(255))),
+      x + "nonPositiveInteger" -> (None, Some(BigInt(0))),
+      x + "negativeInteger" -> (None, Some(BigInt(-1))))
+  }
+
+  /** All datatype IRIs whose value space is (a subset of) the integers. */
+  val integerFamily: Set[String] = integerFacets.keySet + Vocab.xsdInteger
+
+  def validBoundedInteger(lex: String, datatypeIri: String): Boolean =
+    validInteger(lex) && (integerFacets.get(datatypeIri) match {
+      case Some((min, max)) =>
+        val v = BigInt(lex)
+        min.forall(v >= _) && max.forall(v <= _)
+      case None => datatypeIri == Vocab.xsdInteger
+    })
+
+  // ------------------------------------------------ base64Binary and anyURI
+
+  /** base64Binary: valid iff strictly decodable (base64_binary.ex
+    * lexical_mapping = Base.decode64); canonical form = re-encoding of the
+    * decoded bytes (canonical_mapping = Base.encode64). */
+  def parseBase64(lex: String): Option[Array[Byte]] =
+    try Some(java.util.Base64.getDecoder.decode(lex))
+    catch { case _: IllegalArgumentException => None }
+
+  def validBase64(lex: String): Boolean = parseBase64(lex).isDefined
+
+  def canonicalBase64(lex: String): Option[String] =
+    parseBase64(lex).map(java.util.Base64.getEncoder.encodeToString)
+
+  /** anyURI: the reference parses with URI.parse, which never rejects —
+    * every lexical is valid, canonical form is the lexical itself
+    * (any_uri.ex lexical_mapping). */
+  def validAnyUri(lex: String): Boolean = true
+
+  // ---------------------------------------------------------- open registry
+
+  /** One pluggable datatype: lexical validation + canonical mapping. */
+  final case class DatatypeDef(valid: String => Boolean,
+                               canonical: String => Option[String])
+
+  /** Open datatype registry (the reference's extension point,
+    * lib/rdf/model/literal/datatype/registry.ex): users register custom
+    * datatypes keyed by IRI; `Xsd.valid`/`canonicalLexical` consult it
+    * after the built-ins. Unknown unregistered datatypes behave like
+    * RDF.Literal.Generic — opaque lexical, always valid. The registry is a
+    * JVM-static map, so executors see registrations made in a static
+    * initializer / library setup (the broadcastable-dictionary pattern). */
+  object DatatypeRegistry {
+    private val defs =
+      new java.util.concurrent.ConcurrentHashMap[String, DatatypeDef]()
+    def register(iri: String, d: DatatypeDef): Unit = defs.put(iri, d)
+    def unregister(iri: String): Unit = defs.remove(iri)
+    def get(iri: String): Option[DatatypeDef] = Option(defs.get(iri))
+  }
+
   // --------------------------------------------------------------- dispatch
 
-  /** Validity of a lexical form for a datatype IRI; unknown datatypes are
-    * treated like RDF.Literal.Generic — always valid as opaque lexical. */
+  /** Validity of a lexical form for a datatype IRI; unregistered unknown
+    * datatypes are treated like RDF.Literal.Generic — always valid as
+    * opaque lexical. */
   def valid(lexical: String, datatypeIri: String): Boolean = datatypeIri match {
     case Vocab.xsdBoolean => validBoolean(lexical)
-    case Vocab.xsdInteger | Vocab.xsdLong | Vocab.xsdInt => validInteger(lexical)
+    case Vocab.xsdInteger => validInteger(lexical)
     case Vocab.xsdDecimal => validDecimal(lexical)
     case Vocab.xsdDouble | Vocab.xsdFloat => validDouble(lexical)
     case Vocab.xsdDateTime => validDateTime(lexical)
     case Vocab.xsdDate => validDate(lexical)
     case Vocab.xsdTime => validTime(lexical)
-    case _ => true
+    case Vocab.xsdBase64Binary => validBase64(lexical)
+    case Vocab.xsdAnyUri => validAnyUri(lexical)
+    case dt if integerFacets.contains(dt) => validBoundedInteger(lexical, dt)
+    case dt => DatatypeRegistry.get(dt).forall(_.valid(lexical))
   }
 
   /** Canonical lexical form; identity for unknown/string datatypes, None for
@@ -245,13 +323,20 @@ object Xsd {
   def canonicalLexical(lexical: String, datatypeIri: String): Option[String] =
     datatypeIri match {
       case Vocab.xsdBoolean => canonicalBoolean(lexical)
-      case Vocab.xsdInteger | Vocab.xsdLong | Vocab.xsdInt => canonicalInteger(lexical)
+      case Vocab.xsdInteger => canonicalInteger(lexical)
       case Vocab.xsdDecimal => canonicalDecimal(lexical)
       case Vocab.xsdDouble | Vocab.xsdFloat => canonicalDouble(lexical)
       case Vocab.xsdDateTime => canonicalDateTime(lexical)
       case Vocab.xsdDate => canonicalDate(lexical)
       case Vocab.xsdTime => canonicalTime(lexical)
-      case _ => Some(lexical)
+      case Vocab.xsdBase64Binary => canonicalBase64(lexical)
+      case Vocab.xsdAnyUri => Some(lexical)
+      case dt if integerFacets.contains(dt) =>
+        if (validBoundedInteger(lexical, dt)) canonicalInteger(lexical) else None
+      case dt => DatatypeRegistry.get(dt) match {
+        case Some(d) => d.canonical(lexical)
+        case None => Some(lexical)
+      }
     }
 
   /** Canonicalize a literal term in place (non-literals unchanged). */

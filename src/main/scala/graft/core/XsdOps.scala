@@ -30,8 +30,10 @@ object XsdOps {
   def parseNumeric(t: Term): Option[Num] =
     if (t == null || !t.isLiteral) None
     else t.datatype match {
-      case Vocab.xsdInteger | Vocab.xsdLong | Vocab.xsdInt =>
-        if (Xsd.validInteger(t.value)) Some(NInt(BigInt(t.value))) else None
+      // xsd:integer plus the 12 bounded subtypes; a facet-violating lexical
+      // (e.g. "300"^^xsd:byte) is an invalid literal -> None
+      case dt if Xsd.integerFamily.contains(dt) =>
+        if (Xsd.valid(t.value, dt)) Some(NInt(BigInt(t.value))) else None
       case Vocab.xsdDecimal =>
         if (Xsd.validDecimal(t.value)) Some(NDec(new JBD(t.value))) else None
       case Vocab.xsdDouble | Vocab.xsdFloat => Xsd.parseDouble(t.value).map(NDbl)
@@ -139,8 +141,8 @@ object XsdOps {
       case Vocab.xsdBoolean => Some(t.value == "true" || t.value == "1")
       case Vocab.xsdString => Some(t.value.nonEmpty)
       case Vocab.rdfLangString => Some(t.value.nonEmpty)
-      case Vocab.xsdInteger | Vocab.xsdLong | Vocab.xsdInt =>
-        Some(if (Xsd.validInteger(t.value)) BigInt(t.value) != 0 else false)
+      case dt if Xsd.integerFamily.contains(dt) =>
+        Some(if (Xsd.valid(t.value, dt)) BigInt(t.value) != 0 else false)
       case Vocab.xsdDecimal =>
         Some(if (Xsd.validDecimal(t.value)) new JBD(t.value).signum != 0 else false)
       case Vocab.xsdDouble | Vocab.xsdFloat =>
@@ -295,6 +297,23 @@ object XsdOps {
           case NDbl(v) if v.isNaN || v.isInfinite => return None
           case NDbl(v) => Term.typedLit(BigDecimal(v).toBigInt.toString, Vocab.xsdInteger)
         }
+      }
+      // bounded-integer targets: cast through xsd:integer then apply the
+      // facet check (restriction.ex semantics — out-of-range -> invalid)
+      case dt if Xsd.integerFacets.contains(dt) =>
+        cast(t, Vocab.xsdInteger).flatMap { it =>
+          if (Xsd.validBoundedInteger(it.value, dt)) Some(Term.typedLit(it.value, dt))
+          else None
+        }
+      case Vocab.xsdBase64Binary => t.datatype match {
+        case Vocab.xsdBase64Binary | Vocab.xsdString =>
+          Xsd.canonicalBase64(lex).map(Term.typedLit(_, Vocab.xsdBase64Binary))
+        case _ => None
+      }
+      case Vocab.xsdAnyUri => t.datatype match {
+        case Vocab.xsdString | Vocab.xsdAnyUri =>
+          Some(Term.typedLit(lex, Vocab.xsdAnyUri))
+        case _ => None
       }
       case _ => None
     }

@@ -84,4 +84,62 @@ class XsdSpec extends AnyFunSuite {
     assert(Xsd.canonicalTerm(g) == g)
     assert(Xsd.canonicalTerm(Term.typedLit("042", Vocab.xsdInteger)).value == "42")
   }
+
+  test("bounded-integer subtypes enforce MinInclusive/MaxInclusive facets") {
+    val x = Vocab.xsd
+    // reference facet table (long.ex etc.)
+    assert(Xsd.valid("127", x + "byte")); assert(!Xsd.valid("128", x + "byte"))
+    assert(Xsd.valid("-128", x + "byte")); assert(!Xsd.valid("-129", x + "byte"))
+    assert(Xsd.valid("65535", x + "unsignedShort")); assert(!Xsd.valid("65536", x + "unsignedShort"))
+    assert(!Xsd.valid("-1", x + "unsignedByte"))
+    assert(Xsd.valid("0", x + "nonNegativeInteger")); assert(!Xsd.valid("-1", x + "nonNegativeInteger"))
+    assert(!Xsd.valid("0", x + "positiveInteger")); assert(Xsd.valid("1", x + "positiveInteger"))
+    assert(Xsd.valid("0", x + "nonPositiveInteger")); assert(!Xsd.valid("1", x + "nonPositiveInteger"))
+    assert(Xsd.valid("-1", x + "negativeInteger")); assert(!Xsd.valid("0", x + "negativeInteger"))
+    assert(Xsd.valid("18446744073709551615", x + "unsignedLong"))
+    assert(!Xsd.valid("18446744073709551616", x + "unsignedLong"))
+    assert(Xsd.valid("-9223372036854775808", x + "long"))
+    assert(!Xsd.valid("9223372036854775808", x + "long"))
+    // canonical form strips sign/zeros like the base integer
+    assert(Xsd.canonicalLexical("+042", x + "short").contains("42"))
+    assert(Xsd.canonicalLexical("300", x + "byte").isEmpty)
+    // numeric ops see them as integers (XsdOps.parseNumeric)
+    assert(XsdOps.add(Term.typedLit("40", x + "short"), Term.typedLit("2", x + "byte"))
+      .contains(Term.int(42)))
+    assert(XsdOps.parseNumeric(Term.typedLit("300", x + "byte")).isEmpty)
+    // casts into bounded targets re-check the facet
+    assert(XsdOps.cast(Term.int(200), x + "unsignedByte")
+      .contains(Term.typedLit("200", x + "unsignedByte")))
+    assert(XsdOps.cast(Term.int(300), x + "unsignedByte").isEmpty)
+  }
+
+  test("base64Binary: strict decode validity, canonical = re-encode") {
+    assert(Xsd.valid("aGVsbG8=", Vocab.xsdBase64Binary))
+    assert(!Xsd.valid("not base64!", Vocab.xsdBase64Binary))
+    assert(Xsd.canonicalBase64("aGVsbG8=").contains("aGVsbG8="))
+    assert(XsdOps.cast(Term.str("aGVsbG8="), Vocab.xsdBase64Binary)
+      .contains(Term.typedLit("aGVsbG8=", Vocab.xsdBase64Binary)))
+  }
+
+  test("anyURI accepts every lexical, canonical is identity (any_uri.ex)") {
+    assert(Xsd.valid("http://example.com/x", Vocab.xsdAnyUri))
+    assert(Xsd.valid("relative/ref", Vocab.xsdAnyUri))
+    assert(Xsd.canonicalLexical("relative/ref", Vocab.xsdAnyUri).contains("relative/ref"))
+  }
+
+  test("open datatype registry: custom datatypes plug into valid/canonical") {
+    val dt = "http://example.com/evenInt"
+    Xsd.DatatypeRegistry.register(dt, Xsd.DatatypeDef(
+      valid = lex => Xsd.validInteger(lex) && BigInt(lex) % 2 == 0,
+      canonical = lex =>
+        if (Xsd.validInteger(lex) && BigInt(lex) % 2 == 0) Xsd.canonicalInteger(lex)
+        else None))
+    try {
+      assert(Xsd.valid("042", dt) && !Xsd.valid("3", dt))
+      assert(Xsd.canonicalLexical("042", dt).contains("42"))
+      assert(Xsd.canonicalLexical("3", dt).isEmpty)
+    } finally Xsd.DatatypeRegistry.unregister(dt)
+    // unregistered again -> Generic semantics
+    assert(Xsd.valid("3", dt))
+  }
 }
