@@ -248,12 +248,22 @@ object Queries {
              |octet_length(encode(text)) AS n_bytes, sha256(text) AS sig
              |FROM documents""".stripMargin)),
 
-    // stub feature extraction — rows-only check (decode is the stub)
+    // stub feature extraction: the deterministic stub's arithmetic IS
+    // SQL-expressible — feature[0] is the float32 sum of payload bytes at
+    // positions = 0 mod 8, each /255, so feature[0]*255 rounds exactly back
+    // to the integer byte sum (float32 error << 0.5), which DuckDB computes
+    // over the ASCII payload with ord()
     "multimodal_features" -> Q(
       (s, d) => Multimodal.extractFeatures(Multimodal.synthesize(t(s, d, "documents")))
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f0")),
-      None),
+          round(element_at(col("feature"), 1) * 255).cast("long").as("b0_sum")),
+      Some("""SELECT doc_id AS media_id,
+             |CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+             |ELSE 'video' END AS kind,
+             |octet_length(encode(text)) AS n_bytes,
+             |COALESCE(CAST(list_sum(list_transform(range(1, length(text)+1, 8),
+             |  i -> ord(substr(text, i, 1)))) AS BIGINT), 0) AS b0_sum
+             |FROM documents""".stripMargin)),
 
     // ----------------------------------------------------- RDF engine path
     "rdf_extract" -> Q(
@@ -540,8 +550,8 @@ object Queries {
              |UNION ALL SELECT 'http://graft.dev/vocab#nchars', count(*),
              |  count(DISTINCT n_chars) FROM documents""".stripMargin)),
 
-    // bucketed materialization with per-partition lineage + resume
-    // (rows-only: bucket ids use Spark's Murmur3 hash)
+    // bucketed materialization with per-partition lineage + resume; bucket
+    // ids are md5-derived so DuckDB reproduces the exact layout
     "kg_materialize" -> Q(
       (s, d) => {
         val root = s"/tmp/graft_materialize_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -550,7 +560,18 @@ object Queries {
         graft.pipeline.Materialize.materialize(triples, root, 16, "verify")
           .orderBy("bucket")
       },
-      None),
+      Some(kgPagesSql +
+        """, tr AS (
+          |SELECT url AS s FROM pages
+          |UNION ALL SELECT url FROM pages WHERE doc_id % 10 <> 9
+          |UNION ALL SELECT url FROM pages
+          |UNION ALL SELECT url FROM pages
+          |UNION ALL SELECT url FROM pages
+          |UNION ALL SELECT url FROM pages)
+          |SELECT CAST(CAST('0x'||substr(md5(s),1,15) AS BIGINT) % 16 AS INT) AS bucket,
+          |count(*) AS n_triples, count(DISTINCT s) AS n_subjects,
+          |'verify' AS batch_id
+          |FROM tr GROUP BY 1""".stripMargin)),
 
     // entity linking: mention detection + broadcast-join resolve
     "kg_entity_link" -> Q(

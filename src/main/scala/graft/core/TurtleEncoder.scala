@@ -1,5 +1,7 @@
 package graft.core
 
+import scala.collection.mutable
+
 /** Deterministic Turtle encoder.
   *
   * Output shape follows the reference encoder
@@ -8,11 +10,22 @@ package graft.core
   * for rdf:type, native shorthand for boolean/integer/decimal/double
   * literals only when the lexical form is canonical (encoder.ex:369-435),
   * prefixed names only when the local part is PN_LOCAL-safe
-  * (encoder.ex:474-480). Ordering is the deterministic sequencing of
-  * encoder/sequencer.ex reduced to: subjects sorted IRIs-then-bnodes by
-  * code point, predicates rdf:type-first then sorted, objects sorted.
-  * Blank nodes are emitted by label (no [] inlining in this slice) — output
-  * is always re-parseable and isomorphic to the input.
+  * (encoder.ex:474-480), and the compact blank-node forms:
+  *
+  *  - `[ ... ]` inlining with ref-counting (encoder/bnode_info.ex): a bnode
+  *    referenced exactly once as object has its description inlined at the
+  *    use site; leaf bnodes referenced once render as `[]`; bnode subjects
+  *    never referenced as objects render as anonymous `[ ... ] .` blocks;
+  *    reference cycles demote back to labeled form
+  *  - `( ... )` list reconstruction (encoder.ex:213-301): pure
+  *    rdf:first/rdf:rest chains (exactly those two predicates per node,
+  *    each node referenced once, nil-terminated, acyclic) render as
+  *    collections at their use site
+  *
+  * Ordering is the deterministic sequencing of encoder/sequencer.ex reduced
+  * to: subjects sorted IRIs-then-bnodes by code point, predicates
+  * rdf:type-first then sorted, objects sorted. Output is always
+  * re-parseable and isomorphic to the input.
   */
 object TurtleEncoder {
 
@@ -24,19 +37,116 @@ object TurtleEncoder {
       sb.append("@prefix ").append(p).append(": <").append(ns).append("> .\n")
     if (prefixes.nonEmpty || base.nonEmpty) sb.append('\n')
 
-    val bySubject = triples.groupBy(_.s).toSeq.sortBy { case (s, _) => subjectKey(s) }
-    for ((subj, ts) <- bySubject) {
-      sb.append(term(subj, prefixes))
-      val byPred = ts.groupBy(_.p).toSeq.sortBy { case (p, _) => predKey(p) }
-      var firstP = true
-      for ((p, pts) <- byPred) {
-        if (!firstP) sb.append(" ;")
-        sb.append("\n    ").append(if (p.value == Vocab.rdfType) "a" else term(p, prefixes))
-        val objs = pts.map(_.o).distinct.sortBy(o => NTriples.termString(o))
-        sb.append(' ').append(objs.map(term(_, prefixes)).mkString(", "))
-        firstP = false
+    val bySubject: Map[Term, Seq[Triple]] = triples.groupBy(_.s)
+    val objRefs: Map[Term, Int] =
+      triples.filter(_.o.isBnode).groupBy(_.o).view.mapValues(_.size).toMap
+
+    // ---- list reconstruction: pure first/rest chains
+    def chainParts(t: Term): Option[(Term, Term)] = bySubject.get(t) match {
+      case Some(ts) if t.isBnode && ts.size == 2 =>
+        val f = ts.filter(_.p.value == Vocab.rdfFirst)
+        val r = ts.filter(_.p.value == Vocab.rdfRest)
+        if (f.size == 1 && r.size == 1) Some((f.head.o, r.head.o)) else None
+      case _ => None
+    }
+    val isNil = (t: Term) => t.isIri && t.value == Vocab.rdfNil
+    // heads: chain nodes not referenced by another chain node's rdf:rest
+    val restTargets = bySubject.keys.flatMap(chainParts(_).map(_._2)).toSet
+    val lists = mutable.HashMap.empty[Term, Vector[Term]]
+    val chainConsumed = mutable.HashSet.empty[Term]
+    for (h <- bySubject.keys if chainParts(h).isDefined && !restTargets.contains(h)
+         if objRefs.getOrElse(h, 0) == 1) {
+      val elems = Vector.newBuilder[Term]
+      val nodes = mutable.LinkedHashSet.empty[Term]
+      var cur = h
+      var ok = true
+      while (ok && !isNil(cur)) {
+        chainParts(cur) match {
+          case Some((f, r)) if objRefs.getOrElse(cur, 0) == 1 && !nodes.contains(cur) &&
+            (r.isBnode || isNil(r)) =>
+            nodes += cur; elems += f; cur = r
+          case _ => ok = false
+        }
       }
-      sb.append(" .\n")
+      if (ok) { lists(h) = elems.result(); chainConsumed ++= nodes }
+    }
+
+    // ---- [] inlining candidates: described bnodes referenced exactly once
+    var propInline: Set[Term] = bySubject.keySet.filter(t =>
+      t.isBnode && objRefs.getOrElse(t, 0) == 1 && !chainConsumed.contains(t))
+
+    // demote cycle members back to labeled form (A -> B -> A can't inline)
+    def inlineTargets(t: Term): Seq[Term] = {
+      val objs =
+        if (lists.contains(t)) lists(t)
+        else bySubject.getOrElse(t, Nil).map(_.o)
+      objs.filter(o => propInline.contains(o) || lists.contains(o))
+    }
+    var demoted = true
+    while (demoted) {
+      demoted = false
+      val state = mutable.HashMap.empty[Term, Int] // 1=in stack, 2=done
+      def dfs(t: Term): Unit = {
+        state(t) = 1
+        for (n <- inlineTargets(t) if !demoted) {
+          state.get(n) match {
+            case Some(1) => // back edge: cycle — demote target
+              propInline -= n; demoted = true
+            case Some(_) =>
+            case None => dfs(n)
+          }
+        }
+        if (!demoted) state(t) = 2
+      }
+      val roots = propInline ++ lists.keySet
+      for (t <- roots if !demoted && !state.contains(t)) dfs(t)
+      if (demoted) state.clear()
+    }
+
+    // ---- term rendering (recursive for inline forms)
+    def renderTerm(t: Term): String = t.kind match {
+      case TermKind.BNODE if lists.contains(t) =>
+        "(" + lists(t).map(renderTerm).mkString(" ") + ")"
+      case TermKind.BNODE if propInline.contains(t) =>
+        "[ " + body(bySubject(t), inline = true) + " ]"
+      case TermKind.BNODE if !bySubject.contains(t) && objRefs.getOrElse(t, 0) == 1 =>
+        "[]" // leaf anonymous node, single use
+      case TermKind.IRI => iri(t.value, prefixes)
+      case TermKind.BNODE => "_:" + t.value
+      case TermKind.LITERAL => literal(t, prefixes)
+      case TermKind.TRIPLE =>
+        // re-encode the quoted triple with the document's prefixes
+        val inner = NTriples.parseQuotedString(t.value)
+        "<< " + renderTerm(inner.s) + " " +
+          (if (inner.p.value == Vocab.rdfType) "a" else renderTerm(inner.p)) +
+          " " + renderTerm(inner.o) + " >>"
+      case k => throw new IllegalArgumentException(s"unsupported term kind $k")
+    }
+
+    /** predicate-object list of one description; multi-line at top level,
+      * single-line inside [ ] (sep flips). */
+    def body(ts: Seq[Triple], inline: Boolean): String = {
+      val byPred = ts.groupBy(_.p).toSeq.sortBy { case (p, _) => predKey(p) }
+      val parts = byPred.map { case (p, pts) =>
+        val objs = pts.map(_.o).distinct.sortBy(o => NTriples.termString(o))
+        (if (p.value == Vocab.rdfType) "a" else renderTerm(p)) + " " +
+          objs.map(renderTerm).mkString(", ")
+      }
+      parts.mkString(if (inline) " ; " else " ;\n    ")
+    }
+
+    // ---- emission
+    val topLevel = bySubject.toSeq
+      .filter { case (s, _) => !chainConsumed.contains(s) && !propInline.contains(s) }
+      .sortBy { case (s, _) => subjectKey(s) }
+    for ((subj, ts) <- topLevel) {
+      if (subj.isBnode && objRefs.getOrElse(subj, 0) == 0)
+        sb.append("[\n    ").append(body(ts, inline = false)).append("\n] .\n")
+      else
+        sb.append(renderTerm(subj) match {
+          case s if subj.isBnode => "_:" + subj.value // subject position: label
+          case s => s
+        }).append("\n    ").append(body(ts, inline = false)).append(" .\n")
     }
     sb.toString
   }
@@ -50,7 +160,6 @@ object TurtleEncoder {
     case TermKind.BNODE => "_:" + t.value
     case TermKind.LITERAL => literal(t, prefixes)
     case TermKind.TRIPLE =>
-      // re-encode the quoted triple with the document's prefixes
       val inner = NTriples.parseQuotedString(t.value)
       "<< " + term(inner.s, prefixes) + " " +
         (if (inner.p.value == Vocab.rdfType) "a" else term(inner.p, prefixes)) +

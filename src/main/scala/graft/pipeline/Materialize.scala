@@ -30,31 +30,48 @@ object Materialize {
   final case class Lineage(bucket: Int, n_triples: Long, n_subjects: Long,
                            batch_id: String)
 
-  def bucketCol(n: Int) = pmod(hash(col("s")), lit(n)).cast("int").as("bucket")
+  /** Deterministic md5-derived bucket id. md5 (not Spark's Murmur3 hash)
+    * so the layout is cross-engine reproducible — DuckDB computes the same
+    * id as CAST('0x'||substr(md5(s),1,15) AS BIGINT) % n — which makes the
+    * whole materialization oracle-checkable. Still a salt: adjacent urls
+    * from one domain spread uniformly across buckets (kills domain skew). */
+  def bucketCol(n: Int) =
+    pmod(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"), lit(n))
+      .cast("int").as("bucket")
 
-  /** Write triples bucketed; returns the lineage rows written this call.
-    * `triples` needs an `s` column (string or term struct). */
+  /** Write triples bucketed; returns the lineage rows written this call
+    * (read back from the lineage table — the on-disk rows are the single
+    * source of truth). `triples` needs an `s` column (string or term
+    * struct.value for term graphs).
+    *
+    * Resume: buckets already present in the lineage table are excluded via
+    * a broadcast anti-join (not a collected literal list — at 100k buckets
+    * an `isin` would inline megabytes into the plan). The remaining
+    * bucketed frame is cached so the data write and the per-bucket metrics
+    * are ONE extraction pass, not two. */
   def materialize(triples: DataFrame, root: String, numBuckets: Int,
                   batchId: String): DataFrame = {
     val spark = triples.sparkSession
-    import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val done: Set[Int] = readLineage(spark, root)
-      .map(_.select("bucket").as[Int].collect().toSet).getOrElse(Set.empty)
-
     val bucketed = triples.withColumn("bucket", bucketCol(numBuckets))
-      .filter(!col("bucket").isin(done.toSeq: _*))
+    val remaining = readLineage(spark, root) match {
+      case Some(lin) =>
+        bucketed.join(broadcast(lin.select("bucket").distinct()), Seq("bucket"), "left_anti")
+      case None => bucketed
+    }
 
-    // metrics computed in the same pass schema as the write
-    val stats = bucketed.groupBy("bucket")
-      .agg(count(lit(1)).as("n_triples"), countDistinct(col("s")).as("n_subjects"))
-      .withColumn("batch_id", lit(batchId))
-
-    bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$root/data")
-    stats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
-    stats
+    val cached = remaining.persist()
+    try {
+      cached.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$root/data")
+      // metrics from the cached frame: same pass as the write
+      val stats = cached.groupBy("bucket")
+        .agg(count(lit(1)).as("n_triples"), countDistinct(col("s")).as("n_subjects"))
+        .withColumn("batch_id", lit(batchId))
+      stats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
+    } finally cached.unpersist()
+    readLineage(spark, root).get.filter(col("batch_id") === batchId)
   }
 
   def readLineage(spark: SparkSession, root: String): Option[DataFrame] =

@@ -141,6 +141,56 @@ class W3cSuitesSpec extends AnyFunSuite {
       assert(!Rdfc10.isomorphic(a, b), s"$d should NOT be isomorphic")
   }
 
+  test("Turtle encoder compact forms: [] inlining and () list reconstruction") {
+    val doc = """@prefix : <http://e/> .
+                |:s :p [ :q "v" ; :r [ :t 1 ] ] .
+                |:s :list (1 2 "three") .
+                |:s :leaf [] .
+                |:shared :a _:b . :shared2 :a _:b . _:b :x "y" .
+                |[ :standalone true ] .""".stripMargin
+    val g = Turtle.parse(doc, "http://e/").triples
+    val enc = TurtleEncoder.encode(g, Map("" -> "http://e/"))
+    // isomorphic after round-trip
+    val back = Turtle.parse(enc, "http://e/").triples
+    assert(Rdfc10.isomorphicTriples(g, back), s"encoded:\n$enc")
+    // single-ref bnodes inlined, lists reconstructed, leaf as [],
+    // anonymous top-level block; the doubly-referenced _:b stays labeled
+    assert(enc.contains("[ "), enc)
+    assert(enc.contains("(1 2 \"three\")"), enc)
+    assert(enc.contains("[]"), enc)
+    assert(enc.contains("_:"), enc) // shared bnode keeps its label
+    assert(!enc.contains("rdf-syntax-ns#first"), enc) // chain fully consumed
+  }
+
+  test("Turtle encoder: inline cycles demote to labeled bnodes, still isomorphic") {
+    // a <-> b reference cycle, each referenced exactly once
+    val a = Term.bnode("a"); val b = Term.bnode("b"); val p = Term.iri("http://e/p")
+    val g = Seq(Triple(a, p, b), Triple(b, p, a))
+    val enc = TurtleEncoder.encode(g)
+    val back = Turtle.parse(enc).triples
+    assert(Rdfc10.isomorphicTriples(g, back), s"encoded:\n$enc")
+  }
+
+  test("Turtle encoder round-trip over suite fixtures with bnodes/lists") {
+    val dir = "/root/reference/test/data/rdf-tests/rdf11/rdf-turtle"
+    val fixtures = Seq(
+      "turtle-syntax-bnode-05.ttl", "turtle-syntax-bnode-06.ttl",
+      "turtle-syntax-bnode-07.ttl", "turtle-syntax-bnode-08.ttl",
+      "turtle-syntax-bnode-09.ttl", "turtle-syntax-bnode-10.ttl",
+      "turtle-eval-lists-01.ttl", "turtle-eval-lists-02.ttl",
+      "turtle-eval-lists-03.ttl", "turtle-eval-lists-04.ttl",
+      "turtle-eval-lists-05.ttl",
+      "turtle-subm-01.ttl", "turtle-subm-05.ttl", "turtle-subm-06.ttl",
+      "turtle-subm-07.ttl", "turtle-subm-08.ttl", "turtle-subm-10.ttl",
+      "turtle-subm-14.ttl")
+    for (f <- fixtures) {
+      val g = Turtle.parse(W3c.readFile(s"$dir/$f"), "http://example/base/").triples
+      val enc = TurtleEncoder.encode(g)
+      val back = Turtle.parse(enc, "http://example/base/").triples
+      assert(Rdfc10.isomorphicTriples(g, back), s"$f encoded:\n$enc")
+    }
+  }
+
   test("Turtle encoder round-trip: decode(encode(g)) isomorphic to g") {
     val g = Turtle.parse(W3c.readFile(
       "/root/reference/test/data/rdf-tests/rdf11/rdf-turtle/turtle-syntax-bnode-05.ttl"),
