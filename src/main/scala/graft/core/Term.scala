@@ -109,6 +109,7 @@ object Vocab {
 
   val rdfType = rdf + "type"
   val rdfLangString = rdf + "langString"
+  val rdfJson = rdf + "JSON"
   val rdfFirst = rdf + "first"
   val rdfRest = rdf + "rest"
   val rdfNil = rdf + "nil"

@@ -314,6 +314,7 @@ object Xsd {
     case Vocab.xsdTime => validTime(lexical)
     case Vocab.xsdBase64Binary => validBase64(lexical)
     case Vocab.xsdAnyUri => validAnyUri(lexical)
+    case Vocab.rdfJson => Jcs.valid(lexical)
     case dt if integerFacets.contains(dt) => validBoundedInteger(lexical, dt)
     case dt => DatatypeRegistry.get(dt).forall(_.valid(lexical))
   }
@@ -331,6 +332,7 @@ object Xsd {
       case Vocab.xsdTime => canonicalTime(lexical)
       case Vocab.xsdBase64Binary => canonicalBase64(lexical)
       case Vocab.xsdAnyUri => Some(lexical)
+      case Vocab.rdfJson => Jcs.canonicalize(lexical)
       case dt if integerFacets.contains(dt) =>
         if (validBoundedInteger(lexical, dt)) canonicalInteger(lexical) else None
       case dt => DatatypeRegistry.get(dt) match {

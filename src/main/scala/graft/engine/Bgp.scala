@@ -63,6 +63,21 @@ object Bgp {
     }
   }
 
+  /** `path/2` sugar (reference query.ex:212-231): a chain
+    * [s, p1, p2, ..., pn, o] becomes n patterns linked through hidden
+    * (non-projected) intermediate variables — `path(Seq(s, p, label, v))`
+    * == `Pattern(Seq(pat(s, p, _path1), pat(_path1, label, v)))`. */
+  def path(elements: Seq[Node]): Pattern = {
+    require(elements.length >= 3, "path needs subject, >=1 predicate, object")
+    val s = elements.head
+    val preds = elements.slice(1, elements.length - 1)
+    val o = elements.last
+    val mids = (1 until preds.length).map(i => V(s"_path$i"))
+    val subjects = s +: mids
+    val objects = mids :+ o
+    Pattern(preds.indices.map(i => TriplePattern(subjects(i), preds(i), objects(i))))
+  }
+
   /** Greedy planner: returns patterns in execution order. */
   def plan(patterns: Seq[TriplePattern]): Seq[TriplePattern] = {
     val ordered = Seq.newBuilder[TriplePattern]

@@ -56,6 +56,17 @@ object Graphs {
     }.toSeq: _*)
   }
 
+  /** Graph.update/4 (graph.ex:700-730): transform ONE subject's description
+    * with a function over its triples (the per-subject "UPDATE"); the
+    * function receives the (possibly empty) description DataFrame and
+    * returns the replacement statements for that subject. */
+  def updateSubject(g: DataFrame, subject: Term,
+                    f: DataFrame => DataFrame): DataFrame = {
+    val key = Terms.constTerm(subject)
+    val updated = f(g.filter(col("s") === key))
+    g.filter(!(col("s") === key)).unionByName(updated).dropDuplicates()
+  }
+
   // ------------------------------------------------------- projections/stats
 
   def describes(g: DataFrame, subject: Term): Boolean =

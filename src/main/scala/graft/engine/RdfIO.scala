@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{NTriples, Quad, Triple}
+import graft.core.{NTriples, Quad, Triple, Turtle}
 
 /** Distributed N-Triples / N-Quads source & sink.
   *
@@ -61,4 +61,82 @@ object RdfIO {
   def writeNTriples(triples: DataFrame, path: String,
                     sorted: Boolean = false, mode: SaveMode = SaveMode.Overwrite): Unit =
     toNtLines(triples, sorted).write.mode(mode).text(path)
+
+  // --------------------------------------------------- format detection API
+
+  /** A serialization format descriptor (the reference's Format behaviour,
+    * serialization/format.ex:37-76). */
+  final case class Format(name: String, mediaType: String, extensions: Seq[String])
+
+  /** The built-in formats, like the reference's @formats list. */
+  val formats: Seq[Format] = Seq(
+    Format("turtle", "text/turtle", Seq("ttl")),
+    Format("ntriples", "application/n-triples", Seq("nt", "ntriples")),
+    Format("nquads", "application/n-quads", Seq("nq", "nquads")),
+    Format("trig", "application/trig", Seq("trig")))
+
+  /** Detection by name / media type / extension
+    * (serialization.ex:73-119). */
+  def formatByName(name: String): Option[Format] = formats.find(_.name == name)
+  def formatByMediaType(mt: String): Option[Format] = formats.find(_.mediaType == mt)
+  def formatByExtension(ext: String): Option[Format] = {
+    val e = if (ext.startsWith(".")) ext.substring(1) else ext
+    formats.find(_.extensions.contains(e))
+  }
+  def detectFormat(path: String): Option[Format] = {
+    val dot = path.lastIndexOf('.')
+    if (dot < 0) None else formatByExtension(path.substring(dot + 1))
+  }
+
+  /** Generic read (the reference's `RDF.Serialization.read_file`): format
+    * given by name or detected from the file extension. Returns a quad
+    * DataFrame (s/p/o term structs + g, null for the default graph).
+    * Line-based formats parse split-parallel; Turtle/TriG parse one
+    * document per FILE (documents are small relative to a corpus — the
+    * distributed axis is many files), with the file URI as base IRI. */
+  def readGraph(spark: SparkSession, path: String,
+                formatName: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val fmt = formatName.flatMap(formatByName).orElse(detectFormat(path))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot detect RDF serialization format of '$path'"))
+    fmt.name match {
+      case "ntriples" =>
+        readNTriples(spark, path).map(t => Quad(t.s, t.p, t.o, null)).toDF()
+      case "nquads" => readNQuads(spark, path).toDF()
+      case tt @ ("turtle" | "trig") =>
+        spark.read.option("wholetext", "true").text(path)
+          .select(input_file_name().as("f"), col("value"))
+          .as[(String, String)]
+          .flatMap { case (f, text) =>
+            if (tt == "turtle")
+              Turtle.parse(text, f).triples.map(t => Quad(t.s, t.p, t.o, null))
+            else Turtle.parseTriG(text, f).quads
+          }.toDF()
+    }
+  }
+
+  /** Generic write: line formats distribute; Turtle is a whole-document
+    * format, so it writes ONE deterministic document (single reducer by
+    * design — use `Graphs.toTurtlePerGroup` for per-document distributed
+    * Turtle). */
+  def writeGraph(quads: DataFrame, path: String, formatName: String,
+                 prefixes: Map[String, String] = Map.empty): Unit = formatName match {
+    case "ntriples" => writeNTriples(quads.select("s", "p", "o"), path)
+    case "nquads" =>
+      val lines = quads.select(concat(
+        Terms.ntString(col("s")), lit(" "), Terms.ntString(col("p")), lit(" "),
+        Terms.ntString(col("o")),
+        when(col("g").isNotNull, concat(lit(" "), Terms.ntString(col("g"))))
+          .otherwise(lit("")), lit(" .")).as("value"))
+      lines.write.mode(SaveMode.Overwrite).text(path)
+    case "turtle" =>
+      val spark = quads.sparkSession
+      import spark.implicits._
+      quads.select(lit("doc").as("k"), col("s"), col("p"), col("o"))
+        .transform(df => graft.engine.Graphs.toTurtlePerGroup(df, "k", prefixes))
+        .select(col("turtle").as("value")).coalesce(1)
+        .write.mode(SaveMode.Overwrite).text(path)
+    case other => throw new IllegalArgumentException(s"no writer for format '$other'")
+  }
 }

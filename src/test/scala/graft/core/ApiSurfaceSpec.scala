@@ -1,0 +1,96 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-Scala API surface ported from the reference: PrefixMap,
+  * PropertyMap, RDF.List read-back, rdf:JSON/JCS, EARL. */
+class ApiSurfaceSpec extends AnyFunSuite {
+
+  test("PrefixMap: add/put/merge conflict semantics (prefix_map.ex)") {
+    val pm = PrefixMap.of("ex" -> "http://example.com/", "foaf" -> "http://xmlns.com/foaf/0.1/")
+    assert(pm.namespace("ex").contains("http://example.com/"))
+    assert(pm.prefix("http://xmlns.com/foaf/0.1/").contains("foaf"))
+    // add: same mapping ok, different namespace refused
+    assert(pm.add("ex", "http://example.com/").isRight)
+    assert(pm.add("ex", "http://other.org/").isLeft)
+    assert(pm.put("ex", "http://other.org/").namespace("ex").contains("http://other.org/"))
+    // merge: conflict reported / resolver applied
+    val other = PrefixMap.of("ex" -> "http://other.org/", "x" -> "http://x.org/")
+    assert(pm.merge(other) == Left(Seq("ex")))
+    val resolved = pm.merge(other, (_, ns1, _) => ns1)
+    assert(resolved.namespace("ex").contains("http://example.com/"))
+    assert(resolved.namespace("x").contains("http://x.org/"))
+    assert(pm.drop("foaf").prefixes == Seq("ex"))
+  }
+
+  test("PrefixMap: longest-namespace match and pname expansion") {
+    val pm = PrefixMap.of("a" -> "http://e.com/", "b" -> "http://e.com/deep/")
+    assert(pm.prefixNamePair("http://e.com/deep/x").contains(("b", "x")))
+    assert(pm.prefixNamePair("http://e.com/y").contains(("a", "y")))
+    assert(pm.prefixNamePair("http://nope.org/z").isEmpty)
+    assert(pm.expand("b:local").contains("http://e.com/deep/local"))
+    assert(pm.expand("nope:local").isEmpty)
+  }
+
+  test("PropertyMap: bidirectional term<->IRI (property_map.ex)") {
+    val pm = PropertyMap.of("name" -> "http://xmlns.com/foaf/0.1/name")
+    assert(pm.iri("name").contains("http://xmlns.com/foaf/0.1/name"))
+    assert(pm.term("http://xmlns.com/foaf/0.1/name").contains("name"))
+    assert(pm.add("name", "http://other/").isLeft)
+    assert(pm.put("name", "http://other/").iri("name").contains("http://other/"))
+  }
+
+  test("RdfList walks first/rest chains back out of a graph (list.ex)") {
+    val doc = "@prefix : <http://e/> . :s :p (1 2 \"three\") ."
+    val g = Turtle.parse(doc, "http://e/").triples
+    val head = g.find(_.p.value == "http://e/p").get.o
+    val l = RdfList.from(head, g).get
+    assert(l.length == 3)
+    assert(l.values.map(_.value) == Vector("1", "2", "three"))
+    assert(l.isValid)
+    // empty list = rdf:nil head
+    assert(RdfList.from(Term.iri(Vocab.rdfNil), g).get.isEmpty)
+    // broken chain: no description for the head
+    assert(RdfList.from(Term.bnode("nowhere"), g).isEmpty)
+    // cycle detection
+    val n = Term.bnode("c")
+    val cyc = Seq(
+      Triple(n, Term.iri(Vocab.rdfFirst), Term.int(1)),
+      Triple(n, Term.iri(Vocab.rdfRest), n))
+    assert(RdfList.from(n, cyc).isEmpty)
+    // toTriples round-trip with deterministic labels
+    val (h2, ts2) = RdfList.toTriples(Seq(Term.int(1), Term.str("x")), "http://e/doc")
+    val back = RdfList.from(h2, ts2).get
+    assert(back.values == Vector(Term.int(1), Term.str("x")))
+    assert(RdfList.toTriples(Seq(Term.int(1)), "http://e/doc")._1 ==
+      RdfList.toTriples(Seq(Term.int(1)), "http://e/doc")._1)
+  }
+
+  test("JCS: RFC 8785 canonical JSON (rdf:JSON datatype)") {
+    // key sorting, whitespace removal, escape minimization
+    assert(Jcs.canonicalize("""{ "b" : 1, "a" : [true, null, "x"] }""")
+      .contains("""{"a":[true,null,"x"],"b":1}"""))
+    // number formatting: ECMA shortest forms
+    assert(Jcs.canonicalize("[1.0, 1e1, 0.5, -0.0, 1e21, 1e-7, 333333333.3333333]")
+      .contains("""[1,10,0.5,0,1e+21,1e-7,333333333.3333333]"""))
+    // string escapes: control chars lowercase \u00xx, minimal ECHAR
+    assert(Jcs.canonicalize("[\"\\u000b\\t\"]").contains("[\"\\u000b\\t\"]"))
+    // duplicate keys rejected (I-JSON)
+    assert(Jcs.canonicalize("""{"a":1,"a":2}""").isEmpty)
+    assert(Jcs.canonicalize("not json").isEmpty)
+    // Xsd dispatch integration
+    assert(Xsd.valid("""{"b":1,"a":2}""", Vocab.rdfJson))
+    assert(Xsd.canonicalLexical(""" { "b" : 1, "a" : 2 } """, Vocab.rdfJson)
+      .contains("""{"a":2,"b":1}"""))
+    assert(!Xsd.valid("{", Vocab.rdfJson))
+  }
+
+  test("EARL report is valid Turtle with one assertion per test") {
+    val rep = graft.w3c.Earl.report("https://example.org/graft",
+      Seq("http://t/1" -> true, "http://t/2" -> false))
+    val g = Turtle.parse(rep).triples
+    assert(g.count(t => t.p.value == graft.w3c.Earl.earl + "outcome") == 2)
+    assert(g.exists(t => t.o.value == graft.w3c.Earl.earl + "passed"))
+    assert(g.exists(t => t.o.value == graft.w3c.Earl.earl + "failed"))
+  }
+}
