@@ -231,11 +231,12 @@ object Queries {
              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
              |SELECT qid, vec_id, cos FROM r WHERE rn <= 3""".stripMargin)),
 
-    // approximate variant — not SQL-oracled (rows-only check)
+    // approximate variant — not SQL-oracled (rows-only check); multi-probe
+    // (Hamming-1 buckets) for usable recall at higher dimensions
     "embed_lsh_ann" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.lshBucketedTopK(e, e.filter(col("vec_id") < 5), 3)
+        Similarity.lshBucketedTopK(e, e.filter(col("vec_id") < 5), 3, probeHamming = 1)
       },
       None),
 

@@ -59,13 +59,24 @@ object Similarity {
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Same output shape as bruteForceTopK (may miss true neighbors — that is
-    * the recall/cost trade). */
+    * the recall/cost trade). `probeHamming=1` turns on multi-probe: each
+    * query additionally scans every bucket whose id differs in one sign
+    * bit — the standard fix for single-probe recall collapse at higher
+    * dimensions. Cost model at corpus scale: the corpus stays bucketed
+    * once; only the (small, broadcast) query side fans out ×(nPlanes+1),
+    * so the join stays an equi-join on bucket keys. */
   def lshBucketedTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-                      nPlanes: Int = 8): DataFrame = {
+                      nPlanes: Int = 8, probeHamming: Int = 0): DataFrame = {
     val c = embeddings.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes).as("bucket"))
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val q0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      lshBucket(col("embedding"), nPlanes).as("b0"))
+    val probeCols: Seq[Column] =
+      col("b0") +: (if (probeHamming >= 1)
+        (0 until nPlanes).map(i => col("b0").bitwiseXOR(lit(1 << i)))
+      else Nil)
+    val q = q0.select(col("qid"), col("qe"),
+      explode(array(probeCols: _*)).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
