@@ -574,6 +574,56 @@ object Queries {
           |'verify' AS batch_id
           |FROM tr GROUP BY 1""".stripMargin)),
 
+    // entity linking, two-stage fuzzy: minhash blocking over character
+    // 3-gram shingles -> exact-Jaccard score-and-resolve (the north star's
+    // blocked candidate generation; `kg_entity_link` below is the exact-
+    // match fast path)
+    "kg_entity_link_fuzzy" -> Q(
+      (s, d) => WebKg.entityLinkFuzzy(t(s, d, "documents"), WebKg.defaultDictionary),
+      Some("""WITH dict(surface, entity) AS (VALUES
+             |  ('customer','http://graft.dev/entity/customer'),
+             |  ('part','http://graft.dev/entity/part'),
+             |  ('order','http://graft.dev/entity/order'),
+             |  ('supplier','http://graft.dev/entity/supplier'),
+             |  ('spark','http://graft.dev/entity/spark'),
+             |  ('vector','http://graft.dev/entity/vector')),
+             |tok AS (SELECT DISTINCT doc_id, w FROM
+             |  (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w FROM documents)
+             |  WHERE length(w) >= 3),
+             |sh AS (SELECT doc_id, w, unnest(list_distinct(list_transform(
+             |  range(1, length(w)-1), i -> substr(w, i, 3)))) AS g FROM tok),
+             |mh AS (SELECT doc_id, w,
+             |  min(md5('0:'||g)) AS s0, min(md5('1:'||g)) AS s1,
+             |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM sh GROUP BY 1,2),
+             |mb AS (SELECT doc_id, w, 0 AS band, md5(s0||s1) AS sig FROM mh
+             |  UNION ALL SELECT doc_id, w, 1, md5(s2||s3) FROM mh),
+             |dsh AS (SELECT surface, entity, unnest(list_distinct(list_transform(
+             |  range(1, length(surface)-1), i -> substr(surface, i, 3)))) AS g FROM dict),
+             |dmh AS (SELECT surface, entity,
+             |  min(md5('0:'||g)) AS s0, min(md5('1:'||g)) AS s1,
+             |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM dsh GROUP BY 1,2),
+             |db AS (SELECT surface, entity, 0 AS band, md5(s0||s1) AS sig FROM dmh
+             |  UNION ALL SELECT surface, entity, 1, md5(s2||s3) FROM dmh),
+             |cand AS (SELECT DISTINCT m.doc_id, m.w, d.surface, d.entity
+             |  FROM mb m JOIN db d ON m.band=d.band AND m.sig=d.sig),
+             |wn AS (SELECT doc_id, w, count(*) AS na FROM sh GROUP BY 1,2),
+             |dn AS (SELECT surface, count(*) AS nb FROM dsh GROUP BY 1),
+             |inter AS (SELECT c.doc_id, c.w, c.surface, c.entity, count(*) AS i
+             |  FROM cand c JOIN sh a ON a.doc_id=c.doc_id AND a.w=c.w
+             |  JOIN dsh b ON b.surface=c.surface AND b.g=a.g GROUP BY 1,2,3,4),
+             |scored AS (SELECT i.doc_id, i.w, i.entity,
+             |    i.i * 1.0 / (wn.na + dn.nb - i.i) AS jac
+             |  FROM inter i JOIN wn ON i.doc_id=wn.doc_id AND i.w=wn.w
+             |  JOIN dn ON i.surface=dn.surface
+             |  WHERE i.i * 1.0 / (wn.na + dn.nb - i.i) >= 0.5),
+             |resolved AS (SELECT doc_id, w, entity, jac,
+             |    row_number() OVER (PARTITION BY doc_id, w
+             |      ORDER BY jac DESC, entity) AS rn FROM scored)
+             |SELECT 'http://graft.dev/doc/'||doc_id AS s,
+             |  'http://graft.dev/vocab#mentions' AS p, entity AS o,
+             |  count(DISTINCT w) AS n_mentions, round(max(jac), 6) AS top_jac
+             |FROM resolved WHERE rn = 1 GROUP BY 1,2,3""".stripMargin)),
+
     // entity linking: mention detection + broadcast-join resolve
     "kg_entity_link" -> Q(
       (s, d) => WebKg.entityLink(t(s, d, "documents"), WebKg.defaultDictionary),

@@ -184,6 +184,69 @@ object WebKg {
     Seq("customer", "part", "order", "supplier", "spark", "vector")
       .map(w => w -> (entityNs + w))
 
+  /** Character 3-gram shingles of a string column (distinct). */
+  private def shingles(c: String): Column =
+    array_distinct(expr(s"transform(sequence(1, length($c)-2), i -> substr($c, i, 3))"))
+
+  private def minhash4(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val aggs = (0 until 4).map(i =>
+      min(md5(concat(lit(s"$i:"), col("g")))).as(s"s$i"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def bandRows(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col) :+ explode(array(
+        struct(lit(0).as("band"), md5(concat(col("s0"), col("s1"))).as("sig")),
+        struct(lit(1).as("band"), md5(concat(col("s2"), col("s3"))).as("sig")))).as("bs"): _*)
+      .select(keys.map(col) :+ col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
+
+  /** Entity linking, FULL two-stage (the north star's "batched mention
+    * detection with entity-link scoring": blocked candidate generation by
+    * minhash over character 3-gram shingles, then exact-Jaccard
+    * score-and-resolve against the broadcast dictionary). Unlike
+    * `entityLink` (exact surface match) this links fuzzy mentions —
+    * misspellings and variants whose shingle Jaccard clears `threshold`.
+    *
+    * Plan shape at corpus scale: mention tokens are blocked against the
+    * (tiny, broadcast) dictionary band table — no all-pairs token×surface
+    * comparison; the verify stage joins candidate pairs to their shingle
+    * SETS (bounded by token length) and scores per pair with
+    * array_intersect. Output: (s, p, o=entity, n_mentions, top_jac). */
+  def entityLinkFuzzy(docs: DataFrame, dictionary: Seq[(String, String)],
+                      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // stage 0: distinct mention tokens (>= 3 chars, shingleable)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 3).distinct()
+    val sh = tok.select(col("doc_id"), col("w"), explode(shingles("w")).as("g"))
+    val mentionBands = bandRows(minhash4(sh, Seq("doc_id", "w")), Seq("doc_id", "w"))
+    // dictionary side (tiny; broadcast everywhere)
+    val dict = dictionary.toDF("surface", "entity").filter(length(col("surface")) >= 3)
+    val dsh = dict.select(col("surface"), col("entity"), explode(shingles("surface")).as("g"))
+    val dictBands = bandRows(minhash4(dsh, Seq("surface", "entity")), Seq("surface", "entity"))
+    // stage 1: blocked candidates — equi-join on (band, sig)
+    val cand = mentionBands.join(broadcast(dictBands), Seq("band", "sig"))
+      .select("doc_id", "w", "surface", "entity").distinct()
+    // stage 2: exact Jaccard verify on shingle sets, then resolve best
+    val wsets = sh.groupBy("doc_id", "w").agg(collect_set(col("g")).as("wg"))
+    val dsets = dsh.groupBy("surface", "entity").agg(collect_set(col("g")).as("sg"))
+    val scored = cand.join(wsets, Seq("doc_id", "w"))
+      .join(broadcast(dsets), Seq("surface", "entity"))
+      .withColumn("inter", size(array_intersect(col("wg"), col("sg"))))
+      .withColumn("jac",
+        col("inter") / (size(col("wg")) + size(col("sg")) - col("inter")))
+      .filter(col("jac") >= threshold)
+    val wnd = Window.partitionBy("doc_id", "w").orderBy(col("jac").desc, col("entity"))
+    val resolved = scored.withColumn("rn", row_number().over(wnd)).filter(col("rn") === 1)
+    resolved.groupBy(col("doc_id"), col("entity"))
+      .agg(countDistinct(col("w")).as("n_mentions"), round(max(col("jac")), 6).as("top_jac"))
+      .select(concat(lit(docNs), col("doc_id")).as("s"),
+        lit(pMentions).as("p"), col("entity").as("o"),
+        col("n_mentions"), col("top_jac"))
+  }
+
   /** BFS reachability (graph.ex reachability semantics): iterative frontier
     * join, depth-bounded. Edges (src, dst) as longs; returns (node,
     * depth=min). Each iteration is one shuffled equi-join; lineage is

@@ -65,6 +65,27 @@ class WebKgSpec extends AnyFunSuite {
     assert(!byKey.keySet.exists(_._2.endsWith("/supplier")))
   }
 
+  test("two-stage fuzzy entity linking: exact surfaces always link at jac=1") {
+    import spark.implicits._
+    val fuzzyDocs = Seq(
+      (0L, "the customer ordered a part", "en", "src0", 27L),
+      (1L, "spark vector pipeline", "en", "src0", 21L),
+      (2L, "nothing relevant here", "en", "src1", 21L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = WebKg.entityLinkFuzzy(fuzzyDocs, WebKg.defaultDictionary)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+    // identical shingle sets always survive blocking and score 1.0
+    val exact = rows.filter(_._4 == 1.0).map(r => (r._1, r._2)).toSet
+    assert(exact.contains((WebKg.docNs + "0", WebKg.entityNs + "customer")))
+    assert(exact.contains((WebKg.docNs + "0", WebKg.entityNs + "part")))
+    assert(exact.contains((WebKg.docNs + "1", WebKg.entityNs + "spark")))
+    assert(exact.contains((WebKg.docNs + "1", WebKg.entityNs + "vector")))
+    // every link clears the threshold; doc 2 links nothing
+    assert(rows.forall(_._4 >= 0.5))
+    assert(!rows.exists(_._1 == WebKg.docNs + "2"))
+  }
+
   test("reachability BFS returns minimum depths") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
