@@ -38,6 +38,32 @@ object Streaming {
       .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
 
+  /** Incremental KG materialization: streaming extraction feeding the
+    * bucketed lineage store through foreachBatch — the "crawl keeps
+    * arriving" deployment. Each micro-batch runs extract -> dedup ->
+    * `Materialize.materialize` with the batch id in the lineage row, so
+    * the store is resumable at BOTH levels: Structured Streaming's
+    * checkpoint skips seen files, and the lineage table records which
+    * buckets each batch completed (idempotent per-bucket overwrite on
+    * replay). Returns the started query; stop it via the handle. */
+  def incrementalMaterialize(spark: SparkSession, pagesDir: String,
+                             schema: StructType, root: String,
+                             numBuckets: Int = 16,
+                             checkpoint: Option[String] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val triples = streamingExtraction(spark, pagesDir, schema)
+    triples.writeStream
+      .option("checkpointLocation",
+        checkpoint.getOrElse(s"$root/_checkpoint"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val deduped = WebKg.dedupTriples(batch.toDF())
+        graft.pipeline.Materialize.materializeIncrement(
+          deduped, root, numBuckets, f"stream-$batchId%06d")
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming query over a static directory to completion (test/
     * verify path): memory sink, process-all-available, return the result. */
   def runToCompletion(streaming: DataFrame, queryName: String,

@@ -74,6 +74,39 @@ object Materialize {
     readLineage(spark, root).get.filter(col("batch_id") === batchId)
   }
 
+  /** Incremental variant for streaming/append workloads: each batch owns
+    * its own `batch_id=<id>/bucket=<b>` partitions, so dynamic overwrite
+    * on REPLAY of a batch is idempotent while other batches' data is
+    * untouched; the per-(batch, bucket) lineage row records completion.
+    * A store is either snapshot-managed (`materialize`, bucket layout) or
+    * increment-managed (this, batch/bucket layout) — don't mix layouts in
+    * one root. Cross-batch duplicates are a compaction concern (set
+    * semantics hold within a batch). */
+  def materializeIncrement(triples: DataFrame, root: String, numBuckets: Int,
+                           batchId: String): DataFrame = {
+    val spark = triples.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val bucketed = triples.withColumn("bucket", bucketCol(numBuckets))
+      .withColumn("batch_id", lit(batchId))
+    val remaining = readLineage(spark, root) match {
+      case Some(lin) =>
+        bucketed.join(
+          broadcast(lin.filter(col("batch_id") === batchId)
+            .select("bucket").distinct()), Seq("bucket"), "left_anti")
+      case None => bucketed
+    }
+    val cached = remaining.persist()
+    try {
+      cached.write.mode(SaveMode.Overwrite).partitionBy("batch_id", "bucket")
+        .parquet(s"$root/data")
+      val stats = cached.groupBy("bucket")
+        .agg(count(lit(1)).as("n_triples"), countDistinct(col("s")).as("n_subjects"))
+        .withColumn("batch_id", lit(batchId))
+      stats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
+    } finally cached.unpersist()
+    readLineage(spark, root).get.filter(col("batch_id") === batchId)
+  }
+
   def readLineage(spark: SparkSession, root: String): Option[DataFrame] =
     try Some(spark.read.parquet(s"$root/lineage"))
     catch { case _: Exception => None }

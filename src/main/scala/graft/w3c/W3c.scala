@@ -118,20 +118,30 @@ object W3cScore {
     ("/root/reference/test/data/rdf-tests/rdf11/rdf-trig",
       "https://w3c.github.io/rdf-tests/rdf/rdf11/rdf-trig/"))
 
+  private val subjectIri = "https://example.org/graft/rdfexspark"
+
   def main(args: Array[String]): Unit = {
     val filter = args.headOption.getOrElse("")
     for ((dir, base) <- suites if dir.contains(filter) || filter.isEmpty) {
       val suite = loadManifest(dir, base)
       var pass = 0; var fail = 0
       val failures = Seq.newBuilder[(String, String)]
+      val results = Seq.newBuilder[(String, Boolean)]
       for (e <- suite.entries) {
         runEntry(suite, e) match {
-          case Pass => pass += 1
-          case Fail(r) => fail += 1; failures += ((e.name.getOrElse(e.iri), r))
+          case Pass => pass += 1; results += e.iri -> true
+          case Fail(r) =>
+            fail += 1; failures += ((e.name.getOrElse(e.iri), r))
+            results += e.iri -> false
         }
       }
-      println(s"== ${dir.substring(dir.lastIndexOf('/') + 1)}: $pass pass, $fail fail, ${suite.entries.size} total")
+      val name = dir.substring(dir.lastIndexOf('/') + 1)
+      println(s"== $name: $pass pass, $fail fail, ${suite.entries.size} total")
       failures.result().take(25).foreach { case (n, r) => println(s"  FAIL $n: ${r.take(140)}") }
+      // EARL report per suite (earl_formatter.ex shape)
+      val out = java.nio.file.Paths.get(s"target/earl_reports/$name.ttl")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, Earl.report(subjectIri, results.result()))
     }
     // rdf-canon suite
     canonScore(filter)

@@ -29,6 +29,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("incremental materialize: two page waves land as separate idempotent batches") {
+    import spark.implicits._
+    val pagesDir = java.nio.file.Files.createTempDirectory("graft_incr_pages").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_store").toString
+    def docs(ids: Seq[Long]) = ids.map(i =>
+      (i, s"wave doc $i text", "en", s"src${i % 2}", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val wave1 = WebKg.synthesizeWebPages(docs(Seq(0L, 1L)))
+    wave1.write.mode("append").parquet(pagesDir)
+
+    val q = Streaming.incrementalMaterialize(spark, pagesDir, wave1.schema, root,
+      numBuckets = 4)
+    q.processAllAvailable()
+    val afterWave1 = graft.pipeline.Materialize.readGraph(spark, root).count()
+    assert(afterWave1 == WebKg.dedupTriples(WebKg.extractFlat(wave1)).count())
+
+    // second wave: only the new files are processed; old batches untouched
+    WebKg.synthesizeWebPages(docs(Seq(2L, 3L))).write.mode("append").parquet(pagesDir)
+    q.processAllAvailable()
+    q.stop()
+    val total = graft.pipeline.Materialize.readGraph(spark, root).count()
+    assert(total == 2 * afterWave1) // same doc shape per wave
+    // lineage carries one batch id per wave
+    val batches = graft.pipeline.Materialize.readLineage(spark, root).get
+      .select("batch_id").distinct().collect().map(_.getString(0)).sorted
+    assert(batches.length == 2 && batches.forall(_.startsWith("stream-")))
+  }
+
   test("watermarked windowed event counts match batch date_trunc aggregation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
