@@ -114,6 +114,35 @@ object Materialize {
   def readGraph(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/data")
 
+  /** Scala twin of bucketCol for a known subject string. */
+  def bucketOf(subject: String, numBuckets: Int): Int = {
+    val hex = graft.core.Skolem.hash128Hex(subject).substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % numBuckets).toInt
+  }
+
+  /** Point lookup of one subject's description against the bucketed store:
+    * the bucket id is computed driver-side, so the filter is a PARTITION
+    * predicate — Spark prunes to the one bucket directory and scans
+    * ~1/numBuckets of the data (the reference's S->P->O index lookup,
+    * translated to storage-layout pruning). */
+  def lookupSubject(spark: SparkSession, root: String, subject: String,
+                    numBuckets: Int): DataFrame =
+    readGraph(spark, root)
+      .filter(col("bucket") === bucketOf(subject, numBuckets))
+      .filter(col("s") === subject)
+
+  /** Compact an increment-managed store (batch_id/bucket layout) into a
+    * snapshot-managed one (bucket layout) with GLOBAL set-semantic dedup —
+    * the cross-batch duplicate cleanup that per-batch dedup can't do.
+    * Writes to `destRoot` (fresh store), one shuffle on the triple key. */
+  def compact(spark: SparkSession, srcRoot: String, destRoot: String,
+              numBuckets: Int, batchId: String): DataFrame = {
+    val data = readGraph(spark, srcRoot)
+    val cols = data.columns.filterNot(c => c == "bucket" || c == "batch_id")
+    materialize(data.select(cols.map(col): _*).dropDuplicates(),
+      destRoot, numBuckets, batchId)
+  }
+
   /** Incremental-materialization primitive: the Diff semantics of the
     * reference (`lib/rdf/model/diff.ex`) — additions/deletions between two
     * triple sets, as two anti-joins. */

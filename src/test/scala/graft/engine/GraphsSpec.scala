@@ -158,6 +158,38 @@ class GraphsSpec extends AnyFunSuite {
     assert(Materialize.readGraph(spark, root).count() == 100) // idempotent overwrite
   }
 
+  test("lookupSubject prunes to one bucket partition") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lookup").toString
+    val triples = (0 until 200)
+      .map(i => (s"http://ex.org/s$i", ex + "p", s"o$i")).toDF("s", "p", "o")
+    Materialize.materialize(triples, root, numBuckets = 8, batchId = "b1")
+    val df = Materialize.lookupSubject(spark, root, "http://ex.org/s42", 8)
+    assert(df.collect().map(_.getString(2)).toSeq == Seq("o42"))
+    // the bucket predicate must be a PARTITION filter (directory pruning)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.partitionFilters.exists(
+      _.references.exists(_.name == "bucket"))), scans.map(_.partitionFilters))
+  }
+
+  test("compact merges incremental batches with global dedup") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val a = Seq(("http://e/s1", ex + "p", "x"), ("http://e/s2", ex + "p", "y"))
+      .toDF("s", "p", "o")
+    val b = Seq(("http://e/s2", ex + "p", "y"), ("http://e/s3", ex + "p", "z"))
+      .toDF("s", "p", "o") // overlaps with a on s2
+    Materialize.materializeIncrement(a, src, 4, "b1")
+    Materialize.materializeIncrement(b, src, 4, "b2")
+    assert(Materialize.readGraph(spark, src).count() == 4) // dup retained per batch
+    Materialize.compact(spark, src, dest, 4, "snap1")
+    assert(Materialize.readGraph(spark, dest).count() == 3) // global set semantics
+  }
+
   test("diff yields additions and deletions") {
     import spark.implicits._
     val before = Seq(("s1", "p", "a"), ("s2", "p", "b")).toDF("s", "p", "o")
