@@ -207,6 +207,27 @@ object XsdOps {
   def lessThan(a: Term, b: Term): Option[Boolean] = compare(a, b).map(_ < 0)
   def greaterThan(a: Term, b: Term): Option[Boolean] = compare(a, b).map(_ > 0)
 
+  /** Value equality (literal.ex:298-315 / iri.ex:363-387): term-identical
+    * -> true; comparable literals -> value compare == 0 (so "1" and "01"
+    * as xsd:integer are equal); same datatype but incomparable lexicals ->
+    * false; different uncomparable datatypes -> None (the reference's
+    * nil). Non-literals compare by identity. */
+  def valueEqual(a: Term, b: Term): Option[Boolean] = {
+    if (a == null || b == null) return None
+    if (a == b) return Some(true)
+    if (!a.isLiteral || !b.isLiteral)
+      return if (a.kind == b.kind) Some(false)
+        else if (!a.isLiteral && !b.isLiteral) Some(false)
+        else None // resource vs literal: incomparable
+    compare(a, b) match {
+      case Some(c) => Some(c == 0)
+      case None =>
+        // same datatype: distinct (possibly invalid) lexicals -> not equal;
+        // unrelated datatypes: unknown (nil)
+        if (a.datatype == b.datatype && a.lang == b.lang) Some(false) else None
+    }
+  }
+
   /** Sortable key for a deterministic TOTAL order over terms (used for
     * orderBy): kind, then per-datatype comparable encoding, falling back to
     * NT byte form. Numerics are encoded so byte order == numeric order:

@@ -162,6 +162,49 @@ object Graphs {
       }.toDF(keyCol, "s", "p", "o")
   }
 
+  /** Graph.Reachability.reachable/3 over TERM graphs
+    * (lib/rdf/model/graph/reachability.ex:12-120): all statements reachable
+    * from `start` by following resource objects — `followBnodesOnly=true`
+    * is the `:bnodes` strategy, i.e. the Concise Bounded Description;
+    * `predicates` restricts which edges are followed. Iterative frontier
+    * join with per-iteration localCheckpoint (flat lineage) and early exit
+    * on a closed frontier. Returns the reachable statements (s, p, o). */
+  def descriptionClosure(g: DataFrame, start: Term,
+                         followBnodesOnly: Boolean = false,
+                         maxDepth: Int = 20,
+                         predicates: Seq[String] = Nil): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    val gp = (if (predicates.isEmpty) g
+              else g.filter(col("p")("value").isin(predicates: _*))).persist()
+    // Tuple1 keeps the term as ONE struct column (a bare Dataset[Term]
+    // would flatten into kind/value/datatype/lang)
+    var visited = Seq(Tuple1(start)).toDF("node").localCheckpoint()
+    var frontier = visited
+    val layers = scala.collection.mutable.Buffer.empty[DataFrame]
+    var d = 0
+    var done = false
+    while (d < maxDepth && !done) {
+      val tris = gp.join(frontier, gp("s") === frontier("node"))
+        .select(gp("s").as("s"), gp("p").as("p"), gp("o").as("o"))
+        .localCheckpoint()
+      layers += tris
+      val follow = if (followBnodesOnly) Terms.isBnode(col("o"))
+                   else Terms.isResource(col("o"))
+      val newNodes = tris.filter(follow).select(col("o").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti").localCheckpoint()
+      done = newNodes.isEmpty
+      if (!done) {
+        frontier = newNodes
+        visited = visited.unionByName(newNodes).localCheckpoint()
+      }
+      d += 1
+    }
+    gp.unpersist()
+    if (layers.isEmpty) g.limit(0)
+    else layers.reduce(_ unionByName _).dropDuplicates()
+  }
+
   /** Blank-node connected components via iterative min-label propagation
     * over bnode co-occurrence edges — the grouping step before full-dataset
     * RDFC when graphs are NOT pre-partitioned by document. Returns

@@ -158,6 +158,41 @@ class GraphsSpec extends AnyFunSuite {
     assert(Materialize.readGraph(spark, root).count() == 100) // idempotent overwrite
   }
 
+  test("descriptionClosure follows resources; :bnodes mode is the CBD") {
+    import spark.implicits._
+    val g = Seq(
+      tri("a", "p", Term.bnode("b1")),
+      Triple(Term.bnode("b1"), Term.iri(ex + "q"), Term.str("v")),
+      Triple(Term.bnode("b1"), Term.iri(ex + "r"), Term.iri(ex + "c")),
+      tri("c", "p", Term.str("past-iri")), // reachable via IRI only
+      tri("z", "p", Term.str("unrelated"))).toDF()
+    // :bnodes (CBD): stop at IRI objects
+    val cbd = Graphs.descriptionClosure(g, Term.iri(ex + "a"), followBnodesOnly = true)
+    assert(cbd.count() == 3) // a's triple + b1's two
+    assert(cbd.filter(col("s")("value") === ex + "c").isEmpty)
+    // :all — IRIs followed too
+    val all = Graphs.descriptionClosure(g, Term.iri(ex + "a"))
+    assert(all.count() == 4)
+    // predicate whitelist prunes edges
+    val onlyP = Graphs.descriptionClosure(g, Term.iri(ex + "a"),
+      predicates = Seq(ex + "p"))
+    assert(onlyP.count() == 1)
+  }
+
+  test("valueEqual: canonical-value equality, nil for incomparable") {
+    import graft.core.XsdOps
+    assert(XsdOps.valueEqual(Term.int(1), Term.typedLit("01", Vocab.xsdInteger)).contains(true))
+    assert(XsdOps.valueEqual(Term.int(1), Term.typedLit("1.0", Vocab.xsdDecimal)).contains(true))
+    assert(XsdOps.valueEqual(Term.int(1), Term.int(2)).contains(false))
+    assert(XsdOps.valueEqual(Term.iri(ex + "a"), Term.iri(ex + "a")).contains(true))
+    assert(XsdOps.valueEqual(Term.iri(ex + "a"), Term.iri(ex + "b")).contains(false))
+    // unrelated datatypes -> nil (reference returns nil)
+    assert(XsdOps.valueEqual(Term.str("1"), Term.int(1)).isEmpty)
+    // same unknown datatype, different lexicals -> false
+    assert(XsdOps.valueEqual(
+      Term.typedLit("a", "http://e/custom"), Term.typedLit("b", "http://e/custom")).contains(false))
+  }
+
   test("lookupSubject prunes to one bucket partition") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_lookup").toString
