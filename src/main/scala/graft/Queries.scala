@@ -574,6 +574,38 @@ object Queries {
           |'verify' AS batch_id
           |FROM tr GROUP BY 1""".stripMargin)),
 
+    // point lookup against the bucketed store: the bucket id is computed
+    // driver-side so the filter prunes to ONE bucket directory (the S->P->O
+    // index as storage layout); oracle recomputes the same subject's rows
+    "kg_lookup" -> Q(
+      (s, d) => {
+        val root = s"/tmp/graft_lookup_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        val docs = t(s, d, "documents")
+        val triples = WebKg.extractFlat(WebKg.synthesizeWebPages(docs))
+        graft.pipeline.Materialize.materialize(triples, root, 16, "verify")
+        // doc 3's url (tiny driver-side lookup to build the point key)
+        val src = docs.filter(col("doc_id") === 3).select("source").head.getString(0)
+        val subject = s"https://$src.example.org/doc/3"
+        graft.pipeline.Materialize.lookupSubject(s, root, subject, 16)
+          .select("s", "p", "o")
+      },
+      Some(kgPagesSql +
+        """, tr AS (
+          |SELECT url AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+          |  'http://graft.dev/vocab#WebPage' AS o FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#title', 'Doc '||doc_id
+          |  FROM pages WHERE doc_id % 10 <> 9
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#lang', lang FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#links',
+          |  'https://'||source||'.example.org/doc/'||((doc_id*7+1)%100000) FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#created',
+          |  strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#textSha', md5(text) FROM pages)
+          |SELECT s, p, o FROM tr
+          |WHERE s = (SELECT 'https://'||source||'.example.org/doc/3'
+          |           FROM documents WHERE doc_id = 3)""".stripMargin)),
+
     // entity linking, two-stage fuzzy: minhash blocking over character
     // 3-gram shingles -> exact-Jaccard score-and-resolve (the north star's
     // blocked candidate generation; `kg_entity_link` below is the exact-

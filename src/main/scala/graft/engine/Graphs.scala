@@ -98,6 +98,24 @@ object Graphs {
       .groupBy("subject")
       .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("predications"))
 
+  // ------------------------------------------------------- dataset (quads)
+
+  /** RDF.Dataset.graph_count (dataset.ex:744): distinct graphs, the default
+    * graph (g = null) counted when it holds statements. */
+  def graphCount(quads: DataFrame): Long = quads.select("g").distinct().count()
+
+  /** RDF.Dataset.who_describes (dataset.ex:937): the graph names holding
+    * statements about a subject. */
+  def whoDescribes(quads: DataFrame, subject: Term): DataFrame =
+    quads.filter(col("s") === Terms.constTerm(subject)).select("g").distinct()
+
+  /** One named graph of a dataset (null = the default graph). */
+  def graph(quads: DataFrame, name: Term): DataFrame = {
+    val cond = if (name == null) col("g").isNull
+               else col("g") === Terms.constTerm(name)
+    quads.filter(cond).select("s", "p", "o")
+  }
+
   // ------------------------------------------------------------ serialization
 
   /** Canonical sorted N-Triples lines of a term-struct graph — Column-only

@@ -158,6 +158,19 @@ class GraphsSpec extends AnyFunSuite {
     assert(Materialize.readGraph(spark, root).count() == 100) // idempotent overwrite
   }
 
+  test("quad-level dataset API: graphCount, whoDescribes, graph") {
+    import spark.implicits._
+    val quads = Seq(
+      Quad(Term.iri(ex + "a"), Term.iri(ex + "p"), Term.str("1"), null),
+      Quad(Term.iri(ex + "a"), Term.iri(ex + "p"), Term.str("2"), Term.iri(ex + "g1")),
+      Quad(Term.iri(ex + "b"), Term.iri(ex + "p"), Term.str("3"), Term.iri(ex + "g2"))).toDF()
+    assert(Graphs.graphCount(quads) == 3) // default + g1 + g2
+    val who = Graphs.whoDescribes(quads, Term.iri(ex + "a")).collect()
+    assert(who.length == 2)
+    assert(Graphs.graph(quads, Term.iri(ex + "g2")).count() == 1)
+    assert(Graphs.graph(quads, null).count() == 1)
+  }
+
   test("descriptionClosure follows resources; :bnodes mode is the CBD") {
     import spark.implicits._
     val g = Seq(
