@@ -191,6 +191,51 @@ class W3cSuitesSpec extends AnyFunSuite {
     }
   }
 
+  test("Turtle encoder fuzz: 150 random graphs round-trip isomorphically") {
+    val rnd = new scala.util.Random(20260816L)
+    val ex = "http://e/"
+    def randLiteral(): Term = rnd.nextInt(6) match {
+      case 0 => Term.str(s"v${rnd.nextInt(50)} \"q\" \\n")
+      case 1 => Term.int(rnd.nextInt(1000) - 500)
+      case 2 => Term.typedLit(s"${rnd.nextInt(100)}.5", Vocab.xsdDecimal)
+      case 3 => Term.typedLit("1.5E2", Vocab.xsdDouble)
+      case 4 => Term.langLit(s"l${rnd.nextInt(20)}", "en")
+      case _ => Term.bool(rnd.nextBoolean())
+    }
+    def randGraph(): Seq[Triple] = {
+      val nBn = rnd.nextInt(4)
+      // give each bnode a unique literal so RDFC stays cheap (no symmetry)
+      val bnodes = (0 until nBn).map(i => Term.bnode(s"b$i"))
+      val anchor = bnodes.zipWithIndex.map { case (b, i) =>
+        Triple(b, Term.iri(ex + "id"), Term.str(s"bn$i")) }
+      val body = (0 until 3 + rnd.nextInt(8)).map { _ =>
+        val s = if (bnodes.nonEmpty && rnd.nextBoolean()) bnodes(rnd.nextInt(nBn))
+                else Term.iri(ex + s"s${rnd.nextInt(5)}")
+        val o = rnd.nextInt(4) match {
+          case 0 if bnodes.nonEmpty => bnodes(rnd.nextInt(nBn))
+          case 1 => Term.iri(ex + s"o${rnd.nextInt(5)}")
+          case 2 => Term.quoted(Triple(Term.iri(ex + "qs"),
+            Term.iri(ex + "qp"), randLiteral()))
+          case _ => randLiteral()
+        }
+        Triple(s, Term.iri(ex + s"p${rnd.nextInt(4)}"), o)
+      }
+      // sometimes a collection
+      val list = if (rnd.nextBoolean()) {
+        val (h, ts) = graft.core.RdfList.toTriples(
+          Seq(randLiteral(), randLiteral()), s"fuzz${rnd.nextInt(1000)}")
+        Triple(Term.iri(ex + "s0"), Term.iri(ex + "list"), h) +: ts
+      } else Nil
+      (anchor ++ body ++ list).distinct
+    }
+    for (i <- 1 to 150) {
+      val g = randGraph()
+      val enc = TurtleEncoder.encode(g, Map("" -> ex))
+      val back = Turtle.parse(enc, ex).triples
+      assert(Rdfc10.isomorphicTriples(g, back), s"case $i:\n$enc")
+    }
+  }
+
   test("Turtle encoder round-trip: decode(encode(g)) isomorphic to g") {
     val g = Turtle.parse(W3c.readFile(
       "/root/reference/test/data/rdf-tests/rdf11/rdf-turtle/turtle-syntax-bnode-05.ttl"),
