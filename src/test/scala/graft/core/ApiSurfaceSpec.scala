@@ -85,6 +85,21 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(!Xsd.valid("{", Vocab.rdfJson))
   }
 
+  test("XsdExtra: hexBinary and gYear-family plug in via the registry") {
+    XsdExtra.register()
+    assert(Xsd.valid("0fB7", XsdExtra.xsdHexBinary))
+    assert(!Xsd.valid("0fB", XsdExtra.xsdHexBinary)) // odd digit count
+    assert(Xsd.canonicalLexical("0fb7", XsdExtra.xsdHexBinary).contains("0FB7"))
+    assert(Xsd.valid("2026", XsdExtra.xsdGYear))
+    assert(Xsd.valid("-0044", XsdExtra.xsdGYear))
+    assert(!Xsd.valid("202", XsdExtra.xsdGYear))
+    assert(Xsd.canonicalLexical("2026+00:00", XsdExtra.xsdGYear).contains("2026Z"))
+    assert(Xsd.valid("2026-08", XsdExtra.xsdGYearMonth))
+    assert(!Xsd.valid("2026-13", XsdExtra.xsdGYearMonth))
+    assert(Xsd.canonicalLexical("2026-08-00:00", XsdExtra.xsdGYearMonth)
+      .contains("2026-08Z"))
+  }
+
   test("EARL report is valid Turtle with one assertion per test") {
     val rep = graft.w3c.Earl.report("https://example.org/graft",
       Seq("http://t/1" -> true, "http://t/2" -> false))

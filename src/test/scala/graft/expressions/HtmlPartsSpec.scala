@@ -73,6 +73,14 @@ class HtmlPartsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.collect().mkString("\n"))
   }
 
+  test("html_parts is callable from SQL after function registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT html_parts('<html><title>t</title><p>body</p></html>') AS hp")
+      .select("hp.title", "hp.text").collect().head
+    assert(r.getString(0) == "t" && r.getString(1) == "body")
+  }
+
   test("HtmlParts stays inside whole-stage codegen (no fallback)") {
     import graft.pipeline.WebKg
     // a range source forces a real codegen stage (a local Seq would be
