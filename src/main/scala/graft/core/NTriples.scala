@@ -299,10 +299,15 @@ object NTriples {
         val tag = line.substring(start, pos)
         // RDF 1.2 directional language strings: optional base direction
         // suffix "--ltr"/"--rtl" (lowercase only; the reference does not
-        // support these yet — its syntax suite skips nt-ttl-base-1/2)
+        // support these yet — its syntax suite skips nt-ttl-base-1/2).
+        // RDF 1.2 assigns them datatype rdf:dirLangString (NOT langString),
+        // so typed dispatch and term equality distinguish them; the flat
+        // 4-field schema packs "lang--dir" into the lang slot (accessors
+        // Term.langBase / Term.baseDirection split it back out).
         if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*(--(ltr|rtl))?")) fail("bad language tag")
+        val dt = if (tag.contains("--")) Vocab.rdfDirLangString else Vocab.rdfLangString
         // data-model lowercase normalization, like the reference's LangString
-        Term(TermKind.LITERAL, lex, Vocab.rdfLangString, tag.toLowerCase)
+        Term(TermKind.LITERAL, lex, dt, tag.toLowerCase)
       } else if (pos + 1 < line.length && line.charAt(pos) == '^' && line.charAt(pos + 1) == '^') {
         pos += 2
         val dt = iriRef()

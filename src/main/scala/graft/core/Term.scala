@@ -42,6 +42,19 @@ final case class Term(kind: Byte, value: String, datatype: String, lang: String)
   /** Destructure a quoted-triple term (None for other kinds). */
   def asTriple: Option[Triple] =
     if (isQuoted) Some(NTriples.parseQuotedString(value)) else None
+
+  /** BCP47 language without the base-direction suffix. For a plain
+    * rdf:langString this is `lang`; for an RDF 1.2 rdf:dirLangString the
+    * flat 4-field schema packs "lang--dir" into the lang field, so this
+    * strips the direction component. */
+  def langBase: String =
+    if (lang == null) null
+    else lang.indexOf("--") match { case -1 => lang; case i => lang.substring(0, i) }
+
+  /** Base direction ("ltr"/"rtl") of an rdf:dirLangString, else null. */
+  def baseDirection: String =
+    if (lang == null) null
+    else lang.indexOf("--") match { case -1 => null; case i => lang.substring(i + 2) }
 }
 
 object Term {
@@ -109,6 +122,8 @@ object Vocab {
 
   val rdfType = rdf + "type"
   val rdfLangString = rdf + "langString"
+  /** RDF 1.2 directional language-tagged string datatype. */
+  val rdfDirLangString = rdf + "dirLangString"
   val rdfJson = rdf + "JSON"
   val rdfFirst = rdf + "first"
   val rdfRest = rdf + "rest"

@@ -513,9 +513,13 @@ object Turtle {
         val start = pos
         while (Character.isLetterOrDigit(peek) || peek == '-') pos += 1
         val tag = in.substring(start, pos)
-        // RDF 1.2 directional language strings ("--ltr"/"--rtl", lowercase)
+        // RDF 1.2 directional language strings ("--ltr"/"--rtl", lowercase):
+        // typed rdf:dirLangString, direction packed as "lang--dir" (see
+        // NTriples for the schema rationale; Term.langBase/baseDirection)
         if (!tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*(--(ltr|rtl))?")) fail("bad language tag")
-        Term.langLit(lex, tag)
+        if (tag.contains("--"))
+          Term(TermKind.LITERAL, lex, Vocab.rdfDirLangString, tag.toLowerCase)
+        else Term.langLit(lex, tag)
       } else if (peek == '^' && peekAt(1) == '^') {
         pos += 2
         skipWs()

@@ -41,6 +41,28 @@ object TurtleEncoder {
     val objRefs: Map[Term, Int] =
       triples.filter(_.o.isBnode).groupBy(_.o).view.mapValues(_.size).toMap
 
+    // bnodes occurring INSIDE quoted-triple (RDF-star) terms, at any depth:
+    // they must render labeled everywhere (Turtle-star forbids property
+    // lists / collections inside << >>), so they are never inline/[]/()
+    // candidates — an inlined description would otherwise be lost or
+    // duplicated and the round-trip would not be isomorphic.
+    val starRef: Set[Term] = {
+      val acc = mutable.HashSet.empty[Term]
+      def walk(t: Term): Unit = t.kind match {
+        case TermKind.TRIPLE =>
+          val i = NTriples.parseQuotedString(t.value)
+          walkIn(i.s); walkIn(i.p); walkIn(i.o)
+        case _ =>
+      }
+      def walkIn(t: Term): Unit = t.kind match {
+        case TermKind.BNODE => acc += t
+        case TermKind.TRIPLE => walk(t)
+        case _ =>
+      }
+      triples.foreach { t => walk(t.s); walk(t.o) }
+      acc.toSet
+    }
+
     // ---- list reconstruction: pure first/rest chains
     def chainParts(t: Term): Option[(Term, Term)] = bySubject.get(t) match {
       case Some(ts) if t.isBnode && ts.size == 2 =>
@@ -53,9 +75,10 @@ object TurtleEncoder {
     // heads: chain nodes not referenced by another chain node's rdf:rest
     val restTargets = bySubject.keys.flatMap(chainParts(_).map(_._2)).toSet
     val lists = mutable.HashMap.empty[Term, Vector[Term]]
+    val chainNodesByHead = mutable.HashMap.empty[Term, Set[Term]]
     val chainConsumed = mutable.HashSet.empty[Term]
     for (h <- bySubject.keys if chainParts(h).isDefined && !restTargets.contains(h)
-         if objRefs.getOrElse(h, 0) == 1) {
+         if objRefs.getOrElse(h, 0) == 1 && !starRef.contains(h)) {
       val elems = Vector.newBuilder[Term]
       val nodes = mutable.LinkedHashSet.empty[Term]
       var cur = h
@@ -63,17 +86,22 @@ object TurtleEncoder {
       while (ok && !isNil(cur)) {
         chainParts(cur) match {
           case Some((f, r)) if objRefs.getOrElse(cur, 0) == 1 && !nodes.contains(cur) &&
-            (r.isBnode || isNil(r)) =>
+            !starRef.contains(cur) && (r.isBnode || isNil(r)) =>
             nodes += cur; elems += f; cur = r
           case _ => ok = false
         }
       }
-      if (ok) { lists(h) = elems.result(); chainConsumed ++= nodes }
+      if (ok) {
+        lists(h) = elems.result()
+        chainNodesByHead(h) = nodes.toSet
+        chainConsumed ++= nodes
+      }
     }
 
     // ---- [] inlining candidates: described bnodes referenced exactly once
     var propInline: Set[Term] = bySubject.keySet.filter(t =>
-      t.isBnode && objRefs.getOrElse(t, 0) == 1 && !chainConsumed.contains(t))
+      t.isBnode && objRefs.getOrElse(t, 0) == 1 && !chainConsumed.contains(t) &&
+        !starRef.contains(t))
 
     // demote cycle members back to labeled form (A -> B -> A can't inline)
     def inlineTargets(t: Term): Seq[Term] = {
@@ -90,8 +118,18 @@ object TurtleEncoder {
         state(t) = 1
         for (n <- inlineTargets(t) if !demoted) {
           state.get(n) match {
-            case Some(1) => // back edge: cycle — demote target
-              propInline -= n; demoted = true
+            case Some(1) => // back edge: cycle — demote target from WHICHEVER
+              // structure holds it (a list-only head would otherwise make
+              // `propInline -= n` a no-op and this loop spin forever on valid
+              // input like `_:l rdf:first _:l ; rdf:rest rdf:nil .`)
+              if (propInline.contains(n)) propInline -= n
+              else if (lists.contains(n)) {
+                lists -= n
+                // restore the chain's cons cells so they emit labeled
+                chainConsumed --= chainNodesByHead.getOrElse(n, Set.empty)
+                chainNodesByHead -= n
+              }
+              demoted = true
             case Some(_) =>
             case None => dfs(n)
           }
@@ -109,17 +147,18 @@ object TurtleEncoder {
         "(" + lists(t).map(renderTerm).mkString(" ") + ")"
       case TermKind.BNODE if propInline.contains(t) =>
         "[ " + body(bySubject(t), inline = true) + " ]"
-      case TermKind.BNODE if !bySubject.contains(t) && objRefs.getOrElse(t, 0) == 1 =>
-        "[]" // leaf anonymous node, single use
+      case TermKind.BNODE if !bySubject.contains(t) && objRefs.getOrElse(t, 0) == 1 &&
+        !starRef.contains(t) =>
+        "[]" // leaf anonymous node, single use, never echoed inside << >>
       case TermKind.IRI => iri(t.value, prefixes)
       case TermKind.BNODE => "_:" + t.value
       case TermKind.LITERAL => literal(t, prefixes)
       case TermKind.TRIPLE =>
-        // re-encode the quoted triple with the document's prefixes
-        val inner = NTriples.parseQuotedString(t.value)
-        "<< " + renderTerm(inner.s) + " " +
-          (if (inner.p.value == Vocab.rdfType) "a" else renderTerm(inner.p)) +
-          " " + renderTerm(inner.o) + " >>"
+        // re-encode the quoted triple with the document's prefixes; inner
+        // terms use the LABELED helper — Turtle-star forbids [ ] / ( )
+        // property lists inside << >>, and inlining there would duplicate
+        // the description (non-isomorphic on re-parse)
+        term(t, prefixes)
       case k => throw new IllegalArgumentException(s"unsupported term kind $k")
     }
 
@@ -140,7 +179,7 @@ object TurtleEncoder {
       .filter { case (s, _) => !chainConsumed.contains(s) && !propInline.contains(s) }
       .sortBy { case (s, _) => subjectKey(s) }
     for ((subj, ts) <- topLevel) {
-      if (subj.isBnode && objRefs.getOrElse(subj, 0) == 0)
+      if (subj.isBnode && objRefs.getOrElse(subj, 0) == 0 && !starRef.contains(subj))
         sb.append("[\n    ").append(body(ts, inline = false)).append("\n] .\n")
       else
         sb.append(renderTerm(subj) match {

@@ -14,9 +14,12 @@ object XsdExtra {
   val xsdGYearMonth: String = Vocab.xsd + "gYearMonth"
 
   private val hexRe = "^([0-9a-fA-F]{2})*$".r
-  // gYear: '-'? yyyy (4+ digits, no year 0 handling beyond non-empty) + tz?
-  private val gYearRe = "^(-?\\d{4,})(Z|[+-]\\d{2}:\\d{2})?$".r
-  private val gYearMonthRe = "^(-?\\d{4,})-(\\d{2})(Z|[+-]\\d{2}:\\d{2})?$".r
+  // gYear: '-'? yyyy + tz?. XML Schema: 4 digits minimum, and "if more than
+  // four digits, leading zeros are prohibited" — 5+ digit years must start
+  // with a nonzero digit ("02026" is invalid), while exactly-4 forms keep
+  // their leading zeros ("0206" is year 206).
+  private val gYearRe = "^(-?(?:[1-9]\\d{4,}|\\d{4}))(Z|[+-]\\d{2}:\\d{2})?$".r
+  private val gYearMonthRe = "^(-?(?:[1-9]\\d{4,}|\\d{4}))-(\\d{2})(Z|[+-]\\d{2}:\\d{2})?$".r
 
   def validHexBinary(lex: String): Boolean = hexRe.matches(lex)
   /** Canonical hexBinary is UPPERCASE hex digits (XML Schema 1.1 §3.3.18). */

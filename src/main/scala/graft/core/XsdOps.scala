@@ -239,7 +239,7 @@ object XsdOps {
     * so |x| >= 1e20 stays ordered. Fraction trailing zeros are stripped so
     * equal values ("1.5" vs "1.50") share one key. */
   def sortKey(t: Term): String = {
-    if (t == null) return " "
+    if (t == null) return "\u0000"
     val tag = t.kind.toString
     if (!t.isLiteral) return s"$tag|${t.value}"
     parseNumeric(t) match {

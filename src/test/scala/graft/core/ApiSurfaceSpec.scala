@@ -98,6 +98,52 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(!Xsd.valid("2026-13", XsdExtra.xsdGYearMonth))
     assert(Xsd.canonicalLexical("2026-08-00:00", XsdExtra.xsdGYearMonth)
       .contains("2026-08Z"))
+    // XML Schema: leading zeros prohibited for years of more than 4 digits
+    assert(!Xsd.valid("02026", XsdExtra.xsdGYear))
+    assert(!Xsd.valid("-02026", XsdExtra.xsdGYear))
+    assert(Xsd.valid("12026", XsdExtra.xsdGYear))
+    assert(!Xsd.valid("02026-08", XsdExtra.xsdGYearMonth))
+  }
+
+  test("JCS: \\u escape requires exactly four hex digits (RFC 8259)") {
+    // NB: built by concatenation — scalac pre-processes literal \u sequences
+    def js(body: String) = "\"" + body + "\""
+    val bs = "\\"
+    assert(Jcs.parse(js(bs + "u0041")).contains(Jcs.JStr("A")))
+    assert(Jcs.parse(js(bs + "u+041")).isEmpty) // parseInt would accept '+'
+    assert(Jcs.parse(js(bs + "u-041")).isEmpty)
+    assert(Jcs.parse(js(bs + "u00 1")).isEmpty)
+  }
+
+  test("RDF 1.2 directional language tags type as rdf:dirLangString") {
+    val Seq(q) = NTriples.parseLine("""<http://e/s> <http://e/p> "x"@en--ltr .""").toSeq
+    assert(q.o.datatype == Vocab.rdfDirLangString)
+    assert(q.o.langBase == "en")
+    assert(q.o.baseDirection == "ltr")
+    // plain tags keep rdf:langString and a null direction
+    val Seq(q2) = NTriples.parseLine("""<http://e/s> <http://e/p> "x"@en-US .""").toSeq
+    assert(q2.o.datatype == Vocab.rdfLangString)
+    assert(q2.o.langBase == "en-us" && q2.o.baseDirection == null)
+    // dir and non-dir literals are distinct terms even with equal lexicals
+    assert(q.o != Term.langLit("x", "en--ltr"))
+    // round-trips through the NT writer
+    assert(NTriples.termString(q.o) == "\"x\"@en--ltr")
+    // and through Turtle
+    val g = Turtle.parse("""<http://e/s> <http://e/p> "x"@en--rtl .""").triples
+    assert(g.head.o.datatype == Vocab.rdfDirLangString)
+    assert(g.head.o.baseDirection == "rtl")
+  }
+
+  test("source hygiene: no raw NUL bytes in any Scala source (keeps git text-diffs)") {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val roots = Seq(Paths.get("src/main/scala"), Paths.get("src/test/scala"))
+    val offenders = roots.flatMap { root =>
+      Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .filter(p => Files.readAllBytes(p).contains(0.toByte))
+    }
+    assert(offenders.isEmpty, s"raw NUL bytes in: ${offenders.mkString(", ")}")
   }
 
   test("EARL report is valid Turtle with one assertion per test") {

@@ -171,6 +171,54 @@ class W3cSuitesSpec extends AnyFunSuite {
     assert(Rdfc10.isomorphicTriples(g, back), s"encoded:\n$enc")
   }
 
+  test("Turtle encoder: self-referential list head terminates and round-trips") {
+    // _:l rdf:first _:l ; rdf:rest rdf:nil . — a reconstructed collection
+    // whose single element is itself: cycle demotion must remove it from the
+    // LIST structure (demoting only propInline used to loop forever here)
+    val l = Term.bnode("l")
+    val g = Seq(
+      Triple(l, Term.iri(Vocab.rdfFirst), l),
+      Triple(l, Term.iri(Vocab.rdfRest), Term.iri(Vocab.rdfNil)))
+    val enc = TurtleEncoder.encode(g)
+    val back = Turtle.parse(enc).triples
+    assert(Rdfc10.isomorphicTriples(g, back), s"encoded:\n$enc")
+  }
+
+  test("Turtle encoder: list-of-lists cycle (head -> inner -> head) terminates") {
+    // the list's single element is a bnode whose description references the
+    // list head — whichever DFS order runs, the back edge lands on either
+    // the propInline element or the LIST head; both must demote and stop
+    val l = Term.bnode("l"); val m = Term.bnode("m")
+    val p = Term.iri("http://e/p")
+    val g = Seq(
+      Triple(l, Term.iri(Vocab.rdfFirst), m),
+      Triple(l, Term.iri(Vocab.rdfRest), Term.iri(Vocab.rdfNil)),
+      Triple(m, p, l)) // cycle back to the list head
+    val enc = TurtleEncoder.encode(g)
+    val back = Turtle.parse(enc).triples
+    assert(Rdfc10.isomorphicTriples(g, back), s"encoded:\n$enc")
+  }
+
+  test("Turtle encoder: bnodes inside quoted triples render labeled, never inlined") {
+    val b = Term.bnode("b"); val c = Term.bnode("c")
+    val s = Term.iri("http://e/s"); val p = Term.iri("http://e/p")
+    val q = Term.iri("http://e/q"); val x = Term.iri("http://e/x")
+    val g = Seq(
+      // _:b: described, referenced once directly AND once inside << >> —
+      // previously inlined at the direct site and duplicated inside the star
+      Triple(b, x, Term.str("y")),
+      Triple(s, p, b),
+      Triple(s, q, Term.quoted(Triple(s, x, b))),
+      // _:c: described, referenced ONLY inside << >> — previously emitted as
+      // an anonymous [ ] block, orphaning the label in the star term
+      Triple(c, x, Term.str("z")),
+      Triple(s, q, Term.quoted(Triple(s, x, c))))
+    val enc = TurtleEncoder.encode(g)
+    assert(!enc.contains("<< ["), s"property list inside quoted triple:\n$enc")
+    val back = Turtle.parse(enc).triples
+    assert(Rdfc10.isomorphicTriples(g, back), s"encoded:\n$enc")
+  }
+
   test("Turtle encoder round-trip over suite fixtures with bnodes/lists") {
     val dir = "/root/reference/test/data/rdf-tests/rdf11/rdf-turtle"
     val fixtures = Seq(
