@@ -9,9 +9,10 @@ import graft.pipeline.WebKg
   *  "kg_pipeline":{...scaling proxy local[8] vs local[32]...}}
   *
   * The kg_pipeline block is the BASELINE.json scaling criterion evidenced
-  * in-sandbox: the same extract->dedup->materialize job at two parallelism
-  * levels (8 and 32 cores) on the same input; efficiency =
-  * (tp32/tp8)/4, target >= 0.8.
+  * in-sandbox: the same extract->dedup->count job at two parallelism
+  * levels (N and 4N cores, default 2 and 8) on the same input, INTERLEAVED
+  * round-robin so both configs sample the same host phases; efficiency =
+  * (tp4N/tpN)/4, target >= 0.8.
   */
 object Bench {
 
@@ -76,10 +77,16 @@ object Bench {
     SparkSession.clearDefaultSession()
 
     // --- scaling criterion: the same KG job at N and 4N cores.
-    // One warm-up + 5 timed runs per config, keeping the MINIMUM: the
-    // sandbox host shows multi-x phase noise (identical jobs 15s..197s,
-    // episodes of >90% kernel time), and the min is the closest observable
-    // to the machine-limited cost.
+    //
+    // INTERLEAVED pairs, min-of-many: the sandbox host shows multi-x phase
+    // noise (identical jobs 15s..197s, episodes of >90% kernel time). Two
+    // sequential measurement blocks can land in DIFFERENT phases and skew
+    // the ratio arbitrarily — so each round runs one N-core job then one
+    // 4N-core job back-to-back (fresh session each, one shared JVM keeps
+    // JIT/codegen warm), and the efficiency uses the per-config MINIMUM
+    // over all rounds: the min is the closest observable to the
+    // machine-limited cost, and interleaving gives both configs the same
+    // chance to sample a quiet phase.
     //
     // Default pair is N=2 -> 4N=8 (overridable via arg/env): on this single
     // shared-memory 32-core microVM, local[8] -> local[32] measures the
@@ -92,24 +99,36 @@ object Bench {
     val nCores = args.headOption.map(_.toInt)
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt)
     val n4Cores = nCores * 4
-    def measure(cores: Int): (Long, Double) = {
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "6").toInt
+    def run(cores: Int): (Long, Double) = {
       val s = session(cores)
-      kgJob(s, sfDir) // warm-up: JIT + codegen + broadcast
-      val runs = (1 to 5).map(_ => kgJob(s, sfDir))
-      s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      (runs.head._1, runs.map(_._2).min)
+      try kgJob(s, sfDir)
+      finally { s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
     }
-    val (nN, secN) = measure(nCores)
-    val (n4N, sec4N) = measure(n4Cores)
+    // one warm-up pair (JIT + codegen), untimed
+    run(nCores); run(n4Cores)
+    val runsN = Array.newBuilder[Double]
+    val runs4N = Array.newBuilder[Double]
+    var triples = 0L
+    for (_ <- 1 to rounds) {
+      val (t, sN) = run(nCores); runsN += sN; triples = t
+      val (_, s4N) = run(n4Cores); runs4N += s4N
+    }
+    val allN = runsN.result(); val all4N = runs4N.result()
+    val secN = allN.min
+    val sec4N = all4N.min
 
-    val tpN = nN / secN
-    val tp4N = n4N / sec4N
+    val tpN = triples / secN
+    val tp4N = triples / sec4N
     val eff = (tp4N / tpN) / 4.0
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val kg = f"""{"triples":$n4N,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
+    def arr(xs: Array[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val kg = f"""{"triples":$triples,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
+      f""""rounds":$rounds,"interleaved":true,""" +
       f""""sec_ncore":$secN%.3f,"sec_4ncore":$sec4N%.3f,""" +
+      f""""runs_ncore":${arr(allN)},"runs_4ncore":${arr(all4N)},""" +
       f""""triples_per_sec_ncore":${tpN.toLong}%d,"triples_per_sec_4ncore":${tp4N.toLong}%d,""" +
       f""""scaling_efficiency":$eff%.3f}"""
     println(

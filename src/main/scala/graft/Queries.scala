@@ -334,6 +334,41 @@ object Queries {
              |(v <> 0) AS ebv
              |FROM (SELECT doc_id, n_chars * 100 - 20000 AS v FROM documents)""".stripMargin)),
 
+    // Open datatype REGISTRY driver-visible: hexBinary + gYear run through
+    // Xsd.DatatypeRegistry (XsdExtra registrations — datatypes the
+    // reference itself lacks), validation + canonical forms cross-checked
+    // against plain SQL. UDFs on purpose: the query verifies the registry
+    // kernel's semantics; the hot paths never run these.
+    "rdf_xsd_registry" -> Q(
+      (s, d) => {
+        import graft.core.{Xsd, XsdExtra}
+        XsdExtra.register()
+        val canonHex = udf((lex: String) =>
+          Xsd.canonicalLexical(lex, XsdExtra.xsdHexBinary).orNull)
+        val canonYear = udf((lex: String) =>
+          Xsd.canonicalLexical(lex, XsdExtra.xsdGYear).orNull)
+        val validYear = udf((lex: String) => Xsd.valid(lex, XsdExtra.xsdGYear))
+        val year = (col("doc_id") % 200 + 1900).cast("string")
+        t(s, d, "documents").select(col("doc_id"),
+            md5(col("text")).as("hex"),
+            concat(year,
+              when(col("doc_id") % 3 === 0, lit(""))
+                .when(col("doc_id") % 3 === 1, lit("Z"))
+                .otherwise(lit("+00:00"))).as("gy"),
+            // 5 digits with a leading zero: invalid per XML Schema
+            concat(lit("0"), year).as("gybad"))
+          .select(col("doc_id"),
+            canonHex(col("hex")).as("hex_canon"),
+            canonYear(col("gy")).as("gyear_canon"),
+            validYear(col("gy")).as("gyear_valid"),
+            validYear(col("gybad")).as("bad_valid"))
+      },
+      Some("""SELECT doc_id, upper(md5(text)) AS hex_canon,
+             |CAST(1900 + doc_id % 200 AS VARCHAR) ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Z' END) AS gyear_canon,
+             |TRUE AS gyear_valid, FALSE AS bad_valid
+             |FROM documents""".stripMargin)),
+
     // RDF-star end-to-end: annotation triples built as Column expressions
     // (quoted-triple terms in subject position), then a BGP with a nested
     // quoted pattern that destructures and unifies the inner variables
@@ -680,16 +715,24 @@ object Queries {
     """WITH tok AS (SELECT doc_id, source,
       |    unnest(list_distinct(string_split_regex(text,'\s+'))) AS w FROM documents),
       |mh AS (SELECT doc_id, source,
-      |  min(md5('0:'||w)) AS s0, min(md5('1:'||w)) AS s1,
-      |  min(md5('2:'||w)) AS s2, min(md5('3:'||w)) AS s3,
-      |  min(md5('4:'||w)) AS s4, min(md5('5:'||w)) AS s5,
-      |  min(md5('6:'||w)) AS s6, min(md5('7:'||w)) AS s7
+      |  min(CAST('0x'||substr(md5('0:'||w),1,15) AS BIGINT)) AS s0,
+      |  min(CAST('0x'||substr(md5('1:'||w),1,15) AS BIGINT)) AS s1,
+      |  min(CAST('0x'||substr(md5('2:'||w),1,15) AS BIGINT)) AS s2,
+      |  min(CAST('0x'||substr(md5('3:'||w),1,15) AS BIGINT)) AS s3,
+      |  min(CAST('0x'||substr(md5('4:'||w),1,15) AS BIGINT)) AS s4,
+      |  min(CAST('0x'||substr(md5('5:'||w),1,15) AS BIGINT)) AS s5,
+      |  min(CAST('0x'||substr(md5('6:'||w),1,15) AS BIGINT)) AS s6,
+      |  min(CAST('0x'||substr(md5('7:'||w),1,15) AS BIGINT)) AS s7
       |  FROM tok GROUP BY 1,2),
       |bands AS (
-      |  SELECT doc_id, source, 0 AS band, md5(s0||s1) AS sig FROM mh UNION ALL
-      |  SELECT doc_id, source, 1, md5(s2||s3) FROM mh UNION ALL
-      |  SELECT doc_id, source, 2, md5(s4||s5) FROM mh UNION ALL
-      |  SELECT doc_id, source, 3, md5(s6||s7) FROM mh),
+      |  SELECT doc_id, source, 0 AS band,
+      |    md5(CAST(s0 AS VARCHAR)||CAST(s1 AS VARCHAR)) AS sig FROM mh UNION ALL
+      |  SELECT doc_id, source, 1,
+      |    md5(CAST(s2 AS VARCHAR)||CAST(s3 AS VARCHAR)) FROM mh UNION ALL
+      |  SELECT doc_id, source, 2,
+      |    md5(CAST(s4 AS VARCHAR)||CAST(s5 AS VARCHAR)) FROM mh UNION ALL
+      |  SELECT doc_id, source, 3,
+      |    md5(CAST(s6 AS VARCHAR)||CAST(s7 AS VARCHAR)) FROM mh),
       |capped AS (SELECT * FROM bands
       |  QUALIFY count(*) OVER (PARTITION BY band, sig, source) <= 64),
       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2

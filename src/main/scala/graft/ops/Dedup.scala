@@ -26,12 +26,22 @@ object Dedup {
     docs.select(col("doc_id"), col("source"),
       explode(TextOps.distinctTokens(col("text"))).as("w"))
 
-  /** MinHash signatures: `numHashes` min-of-keyed-md5 values per doc.
-    * One aggregation over the exploded token relation. */
+  /** One keyed 60-bit hash as a LONG: the top 15 hex digits of
+    * md5("<i>:<token>") — numerically identical in DuckDB as
+    * CAST('0x'||substr(md5(..),1,15) AS BIGINT), so the whole LSH layout
+    * stays oracle-reproducible. */
+  private def keyedHash(i: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), c)), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signatures: `numHashes` min-of-keyed-hash values per doc.
+    * One aggregation over the exploded token relation. Signatures are
+    * LONGS, not md5 hex strings: mins over fixed-width longs run in a
+    * mutable-buffer HashAggregate (map-side combine, codegen) instead of a
+    * SortAggregate over strings, and the shuffle carries 8 bytes per hash
+    * instead of 32. */
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
     val tok = tokenRelation(docs)
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("w")))).as(s"s$i"))
+    val aggs = (0 until numHashes).map(i => min(keyedHash(i, col("w"))).as(s"s$i"))
     tok.groupBy(col("doc_id"), col("source")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -52,15 +62,26 @@ object Dedup {
     val mh = minhashSignatures(docs, numHashes)
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
-      val sig = md5(concat((0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*))
+      val sig = md5(concat((0 until rowsPerBand)
+        .map(r => col(s"s${b * rowsPerBand + r}").cast("string")): _*))
       struct(lit(b).as("band"), sig.as("sig"))
     }
+    // PERSIST the band frame: it feeds the bucket-size filter AND both
+    // sides of the self-join. Without the cache each reference re-expands
+    // the whole scan+explode+8-way-min aggregation (8 source scans in this
+    // plan, 50 when ngramJaccardNearDups builds on it) — at corpus scale
+    // that re-reads the heaviest stage 4+ times. Spark's CacheManager keys
+    // on the logical plan, so repeated calls over the same input reuse one
+    // cache entry rather than stacking new ones.
     val bands = mh.select(col("doc_id"), col("source"),
         explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("source"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist()
     val okBuckets = bands.groupBy("band", "sig", "source")
       .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= bucketCap).drop("__bn")
-    val capped = bands.join(okBuckets, Seq("band", "sig", "source"))
+    // capped is read twice (the a/b sides) — cache it too, so the self-join
+    // replays neither the bands scan nor the bucket-count join
+    val capped = bands.join(okBuckets, Seq("band", "sig", "source")).persist()
     val a = capped.as("a"); val b = capped.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -86,14 +107,21 @@ object Dedup {
     * pair directions. */
   def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLshPairs(docs)
+    // tokSets joins against BOTH pair sides; jac feeds BOTH direction
+    // unions — persist each so the verify stage is computed once, not
+    // re-expanded per reference (this query's plan used to scan the corpus
+    // 50 times through the un-reused LSH subtree)
     val tokSets = tokenRelation(docs).groupBy("doc_id")
       .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n"))
+      .persist()
     val jac = pairs
       .join(tokSets.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
       .join(tokSets.select(col("doc_id").as("d2"), col("toks").as("t2"), col("n").as("n2")), "d2")
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
+      .select("d1", "d2")
+      .persist()
     // count partners in both directions so the metric is per-doc symmetric
     jac.select(col("d1").as("doc_id")).unionAll(jac.select(col("d2").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))

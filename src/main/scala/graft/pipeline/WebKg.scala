@@ -220,7 +220,11 @@ object WebKg {
     // stage 0: distinct mention tokens (>= 3 chars, shingleable)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) >= 3).distinct()
+    // the shingle relation feeds the minhash-band blocking AND the
+    // exact-Jaccard verify sets — persist so the corpus tokenization runs
+    // once instead of once per reference
     val sh = tok.select(col("doc_id"), col("w"), explode(shingles("w")).as("g"))
+      .persist()
     val mentionBands = bandRows(minhash4(sh, Seq("doc_id", "w")), Seq("doc_id", "w"))
     // dictionary side (tiny; broadcast everywhere)
     val dict = dictionary.toDF("surface", "entity").filter(length(col("surface")) >= 3)
