@@ -67,6 +67,38 @@ object Graphs {
     g.filter(!(col("s") === key)).unionByName(updated).dropDuplicates()
   }
 
+  /** Graph.update_all_descriptions/2 (graph.ex:750-755): apply `f` to EVERY
+    * subject's description — one distributed groupByKey on the subject, `f`
+    * runs per group inside flatMapGroups (no driver-side iteration over
+    * subjects, unlike the reference's Enum.reduce — same semantics, shuffle
+    * instead of a loop). An empty result removes the description; returned
+    * triples are re-subjected to the group's subject, like the reference
+    * ("added using the old subject"). Set semantics on the output. */
+  def updateAllDescriptions(g: DataFrame,
+                            f: (Term, Seq[Triple]) => Seq[Triple]): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    g.select(col("s"), col("p"), col("o")).as[(Term, Term, Term)]
+      .groupByKey(_._1)
+      .flatMapGroups { (subj, rows) =>
+        val desc = rows.map(r => Triple(r._1, r._2, r._3)).toSeq
+        f(subj, desc).map(t => (subj, t.p, t.o)).distinct
+      }.toDF("s", "p", "o")
+  }
+
+  /** Description.update_all_objects lifted graph-wide (description.ex:
+    * 495-545 applied per subject): `f(predicate, object)` maps each object
+    * to zero or more replacement objects — a pure per-row flatMap, no
+    * shuffle at all. Empty result deletes the statement. */
+  def updateAllObjects(g: DataFrame,
+                       f: (Term, Term) => Seq[Term]): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    g.select(col("s"), col("p"), col("o")).as[(Term, Term, Term)]
+      .flatMap { case (s, p, o) => f(p, o).map(o2 => (s, p, o2)) }
+      .toDF("s", "p", "o").dropDuplicates()
+  }
+
   // ------------------------------------------------------- projections/stats
 
   def describes(g: DataFrame, subject: Term): Boolean =
@@ -180,36 +212,85 @@ object Graphs {
       }.toDF(keyCol, "s", "p", "o")
   }
 
-  /** Graph.Reachability.reachable/3 over TERM graphs
-    * (lib/rdf/model/graph/reachability.ex:12-120): all statements reachable
-    * from `start` by following resource objects — `followBnodesOnly=true`
-    * is the `:bnodes` strategy, i.e. the Concise Bounded Description;
-    * `predicates` restricts which edges are followed. Iterative frontier
-    * join with per-iteration localCheckpoint (flat lineage) and early exit
-    * on a closed frontier. Returns the reachable statements (s, p, o). */
-  def descriptionClosure(g: DataFrame, start: Term,
-                         followBnodesOnly: Boolean = false,
-                         maxDepth: Int = 20,
-                         predicates: Seq[String] = Nil): DataFrame = {
+  /** Traversal strategy for [[reachable]], mirroring reachability.ex's
+    * `:follow` option: `:all`, `:bnodes`, or a custom arity-3 function
+    * `(object, predicate, depth) => Boolean` (the start node has depth 0,
+    * its neighbors depth 1, ...). */
+  sealed trait Follow
+  object Follow {
+    case object All extends Follow
+    case object Bnodes extends Follow
+    final case class Custom(f: (Term, Term, Int) => Boolean) extends Follow
+  }
+
+  /** Graph.Reachability.reachable over TERM graphs
+    * (lib/rdf/model/graph/reachability.ex:12-120): the union of the FULL
+    * descriptions of every visited node, where traversal from a visited
+    * node follows its non-literal objects per `follow`:
+    *
+    *  - `Follow.All` — every resource object (depth-limited by `maxDepth`)
+    *  - `Follow.Bnodes` — blank nodes only (the Concise Bounded
+    *    Description), depth-limited by `bnodeDepth`
+    *  - `Follow.Custom(f)` — arbitrary `(object, predicate, depth)`
+    *    predicate, applied per frontier expansion (a typed Dataset filter:
+    *    exact reference semantics at the cost of leaving codegen for the
+    *    frontier-edge frame only)
+    *
+    * `bnodeDepth` defaults to `maxDepth` (reachability.ex:193); with
+    * `Follow.All` blank nodes obey `bnodeDepth` and other resources
+    * `maxDepth`, so `maxDepth=1, bnodeDepth=unlimited` reproduces the
+    * reference's mixed-depth example. `predicates` gates which edges are
+    * TRAVERSED — descriptions of visited nodes are always added whole,
+    * like the reference (it does NOT project the output to the whitelist).
+    * `into` unions the result into an existing graph (the `:into` option).
+    *
+    * Scale shape: per depth, one frontier equi-join + one anti-join against
+    * the visited set, each localCheckpoint'ed so depth d costs one join,
+    * not a replay of depths 1..d-1. Early exit on a closed frontier; the
+    * visited anti-join guarantees termination on cyclic graphs even with
+    * unlimited depth. */
+  def reachable(g: DataFrame, start: Term,
+                follow: Follow = Follow.All,
+                maxDepth: Int = Int.MaxValue,
+                bnodeDepth: Int = -1,
+                predicates: Seq[String] = Nil,
+                into: Option[DataFrame] = None): DataFrame = {
     val spark = g.sparkSession
     import spark.implicits._
-    val gp = (if (predicates.isEmpty) g
-              else g.filter(col("p")("value").isin(predicates: _*))).persist()
+    val gp = g.persist()
+    val bDepth = if (bnodeDepth < 0) maxDepth else bnodeDepth
+    val predOk: Column =
+      if (predicates.isEmpty) lit(true)
+      else col("p")("value").isin(predicates: _*)
     // Tuple1 keeps the term as ONE struct column (a bare Dataset[Term]
     // would flatten into kind/value/datatype/lang)
     var visited = Seq(Tuple1(start)).toDF("node").localCheckpoint()
     var frontier = visited
     val layers = scala.collection.mutable.Buffer.empty[DataFrame]
-    var d = 0
+    var d = 1 // depth of the nodes the current expansion may reach
     var done = false
-    while (d < maxDepth && !done) {
+    while (!done) {
       val tris = gp.join(frontier, gp("s") === frontier("node"))
         .select(gp("s").as("s"), gp("p").as("p"), gp("o").as("o"))
         .localCheckpoint()
       layers += tris
-      val follow = if (followBnodesOnly) Terms.isBnode(col("o"))
-                   else Terms.isResource(col("o"))
-      val newNodes = tris.filter(follow).select(col("o").as("node")).distinct()
+      // literals are never traversal candidates (reference skips them
+      // before the follow function sees them)
+      val cand = tris.filter(!Terms.isLiteral(col("o")))
+      val followed = follow match {
+        case Follow.All =>
+          cand.filter(predOk &&
+            when(Terms.isBnode(col("o")), lit(d <= bDepth))
+              .otherwise(lit(d <= maxDepth)))
+        case Follow.Bnodes =>
+          cand.filter(predOk && Terms.isBnode(col("o")) && lit(d <= bDepth))
+        case Follow.Custom(f) =>
+          val depth = d
+          cand.select(col("p"), col("o")).as[(Term, Term)]
+            .filter { case (p, o) => f(o, p, depth) }
+            .toDF("p", "o")
+      }
+      val newNodes = followed.select(col("o").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti").localCheckpoint()
       done = newNodes.isEmpty
       if (!done) {
@@ -219,9 +300,26 @@ object Graphs {
       d += 1
     }
     gp.unpersist()
-    if (layers.isEmpty) g.limit(0)
-    else layers.reduce(_ unionByName _).dropDuplicates()
+    val result =
+      if (layers.isEmpty) g.limit(0)
+      else layers.reduce(_ unionByName _).dropDuplicates()
+    into match {
+      case Some(base) => add(base, result)
+      case None => result
+    }
   }
+
+  /** Back-compat face of [[reachable]]: `followBnodesOnly=true` is the
+    * `:bnodes` strategy (CBD). NOTE predicate-whitelist semantics follow
+    * the reference: the whitelist gates traversal only — visited nodes'
+    * descriptions are returned whole. */
+  def descriptionClosure(g: DataFrame, start: Term,
+                         followBnodesOnly: Boolean = false,
+                         maxDepth: Int = 20,
+                         predicates: Seq[String] = Nil): DataFrame =
+    reachable(g, start,
+      follow = if (followBnodesOnly) Follow.Bnodes else Follow.All,
+      maxDepth = maxDepth, predicates = predicates)
 
   /** Blank-node connected components via iterative min-label propagation
     * over bnode co-occurrence edges — the grouping step before full-dataset

@@ -130,6 +130,20 @@ object Terms {
     * never in bulk serialization. */
   def parseQuoted(value: Column): Column = parseQuotedUdf(value)
 
+  /** XPath fn:matches over a string column (Literal.matches?/3 lifted to a
+    * pure Column, no UDF): the q/qi flag forms become substring
+    * containment, the regex forms inline their flags into the pattern —
+    * Spark RLIKE is contains-a-match, exactly fn:matches — so both paths
+    * stay inside whole-stage codegen. Throws driver-side on invalid flags,
+    * like the reference raises. */
+  def matchesPattern(c: Column, pattern: String, flags: String = ""): Column = {
+    import graft.core.XPathRegex
+    if (XPathRegex.qLiteral(flags)) {
+      if (flags.contains('i')) lower(c).contains(pattern.toLowerCase)
+      else c.contains(pattern)
+    } else c.rlike(XPathRegex.inlinePattern(pattern, flags))
+  }
+
   /** Typed dataset from a DataFrame with s/p/o struct columns. */
   def asTriples(df: DataFrame)(implicit spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._

@@ -107,9 +107,18 @@ object Materialize {
     readLineage(spark, root).get.filter(col("batch_id") === batchId)
   }
 
+  /** None ONLY when the lineage table does not exist yet (first run).
+    * Everything else — corrupt files, schema-inference failures, transient
+    * FS errors — rethrows: swallowing those would make a resume silently
+    * degrade into a full rebuild (idempotent but, at 100k buckets, the
+    * whole job re-run). */
   def readLineage(spark: SparkSession, root: String): Option[DataFrame] =
     try Some(spark.read.parquet(s"$root/lineage"))
-    catch { case _: Exception => None }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if Option(e.getCondition).contains("PATH_NOT_FOUND") ||
+          e.getMessage.contains("Path does not exist") => None
+    }
 
   def readGraph(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/data")
@@ -145,11 +154,23 @@ object Materialize {
 
   /** Incremental-materialization primitive: the Diff semantics of the
     * reference (`lib/rdf/model/diff.ex`) — additions/deletions between two
-    * triple sets, as two anti-joins. */
+    * triple sets, as two anti-joins. Tuple face of [[graft.engine.Diff]]
+    * (which carries the full union/invert/apply algebra). */
   def diff(before: DataFrame, after: DataFrame): (DataFrame, DataFrame) = {
-    val cols = before.columns.toSeq
-    val additions = after.join(before, cols, "left_anti")
-    val deletions = before.join(after, cols, "left_anti")
-    (additions, deletions)
+    val d = graft.engine.Diff.compute(before, after)
+    (d.additions, d.deletions)
+  }
+
+  /** Compact an increment-managed store (like `compact`) while APPLYING a
+    * [[graft.engine.Diff]] in the same pass — the incremental-maintenance
+    * step: roll the accumulated batches plus a correction diff into a fresh
+    * snapshot without a second full rewrite. */
+  def compactWithDiff(spark: SparkSession, srcRoot: String, destRoot: String,
+                      numBuckets: Int, batchId: String,
+                      diff: graft.engine.Diff): DataFrame = {
+    val data = readGraph(spark, srcRoot)
+    val cols = data.columns.filterNot(c => c == "bucket" || c == "batch_id")
+    val deduped = data.select(cols.map(col): _*).dropDuplicates()
+    materialize(diff.applyTo(deduped), destRoot, numBuckets, batchId)
   }
 }

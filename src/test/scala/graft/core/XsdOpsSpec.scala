@@ -113,4 +113,45 @@ class XsdOpsSpec extends AnyFunSuite {
     assert(XsdOps.cast(Term.str("abc"), Vocab.xsdInteger).isEmpty)
     assert(XsdOps.cast(i(0), Vocab.xsdBoolean).contains(Term.bool(false)))
   }
+
+  test("XPathRegex.matches: flag table from the reference's regex_test.exs") {
+    import XPathRegex.matches
+    val poem =
+      "<poem author=\"Wilhelm Busch\">\n" +
+        "Kaum hat dies der Hahn gesehen,\n" +
+        "Fängt er auch schon an zu krähen:\n" +
+        "Kikeriki! Kikikerikih!!\n" +
+        "Tak, tak, tak! - da kommen sie.\n" +
+        "</poem>\n"
+    // without flags (fn:matches is contains-a-match)
+    assert(matches("abracadabra", "bra"))
+    assert(matches("abracadabra", "^a.*a$"))
+    assert(!matches("abracadabra", "^bra"))
+    assert(!matches(poem, "Kaum.*krähen"))
+    assert(!matches(poem, "^Kaum.*gesehen,$"))
+    assert(!matches("foobar", "foo$"))
+    // with flags
+    assert(matches(poem, "Kaum.*krähen", "s"))
+    assert(matches(poem, "^Kaum.*gesehen,$", "m"))
+    assert(matches(poem, "kiki", "i"))
+    assert(matches("foobar", "foo bar", "x")) // x: PATTERN whitespace removed
+    assert(!matches("foo bar", "foo bar", "x"))
+    // q flag: literal-quoting, alone or with i; no effect with m/s/x
+    assert(!matches("abcd", ".*", "q"))
+    assert(matches("Mr. B. Obama", "B. OBAMA", "iq"))
+    assert(matches("abcd", ".*", "mq"))
+    assert(matches("abcd", ".*", "qim"))
+    assert(matches("abcd", ".*", "xqm"))
+    // escaped-backslash patterns stay literal
+    val bs = "\\"
+    assert(matches("noe" + bs + "u0308l", "noe" + bs + bs + "u0308l"))
+    // \UXXXXXXXX astral escape: matches the actual supplementary char
+    val astral = new String(Character.toChars(0x1D4B8))
+    assert(matches("x" + astral + "y", bs + "U0001D4B8"))
+    // but an ESCAPED \U stays a literal backslash + U
+    assert(matches("x" + bs + "U0001D4B8y", bs + bs + "U0001D4B8"))
+    // invalid flag raises, like the reference
+    assertThrows[IllegalArgumentException](matches("a", "a", "z"))
+    assert(XPathRegex.matchesTerm(Term.str("abracadabra"), "bra"))
+  }
 }

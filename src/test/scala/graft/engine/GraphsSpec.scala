@@ -186,10 +186,84 @@ class GraphsSpec extends AnyFunSuite {
     // :all — IRIs followed too
     val all = Graphs.descriptionClosure(g, Term.iri(ex + "a"))
     assert(all.count() == 4)
-    // predicate whitelist prunes edges
+    // predicate whitelist prunes EDGES only — descriptions of visited nodes
+    // come back whole (reachability.ex adds Graph.description untrimmed):
+    // a's triple is followed via p to b1, whose 2 triples are all included,
+    // but q/r edges are not traversed so c is never visited
     val onlyP = Graphs.descriptionClosure(g, Term.iri(ex + "a"),
       predicates = Seq(ex + "p"))
-    assert(onlyP.count() == 1)
+    assert(onlyP.count() == 3)
+    assert(onlyP.filter(col("s")("value") === ex + "c").isEmpty)
+  }
+
+  test("reachable: custom follow fn, mixed max/bnode depth, and :into") {
+    import spark.implicits._
+    // reachability.ex doc example: max_depth 1, bnode_depth unlimited
+    val b1 = Term.bnode("b1"); val b2 = Term.bnode("b2")
+    val g = Seq(
+      tri("A", "p", Term.iri(ex + "B")),
+      Triple(Term.iri(ex + "B"), Term.iri(ex + "p"), Term.iri(ex + "C")),
+      Triple(Term.iri(ex + "B"), Term.iri(ex + "p"), b1),
+      Triple(b1, Term.iri(ex + "p"), b2),
+      Triple(b2, Term.iri(ex + "p"), Term.iri(ex + "C")),
+      Triple(Term.iri(ex + "C"), Term.iri(ex + "p"), Term.iri(ex + "D"))).toDF()
+    val mixed = Graphs.reachable(g, Term.iri(ex + "A"),
+      maxDepth = 1, bnodeDepth = Int.MaxValue)
+    // A + B + b1 + b2 descriptions = 5 triples; C never expanded
+    assert(mixed.count() == 5)
+    assert(mixed.filter(col("s")("value") === ex + "C").isEmpty)
+
+    // custom follow fn: only subClassOf-like edges, depth <= 2.
+    // (local copy: a lambda referencing the spec's `ex` field would capture
+    // the spec instance — and its SparkSession — into the task closure)
+    val subP = ex + "sub"
+    val follow = Graphs.Follow.Custom((_, p, depth) =>
+      p.value == subP && depth <= 2)
+    val g2 = Seq(
+      tri("A", "sub", Term.iri(ex + "B")),
+      tri("A", "other", Term.iri(ex + "C")),
+      Triple(Term.iri(ex + "B"), Term.iri(ex + "sub"), Term.iri(ex + "D")),
+      Triple(Term.iri(ex + "C"), Term.iri(ex + "x"), Term.str("no"))).toDF()
+    val custom = Graphs.reachable(g2, Term.iri(ex + "A"), follow = follow)
+    // A's full description (incl. the other-edge) + B's + D's (empty) —
+    // C followed? other != sub -> no, so C's description is excluded
+    assert(custom.count() == 3)
+    assert(custom.filter(col("s")("value") === ex + "C").isEmpty)
+
+    // :into merges into an existing target graph
+    val target = Seq(tri("Existing", "p", Term.str("O"))).toDF()
+    val merged = Graphs.reachable(g2, Term.iri(ex + "A"), follow = follow,
+      into = Some(target))
+    assert(merged.count() == 4)
+    assert(!merged.filter(col("s")("value") === ex + "Existing").isEmpty)
+  }
+
+  test("updateAllDescriptions applies per-subject; empty result deletes") {
+    val (bS, fooP) = (ex + "b", ex + "foo") // locals: keep the spec out of the closure
+    val out = Graphs.updateAllDescriptions(g1, (subj, desc) =>
+      if (subj.value == bS) Nil // drop b entirely
+      else desc :+ Triple(subj, Term.iri(fooP), Term.int(42)))
+    assert(out.count() == 3) // a's 2 + the new foo triple
+    assert(out.filter(col("s")("value") === ex + "b").isEmpty)
+    assert(out.filter(col("p")("value") === ex + "foo").count() == 1)
+    // returned triples are re-subjected to the group subject (graph.ex:
+    // "added using the old subject")
+    val elsewhere = ex + "elsewhere"
+    val hijack = Graphs.updateAllDescriptions(g1, (_, desc) =>
+      desc.map(t => Triple(Term.iri(elsewhere), t.p, t.o)))
+    assert(hijack.filter(col("s")("value") === ex + "elsewhere").isEmpty)
+    assert(hijack.count() == g1.count())
+  }
+
+  test("updateAllObjects maps each object; empty result deletes the statement") {
+    val qP = ex + "q"
+    val out = Graphs.updateAllObjects(g1, (p, o) =>
+      if (p.value == qP) Nil
+      else if (o.isLiteral) Seq(Term.str(o.value + "!"))
+      else Seq(o))
+    assert(out.count() == 3) // a.q dropped; others kept
+    assert(out.filter(col("o")("value") === "1!").count() == 1)
+    assert(out.filter(col("p")("value") === ex + "q").isEmpty)
   }
 
   test("valueEqual: canonical-value equality, nil for incomparable") {
@@ -245,5 +319,72 @@ class GraphsSpec extends AnyFunSuite {
     val (adds, dels) = Materialize.diff(before, after)
     assert(adds.collect().map(_.getString(0)).toSeq == Seq("s3"))
     assert(dels.collect().map(_.getString(0)).toSeq == Seq("s2"))
+  }
+
+  test("Diff algebra: union, invert, apply, empty (diff.ex semantics)") {
+    import spark.implicits._
+    def df(rows: (String, String, String)*) = rows.toDF("s", "p", "o")
+    // union/2 (diff_test.exs "union/2"): additions+additions, dels+dels
+    val d1 = Diff(additions = df(("S", "p", "O1")), deletions = df(("S1", "p", "O")))
+    val d2 = Diff(additions = df(("S", "p", "O2")), deletions = df(("S2", "p", "O")))
+    val u = d1.union(d2)
+    assert(u.additions.count() == 2 && u.deletions.count() == 2)
+    // invert/1 swaps the sides
+    val inv = d1.invert
+    assert(inv.additions.collect().map(_.getString(0)).toSeq == Seq("S1"))
+    assert(inv.deletions.collect().map(_.getString(0)).toSeq == Seq("S"))
+    // apply/2: delete deletions then add additions; absent deletions ignored
+    val g = df(("S1", "p", "O"), ("KEEP", "p", "X"))
+    val applied = d1.applyTo(g)
+    assert(applied.count() == 2) // S1 deleted, KEEP kept, S/p/O1 added
+    assert(applied.filter(col("s") === "S1").isEmpty)
+    assert(!applied.filter(col("s") === "S").isEmpty)
+    // deletions not present: no-op (diff_test "when the statements to be
+    // deleted are not present")
+    val applied2 = d1.applyTo(df(("OTHER", "p", "Y")))
+    assert(applied2.count() == 2)
+    // compute inverse law: applying diff(a, b) to a yields b
+    val a = df(("s1", "p", "a"), ("s2", "p", "b"))
+    val b = df(("s1", "p", "a"), ("s3", "p", "c"))
+    val d = Diff.compute(a, b)
+    assert(Graphs.equalGraphs(d.applyTo(a), b))
+    assert(Graphs.equalGraphs(d.invert.applyTo(b), a))
+    // empty
+    assert(Diff.compute(a, a).isEmpty)
+    assert(!d.isEmpty)
+  }
+
+  test("compactWithDiff rolls batches plus a correction diff into a snapshot") {
+    import spark.implicits._
+    val root = "/tmp/graft_compact_diff_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/inc"; val dest = s"$root/snap"
+    val batch = Seq(("http://e/s1", ex + "p", "x"), ("http://e/s2", ex + "p", "y"))
+      .toDF("s", "p", "o")
+    Materialize.materializeIncrement(batch, src, 4, "b1")
+    val corr = Diff(
+      additions = Seq(("http://e/s3", ex + "p", "z")).toDF("s", "p", "o"),
+      deletions = Seq(("http://e/s2", ex + "p", "y")).toDF("s", "p", "o"))
+    Materialize.compactWithDiff(spark, src, dest, 4, "snap1", corr)
+    val out = Materialize.readGraph(spark, dest)
+    assert(out.count() == 2)
+    assert(out.filter(col("s") === "http://e/s2").isEmpty)
+    assert(!out.filter(col("s") === "http://e/s3").isEmpty)
+  }
+
+  test("readLineage: None only for a missing path; corruption rethrows") {
+    val root = "/tmp/graft_lineage_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // missing path -> None (first run)
+    assert(Materialize.readLineage(spark, root).isEmpty)
+    // a lineage DIRECTORY with a corrupt file must RAISE, not silently
+    // trigger a full rebuild
+    val lin = new java.io.File(s"$root/lineage")
+    lin.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/lineage/part-00000.parquet"), "not parquet")
+    assertThrows[Exception] {
+      Materialize.readLineage(spark, root).foreach(_.collect())
+    }
   }
 }

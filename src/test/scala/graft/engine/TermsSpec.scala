@@ -42,4 +42,19 @@ class TermsSpec extends AnyFunSuite {
       .select(Terms.skolemLabel(col("x"), lit("l")).as("sk"))
     assert(!df.queryExecution.executedPlan.toString.contains("UDF"))
   }
+
+  test("matchesPattern: fn:matches as a pure Column (no UDF)") {
+    import spark.implicits._
+    val df = Seq("abracadabra", "Mr. B. Obama", "line1\nKaum x").toDF("x")
+    def n(pattern: String, flags: String = "") =
+      df.filter(Terms.matchesPattern(col("x"), pattern, flags)).count()
+    assert(n("bra") == 1)
+    assert(n("^bra") == 0)
+    assert(n("B. OBAMA", "iq") == 1) // literal-quoted, case-folded contains
+    assert(n(".*", "q") == 0)        // quoted: no row contains literal ".*"
+    assert(n("^Kaum", "m") == 1)     // multiline
+    val plan = df.filter(Terms.matchesPattern(col("x"), "bra", "i"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"))
+  }
 }
