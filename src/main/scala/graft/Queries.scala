@@ -139,6 +139,30 @@ object Queries {
       Some("""SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // STREAMING exact dedup: watermarked dropDuplicates over a re-crawled
+    // corpus (10% duplicate rows injected), run to completion on the static
+    // input. Output = the distinct content hashes that survived — identical
+    // regardless of which duplicate the state store kept first, so the
+    // batch SQL is an exact oracle.
+    "stream_dedup_exact" -> Q(
+      (s, d) => {
+        val dir = s"/tmp/graft_stream_dedup_${math.abs(d.hashCode)}"
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"),
+          expr("TIMESTAMP '2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")
+            .as("ts"))
+        val dups = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+            col("ts") + expr("INTERVAL 1 HOUR"))
+        base.unionAll(dups).write.mode("overwrite").parquet(dir)
+        val schema = s.read.parquet(dir).schema
+        val stream = graft.engine.Streaming.streamingExactDedup(
+          s.readStream.schema(schema).parquet(dir))
+        graft.engine.Streaming.runToCompletion(stream,
+          s"stream_dedup_${math.abs(d.hashCode)}", outputMode = "append")
+          .select("h")
+      },
+      Some("SELECT DISTINCT md5(text) AS h FROM documents")),
+
     "dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashLshCandidates(t(s, d, "documents")),
       Some(lshCandSql +

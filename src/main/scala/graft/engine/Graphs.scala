@@ -67,6 +67,24 @@ object Graphs {
     g.filter(!(col("s") === key)).unionByName(updated).dropDuplicates()
   }
 
+  /** Access behaviour `pop` (graph.ex:975-1001): remove and return one
+    * subject's description — (description, rest). Two pushed-down filters
+    * over one scan; no shuffle. */
+  def pop(g: DataFrame, subject: Term): (DataFrame, DataFrame) = {
+    val key = Terms.constTerm(subject)
+    (g.filter(col("s") === key), g.filter(!(col("s") === key)))
+  }
+
+  /** Access behaviour `get_and_update` (graph.ex:925-955): return the
+    * current description AND the graph with `f` applied to it — the
+    * Elixir Access contract as a pair. */
+  def getAndUpdate(g: DataFrame, subject: Term,
+                   f: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val key = Terms.constTerm(subject)
+    val current = g.filter(col("s") === key)
+    (current, updateSubject(g, subject, f))
+  }
+
   /** Graph.update_all_descriptions/2 (graph.ex:750-755): apply `f` to EVERY
     * subject's description — one distributed groupByKey on the subject, `f`
     * runs per group inside flatMapGroups (no driver-side iteration over
@@ -329,6 +347,8 @@ object Graphs {
     * Scale hygiene: the edge set is cached once, each round's labels are
     * localCheckpoint'ed so round i is one join (not a replay of rounds
     * 1..i-1), and the convergence probe runs on the materialized frame.
+    * Rounds use POINTER DOUBLING (adopt the neighbor minimum, then the
+    * component-of-my-component), so convergence is O(log diameter).
     * Non-convergence THROWS — a silently split component would make the
     * downstream per-component RDFC canonicalization emit wrong labels. */
   def bnodeComponents(g: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -350,10 +370,22 @@ object Graphs {
         .join(comp.select(col("label").as("b_l"), col("component").as("b_c")),
           col("b") === col("b_l"))
         .groupBy(col("a").as("label")).agg(min(col("b_c")).as("nc"))
-      val next = comp.join(neighborMin, Seq("label"), "left")
+      val hop = comp.join(neighborMin, Seq("label"), "left")
         .select(col("label"), col("component"),
           when(col("nc").isNotNull, least(col("component"), col("nc")))
             .otherwise(col("component")).as("newComp"))
+        .localCheckpoint()
+      // POINTER DOUBLING (shortcutting): additionally adopt the component
+      // of my component — labels chase 2^i-hop representatives, so a chain
+      // of diameter D converges in O(log D) rounds instead of O(D); the
+      // default maxIter=20 then covers diameters up to ~2^20, and the
+      // non-convergence throw below is a true pathology guard, not a limit
+      // on ordinary deep chains
+      val reps = hop.select(col("label").as("r_l"), col("newComp").as("r_c"))
+      val next = hop.join(reps, hop("newComp") === reps("r_l"), "left")
+        .select(hop("label").as("label"), hop("component").as("component"),
+          when(col("r_c").isNotNull, least(hop("newComp"), col("r_c")))
+            .otherwise(hop("newComp")).as("newComp"))
         .localCheckpoint() // truncate lineage; also backs the convergence probe
       converged = next.filter(col("newComp") =!= col("component")).isEmpty
       comp = next.select(col("label"), col("newComp").as("component"))
@@ -363,8 +395,8 @@ object Graphs {
     if (!converged)
       throw new IllegalStateException(
         s"bnodeComponents did not converge after $maxIter rounds — " +
-          "a bnode chain longer than maxIter would be silently split; " +
-          "raise maxIter for graphs with very deep bnode chains")
+          "with pointer doubling that is a component diameter beyond " +
+          "~2^maxIter, i.e. a pathological input; raise maxIter if truly needed")
     comp
   }
 }

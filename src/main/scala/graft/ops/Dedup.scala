@@ -66,22 +66,22 @@ object Dedup {
         .map(r => col(s"s${b * rowsPerBand + r}").cast("string")): _*))
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    // PERSIST the band frame: it feeds the bucket-size filter AND both
-    // sides of the self-join. Without the cache each reference re-expands
-    // the whole scan+explode+8-way-min aggregation (8 source scans in this
-    // plan, 50 when ngramJaccardNearDups builds on it) — at corpus scale
-    // that re-reads the heaviest stage 4+ times. Spark's CacheManager keys
-    // on the logical plan, so repeated calls over the same input reuse one
-    // cache entry rather than stacking new ones.
+    // The band frame feeds the bucket-size cap AND both sides of the
+    // self-join. The cap is a WINDOW count over (band, sig, source) — not
+    // a groupBy+join back — so the two self-join sides are byte-identical
+    // subplans over one exchange, and Catalyst's ReuseExchange computes
+    // the heavy scan+explode+8-way-min subtree ONCE (the r2 plan re-ran it
+    // per reference: 8 source scans here, 50 in ngramJaccardNearDups).
+    // Reused exchange beats persist() for a once-consumed query: no cache
+    // materialization cost, same single source scan.
+    import org.apache.spark.sql.expressions.Window
     val bands = mh.select(col("doc_id"), col("source"),
         explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("source"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .persist()
-    val okBuckets = bands.groupBy("band", "sig", "source")
-      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= bucketCap).drop("__bn")
-    // capped is read twice (the a/b sides) — cache it too, so the self-join
-    // replays neither the bands scan nor the bucket-count join
-    val capped = bands.join(okBuckets, Seq("band", "sig", "source")).persist()
+    val capWindow = Window.partitionBy("band", "sig", "source")
+    val capped = bands
+      .withColumn("__bn", count(lit(1)).over(capWindow))
+      .filter(col("__bn") <= bucketCap).drop("__bn")
     val a = capped.as("a"); val b = capped.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

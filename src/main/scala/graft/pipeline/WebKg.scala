@@ -35,9 +35,14 @@ object WebKg {
     * same text distribution. Pure Column ops, no data files. */
   def replicateDocs(docs: DataFrame, k: Int): DataFrame = {
     // parallelism comes from the range side (numSlices partitions), so the
-    // replicated corpus is born parallel — no repartition shuffle needed
+    // replicated corpus is born parallel — no repartition shuffle needed.
+    // Partition count scales with CORES (3 waves' slack), not with k: a
+    // fixed 512 partitions meant 512 tiny tasks at every core count, and
+    // the driver-side scheduling of them is a SERIAL cost that caps
+    // measured scaling (~4s/run at 2 cores); a real cluster also sizes
+    // task counts to executors, not to the replication factor
     val spark = docs.sparkSession
-    val parts = math.max(spark.sparkContext.defaultParallelism * 2, k)
+    val parts = math.min(math.max(spark.sparkContext.defaultParallelism * 3, 4), k)
     spark.range(0, k, 1, parts).crossJoin(broadcast(docs))
       .select((col("doc_id") * k + col("id")).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))

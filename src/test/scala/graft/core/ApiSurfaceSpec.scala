@@ -146,6 +146,19 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"raw NUL bytes in: ${offenders.mkString(", ")}")
   }
 
+  test("Vocabulary namespace DSL: terms as identifiers, strict mode") {
+    val schema = Vocabulary("http://schema.org/")
+    assert(schema.name == Term.iri("http://schema.org/name"))
+    assert(schema.Person == Term.iri("http://schema.org/Person"))
+    assert(schema("weird-term") == Term.iri("http://schema.org/weird-term"))
+    assert(schema.iri("name") == "http://schema.org/name")
+    val strict = Vocabulary.strict("http://ex.org/v#", "alpha", "beta")
+    assert(strict.alpha == Term.iri("http://ex.org/v#alpha"))
+    assertThrows[NoSuchElementException](strict.gamma)
+    assert(strict.terms.map(_.value) ==
+      Seq("http://ex.org/v#alpha", "http://ex.org/v#beta"))
+  }
+
   test("EARL report is valid Turtle with one assertion per test") {
     val rep = graft.w3c.Earl.report("https://example.org/graft",
       Seq("http://t/1" -> true, "http://t/2" -> false))

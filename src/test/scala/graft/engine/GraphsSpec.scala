@@ -137,6 +137,18 @@ class GraphsSpec extends AnyFunSuite {
     assert(Set(comp("c00"), comp("m"), comp("z")).size == 3)
   }
 
+  test("bnodeComponents: pointer doubling converges a 60-chain in <=20 rounds") {
+    import spark.implicits._
+    // diameter 59 >> maxIter 20: plain min-label propagation needs ~59
+    // rounds and would hit the non-convergence throw; pointer doubling
+    // converges in O(log 60) ~ 6-8 rounds
+    val chain = (0 until 59).map(i =>
+      Triple(Term.bnode(f"d$i%03d"), Term.iri(ex + "p"), Term.bnode(f"d${i + 1}%03d")))
+    val comp = Graphs.bnodeComponents(chain.toDF(), maxIter = 20).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((0 to 59).map(i => comp(f"d$i%03d")).distinct.size == 1)
+  }
+
   test("materialize with lineage supports checkpoint resume") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_mat").toString
@@ -253,6 +265,18 @@ class GraphsSpec extends AnyFunSuite {
       desc.map(t => Triple(Term.iri(elsewhere), t.p, t.o)))
     assert(hijack.filter(col("s")("value") === ex + "elsewhere").isEmpty)
     assert(hijack.count() == g1.count())
+  }
+
+  test("pop and getAndUpdate follow the Access contract") {
+    import spark.implicits._
+    val (desc, rest) = Graphs.pop(g1, Term.iri(ex + "a"))
+    assert(desc.count() == 2 && rest.count() == 2)
+    assert(rest.filter(col("s")("value") === ex + "a").isEmpty)
+    val extra = Seq(tri("b", "new", Term.str("x"))).toDF()
+    val (cur, updated) = Graphs.getAndUpdate(g1, Term.iri(ex + "b"),
+      d => d.unionByName(extra))
+    assert(cur.count() == 2)
+    assert(updated.count() == 5) // b gains one statement
   }
 
   test("updateAllObjects maps each object; empty result deletes the statement") {
