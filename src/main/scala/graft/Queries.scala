@@ -116,6 +116,26 @@ object Queries {
       Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
              |round(sum(value),3) AS sv FROM events GROUP BY 1,2""".stripMargin)),
 
+    // salted shuffle join on a SKEWED key (events has a handful of hot
+    // event_types): the fact side is salted, the dimension replicated
+    // x8, so one hot key spreads over 8 reduce partitions — the plan-level
+    // skew fix the north star's "salted, skew-aware" tables call for.
+    // Forced shuffle-hash join (no broadcast) so the salting is what is
+    // actually exercised; results identical to the plain join.
+    "q9_skew_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("w", length(col("event_type")))
+        graft.ops.Skew.saltedJoin(ev, dim, "event_type", 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum(col("value") * col("w")), 3).as("sv"))
+      },
+      Some("""WITH dim AS (SELECT DISTINCT event_type, length(event_type) AS w FROM events)
+             |SELECT e.event_type, count(*) AS n, round(sum(e.value * d.w), 3) AS sv
+             |FROM events e JOIN dim d ON e.event_type = d.event_type
+             |GROUP BY 1""".stripMargin)),
+
     // Structured Streaming face of q8: file-source stream -> watermarked
     // 1-hour windows, run to completion on the static input; the window
     // start equals date_trunc('hour') so the batch SQL is the oracle
@@ -254,6 +274,38 @@ object Queries {
              |r AS (SELECT qid, vec_id, cos,
              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
              |SELECT qid, vec_id, cos FROM r WHERE rn <= 3""".stripMargin)),
+
+    // embedding-cosine NEAR-DUP dedup. The synthetic embeddings are
+    // near-orthogonal (max pairwise cosine ~0.51), so duplicate rows are
+    // INJECTED deterministically (10% re-embedded copies) — the embedding
+    // face of the re-crawl corpus. Exact brute-force variant is the
+    // correctness baseline (quadratic; verification scale only).
+    "dedup_embed_cosine" -> Q(
+      (s, d) => {
+        val pairs = Similarity.cosineNearDupPairs(embDupCorpus(t(s, d, "embeddings")), 0.95)
+        pairs.select(col("d1").as("vec_id")).unionAll(pairs.select(col("d2").as("vec_id")))
+          .groupBy("vec_id").agg(count(lit(1)).as("n_near"))
+      },
+      Some(embDupSql +
+        """SELECT vec_id, count(*) AS n_near FROM
+          |  (SELECT d1 AS vec_id FROM p WHERE cos >= 0.95
+          |   UNION ALL SELECT d2 FROM p WHERE cos >= 0.95) GROUP BY 1""".stripMargin)),
+
+    // the SCALE path: LSH sign-bit blocking + Hamming-1 multiprobe, exact
+    // cosine verify on blocked candidates only. Fully oracled here because
+    // injected duplicates are identical vectors (identical projections ->
+    // same bucket, recall 1.0 on this corpus); recall on merely-NEAR
+    // vectors is the approximate trade, asserted in SimilaritySpec.
+    "dedup_embed_lsh" -> Q(
+      (s, d) => {
+        val pairs = Similarity.lshNearDupPairs(embDupCorpus(t(s, d, "embeddings")), 0.95)
+        pairs.select(col("d1").as("vec_id")).unionAll(pairs.select(col("d2").as("vec_id")))
+          .groupBy("vec_id").agg(count(lit(1)).as("n_near"))
+      },
+      Some(embDupSql +
+        """SELECT vec_id, count(*) AS n_near FROM
+          |  (SELECT d1 AS vec_id FROM p WHERE cos >= 0.95
+          |   UNION ALL SELECT d2 FROM p WHERE cos >= 0.95) GROUP BY 1""".stripMargin)),
 
     // approximate variant — not SQL-oracled (rows-only check); multi-probe
     // (Hamming-1 buckets) for usable recall at higher dimensions
@@ -762,6 +814,25 @@ object Queries {
       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM capped a JOIN capped b ON a.band=b.band AND a.sig=b.sig
       |   AND a.source=b.source AND a.doc_id < b.doc_id)
+      |""".stripMargin
+
+  /** Embedding corpus with 10% injected duplicate rows (deterministic:
+    * vec_id % 10 == 0 re-appears as vec_id + 100000). */
+  private def embDupCorpus(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .unionAll(e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+
+  /** DuckDB twin of embDupCorpus + exact pairwise cosine CTE. */
+  private lazy val embDupSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+      |  WHERE vec_id % 10 = 0),
+      |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+      |  FROM e a, e b WHERE a.vec_id < b.vec_id)
       |""".stripMargin
 
   /** Shared DuckDB CTE reproducing synthesizeWebPages (no duplicates). */

@@ -57,6 +57,49 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine NEAR-DUP pairs, exact: all (v1 < v2) pairs with
+    * cosine >= `threshold`. This is the correctness BASELINE for the
+    * embedding-dedup family (quadratic in corpus size — verification scale
+    * only); [[lshNearDupPairs]] is the blocked scale path, and the two are
+    * compared in SimilaritySpec. Output: (d1, d2, cos). */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(cosine(col("e1"), col("e2")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs, BLOCKED (the 100 TB path): pairs are
+    * generated only within an LSH sign-bit bucket (plus Hamming-1 probe
+    * buckets when `probeHamming=1`), then exact-cosine verified — the
+    * standard block→verify plan, an equi-join on bucket keys instead of an
+    * all-pairs product. Near-dups whose bucket signatures differ in more
+    * than `probeHamming` bits are missed (the recall/cost trade; recall
+    * vs [[cosineNearDupPairs]] is asserted in SimilaritySpec). */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
+                      nPlanes: Int = 8, probeHamming: Int = 1): DataFrame = {
+    val c = embeddings.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nPlanes).as("b0"))
+    // probe expansion on ONE side only: pairing (x in bucket b) with
+    // (y in b XOR bit) covers the Hamming-1 case once per pair
+    val probeCols: Seq[Column] =
+      col("b0") +: (if (probeHamming >= 1)
+        (0 until nPlanes).map(i => col("b0").bitwiseXOR(lit(1 << i)))
+      else Nil)
+    val left = c.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+      explode(array(probeCols: _*)).as("bucket"))
+    val right = c.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+      col("b0").as("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(cosine(col("e1"), col("e2")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("d1", "d2")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Same output shape as bruteForceTopK (may miss true neighbors — that is
     * the recall/cost trade). `probeHamming=1` turns on multi-probe: each

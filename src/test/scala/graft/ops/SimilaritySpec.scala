@@ -47,4 +47,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
     assert(rm > 0.3, s"multi-probe recall unexpectedly low: $rm")
   }
+
+  test("embedding near-dup: LSH-blocked pairs vs exact, perturbed corpus") {
+    import spark.implicits._
+    // 60 base vectors + 20 small perturbations of the first 20: the true
+    // near-dups are NOT byte-identical, so bucket signatures can differ —
+    // the genuine recall/cost trade of the blocked path
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val perturbed = base.take(20).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }
+    val e = (base ++ perturbed).toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.cosineNearDupPairs(e, 0.95))
+    assert(exact.size >= 18, s"expected ~20 true near-dup pairs, got ${exact.size}")
+    val blocked = pairSet(Similarity.lshNearDupPairs(e, 0.95, nPlanes = 6, probeHamming = 1))
+    // precision is 1.0 by construction (every candidate is exact-verified)
+    assert(blocked.subsetOf(exact), "blocked pairs must be exact-verified")
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.7, s"multi-probe blocked recall too low: $recall")
+  }
 }
