@@ -316,6 +316,16 @@ object Queries {
       },
       None),
 
+    // IVF variant — centroid-cell partitioning + nProbe cell scan; the
+    // second classic ANN layout (rows-only: approximate; recall asserted
+    // in SimilaritySpec)
+    "embed_ivf_ann" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 3, nLists = 8, nProbe = 2)
+      },
+      None),
+
     // ------------------------------------------------------- multimodal
     "multimodal_meta" -> Q(
       (s, d) => Multimodal.describe(Multimodal.synthesize(t(s, d, "documents"))),
@@ -341,6 +351,26 @@ object Queries {
              |COALESCE(CAST(list_sum(list_transform(range(1, length(text)+1, 8),
              |  i -> ord(substr(text, i, 1)))) AS BIGINT), 0) AS b0_sum
              |FROM documents""".stripMargin)),
+
+    // resize bookkeeping: geometry + bounded payload size as pure Columns
+    "multimodal_resize" -> Q(
+      (s, d) => Multimodal.resize(Multimodal.synthesize(t(s, d, "documents")), 128, 128),
+      Some("""SELECT doc_id AS media_id,
+             |CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+             |ELSE 'video' END AS kind,
+             |128 AS width, 128 AS height,
+             |least(octet_length(encode(text)), 2048) AS out_bytes
+             |FROM documents""".stripMargin)),
+
+    // frame sampling: one row per sampled timestamp per video payload —
+    // the explode contract a real decoder emits frames under
+    "multimodal_frames" -> Q(
+      (s, d) => Multimodal.frameSample(Multimodal.synthesize(t(s, d, "documents")), 5000L),
+      Some("""SELECT doc_id AS media_id, ts_ms,
+             |md5(text || '@' || CAST(ts_ms AS VARCHAR)) AS frame_sig
+             |FROM documents,
+             |  LATERAL (SELECT unnest(generate_series(0, n_chars * 10, 5000)) AS ts_ms)
+             |WHERE doc_id % 3 = 2""".stripMargin)),
 
     // ----------------------------------------------------- RDF engine path
     "rdf_extract" -> Q(

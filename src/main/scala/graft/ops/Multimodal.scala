@@ -66,6 +66,32 @@ object Multimodal {
       }.toDF()
   }
 
+  /** STUB resize: the geometry/size bookkeeping of a decode-resize-reencode
+    * stage as pure Columns — the real codec swap point is the payload
+    * transform (here: a deterministic size bound), everything else (typed
+    * output schema, no shuffle, no driver involvement) is the actual
+    * contract a real resizer runs under. Output:
+    * (media_id, kind, width, height, out_bytes). */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      lit(w).as("width"), lit(h).as("height"),
+      least(length(col("payload")).cast("long"),
+        lit(w.toLong * h / 8)).as("out_bytes"))
+
+  /** Frame sampling for video payloads: one output row per sampled
+    * timestamp in [0, duration_ms] step `everyMs` — the explode IS the real
+    * plumbing (a decoder would emit one frame per row exactly like this);
+    * the frame signature is the deterministic stand-in for decoded frame
+    * bytes. Narrow plan: filter + explode, no shuffle. */
+  def frameSample(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("ts_ms"),
+        col("payload"))
+      .select(col("media_id"), col("ts_ms"),
+        md5(concat(col("payload").cast("string"), lit("@"),
+          col("ts_ms").cast("string"))).as("frame_sig"))
+
   /** Deterministic synthetic media table derived from a text corpus (the
     * payload is the UTF-8 of the text — an opaque blob as far as the
     * pipeline is concerned). */

@@ -100,6 +100,44 @@ object Similarity {
       .dropDuplicates("d1", "d2")
   }
 
+  /** IVF (inverted-file) approximate top-k — the second classic ANN
+    * layout next to LSH: the corpus is partitioned into `nLists` cells by
+    * nearest centroid, and each query scans only its `nProbe` nearest
+    * cells. Centroids are picked deterministically from the corpus (the
+    * `nLists` smallest vec_ids — a reproducible stand-in for a k-means
+    * codebook; swap in trained centroids without touching the plan).
+    * Plan shape at corpus scale: centroids are tiny and broadcast both
+    * times; cell assignment is one narrow pass (and would be precomputed
+    * and STORED as a partition column in a real deployment, turning the
+    * probe into partition pruning); the probe is an equi-join on cell ids.
+    * Output: (qid, vec_id, cos), approximate — recall asserted in
+    * SimilaritySpec. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 8, nProbe: Int = 2): DataFrame = {
+    val cents = embeddings.orderBy("vec_id").limit(nLists)
+      .select(col("vec_id").as("cent_seed"), col("embedding").as("ce"))
+      .withColumn("cell", row_number().over(Window.orderBy("cent_seed")) - 1)
+      .drop("cent_seed")
+    def nearestCells(df: DataFrame, idCol: String, eCol: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .select(col(idCol), col(eCol),
+          col("cell"), cosine(col(eCol), col("ce")).as("__cs"))
+      val w = Window.partitionBy(idCol).orderBy(col("__cs").desc, col("cell"))
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
+        .drop("__rn", "__cs")
+    }
+    val assigned = nearestCells(
+      embeddings.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+    val probed = nearestCells(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid", "qe", nProbe)
+    val scored = assigned.join(broadcast(probed), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Same output shape as bruteForceTopK (may miss true neighbors — that is
     * the recall/cost trade). `probeHamming=1` turns on multi-probe: each

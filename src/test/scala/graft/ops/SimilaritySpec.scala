@@ -48,6 +48,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rm > 0.3, s"multi-probe recall unexpectedly low: $rm")
   }
 
+  test("IVF top-k: more probes -> recall monotone, beats floor") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 16)
+    val exact = topKSet(Similarity.bruteForceTopK(e, q, 5))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (qid, truth) =>
+        approx.getOrElse(qid, Set.empty).count(truth) }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val r1 = recall(topKSet(Similarity.ivfTopK(e, q, 5, nLists = 8, nProbe = 1)))
+    val r3 = recall(topKSet(Similarity.ivfTopK(e, q, 5, nLists = 8, nProbe = 3)))
+    assert(r3 >= r1, s"nProbe=3 recall $r3 < nProbe=1 recall $r1")
+    assert(r3 > 0.3, s"IVF recall unexpectedly low: $r3")
+  }
+
   test("embedding near-dup: LSH-blocked pairs vs exact, perturbed corpus") {
     import spark.implicits._
     // 60 base vectors + 20 small perturbations of the first 20: the true
