@@ -563,6 +563,87 @@ object Queries {
              |  UNION ALL SELECT e.dst, r.depth+1 FROM r JOIN e ON e.src=r.node WHERE r.depth < 4)
              |SELECT node, min(depth) AS depth FROM r GROUP BY 1""".stripMargin)),
 
+    // Diff ALGEBRA end-to-end (diff.ex union/invert/apply): diff two graph
+    // versions, apply the diff back, and report the applied statements and
+    // both diff sides — the oracle recomputes all three in SQL set algebra
+    "kg_diff_apply" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def g(o: org.apache.spark.sql.Column) = docs.select(
+          concat(lit(WebKg.docNs), col("doc_id")).as("s"),
+          lit(WebKg.pLang).as("p"), o.as("o"))
+        val before = g(col("lang"))
+        val after = g(when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang")))
+        val diff = graft.engine.Diff.compute(before, after)
+        diff.applyTo(before).select(lit("applied").as("part"), col("o"))
+          .unionAll(diff.additions.select(lit("add").as("part"), col("o")))
+          .unionAll(diff.deletions.select(lit("del").as("part"), col("o")))
+          .groupBy("part", "o").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH before AS (SELECT 'http://graft.dev/doc/'||doc_id AS s, lang AS o
+             |  FROM documents),
+             |after AS (SELECT 'http://graft.dev/doc/'||doc_id AS s,
+             |  CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS o FROM documents)
+             |SELECT 'applied' AS part, o, count(*) AS n FROM after GROUP BY 1,2
+             |UNION ALL SELECT 'add', o, count(*) FROM
+             |  (SELECT s, o FROM after EXCEPT SELECT s, o FROM before) GROUP BY 1,2
+             |UNION ALL SELECT 'del', o, count(*) FROM
+             |  (SELECT s, o FROM before EXCEPT SELECT s, o FROM after) GROUP BY 1,2""".stripMargin)),
+
+    // graph-wide per-subject update (update_all_descriptions): every
+    // subject's description gains a statement-count triple, computed
+    // inside the distributed flatMapGroups
+    "graph_update_all" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sCol = Terms.iri(concat(lit(WebKg.docNs), col("doc_id")))
+        def p(iri: String) = Terms.iri(lit(iri))
+        val triples =
+          docs.select(sCol.as("s"), p(WebKg.pLang).as("p"), Terms.strLit(col("lang")).as("o"))
+            .unionAll(docs.select(sCol.as("s"), p(WebKg.vocab + "nchars").as("p"),
+              Terms.typedLit(col("n_chars").cast("string"), xsdInt).as("o")))
+        val nstatP = WebKg.vocab + "nstat" // local: keep the closure slim
+        val updated = graft.engine.Graphs.updateAllDescriptions(triples,
+          (subj, desc) => desc :+ graft.core.Triple(subj,
+            graft.core.Term.iri(nstatP), graft.core.Term.int(desc.size.toLong)))
+        updated.groupBy(col("p")("value").as("p"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("o")("value")).as("n_obj"))
+      },
+      Some("""SELECT 'http://graft.dev/vocab#lang' AS p, count(*) AS n,
+             |  count(DISTINCT lang) AS n_obj FROM documents
+             |UNION ALL SELECT 'http://graft.dev/vocab#nchars', count(*),
+             |  count(DISTINCT n_chars) FROM documents
+             |UNION ALL SELECT 'http://graft.dev/vocab#nstat', count(*), 1
+             |  FROM documents""".stripMargin)),
+
+    // reachability with a CUSTOM follow function (object, predicate, depth)
+    // -> the typed-filter path, cross-checked against a depth-bounded
+    // recursive CTE: visited = nodes within 3 hops, result = the FULL
+    // descriptions (all outgoing edges) of visited nodes
+    "graph_reach_follow" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val edges = WebKg.docEdges(docs).dropDuplicates()
+        val g = edges.select(
+          Terms.iri(concat(lit(WebKg.docNs), col("src"))).as("s"),
+          Terms.iri(lit(WebKg.pLink)).as("p"),
+          Terms.iri(concat(lit(WebKg.docNs), col("dst"))).as("o"))
+        val out = graft.engine.Graphs.reachable(g,
+          graft.core.Term.iri(WebKg.docNs + "1"),
+          follow = graft.engine.Graphs.Follow.Custom((_, _, depth) => depth <= 3))
+        out.groupBy(col("s")("value").as("s")).agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+             |e AS (SELECT DISTINCT src, dst FROM (
+             |  SELECT doc_id AS src, (doc_id*2) % (SELECT c FROM nn) AS dst FROM documents
+             |  UNION ALL SELECT doc_id, (doc_id*3+1) % (SELECT c FROM nn) FROM documents)),
+             |r(node, depth) AS (SELECT CAST(1 AS BIGINT), 0
+             |  UNION ALL SELECT e.dst, r.depth+1 FROM r JOIN e ON e.src = r.node
+             |  WHERE r.depth < 3),
+             |v AS (SELECT DISTINCT node FROM r)
+             |SELECT 'http://graft.dev/doc/'||e.src AS s, count(*) AS n
+             |FROM e JOIN v ON e.src = v.node GROUP BY 1""".stripMargin)),
+
     // --------------------------------------------- the KG pipeline itself
     // full extraction over synthesized web pages, flat oracle projection
     "kg_extract" -> Q(
