@@ -17,9 +17,10 @@ import graft.pipeline.WebKg
 object Bench {
 
   private val headline = Seq(
-    "q1_agg", "q2_join_agg", "q4_window", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "text_tokens", "text_fingerprint", "embed_cosine_topk",
-    "rdf_bgp", "kg_extract", "kg_dedup")
+    "q1_agg", "q2_join_agg", "q4_window", "q9_skew_join", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "text_tokens", "text_fingerprint", "embed_cosine_topk", "rdf_bgp",
+    "kg_extract", "kg_dedup")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
