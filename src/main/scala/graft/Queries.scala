@@ -188,6 +188,29 @@ object Queries {
       Some(lshCandSql +
         "SELECT d1 AS doc_id, count(*) AS n_cand FROM cand GROUP BY 1")),
 
+    // STREAMING stateful LSH near-dup: one flatMapGroupsWithState keyed by
+    // LSH bucket, emitting candidate pairs as docs arrive. On a static
+    // corpus (no bucket over the cap at this SF — verified) the pair set
+    // equals the batch plan's, so dedup_minhash_lsh's oracle applies.
+    "stream_dedup_lsh" -> Q(
+      (s, d) => {
+        val dir = s"/tmp/graft_stream_lsh_${math.abs(d.hashCode)}"
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            expr("TIMESTAMP '2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")
+              .as("ts"))
+          .write.mode("overwrite").parquet(dir)
+        val schema = s.read.parquet(dir).schema
+        val stream = graft.engine.Streaming.streamingLshCandidatePairs(
+          s.readStream.schema(schema).parquet(dir))
+        graft.engine.Streaming.runToCompletion(stream.toDF(),
+          s"stream_lsh_${math.abs(d.hashCode)}", outputMode = "append")
+          .distinct()
+          .groupBy(col("d1").as("doc_id")).agg(count(lit(1)).as("n_cand"))
+      },
+      Some(lshCandSql +
+        "SELECT d1 AS doc_id, count(*) AS n_cand FROM cand GROUP BY 1")),
+
     // two-stage near-dup: LSH blocking -> exact Jaccard verify over the
     // candidate pairs ONLY (the raw token-token join is quadratic per
     // common token at corpus scale)
@@ -252,6 +275,32 @@ object Queries {
              |SELECT doc_id, CASE WHEN en>=fr AND en>=de AND en>=es THEN 'en'
              |  WHEN fr>=de AND fr>=es THEN 'fr' WHEN de>=es THEN 'de'
              |  ELSE 'es' END AS pred_lang FROM sc""".stripMargin)),
+
+    // the COMPOSED curation pipeline over a re-crawled corpus: exact dedup
+    // (collapses the injected duplicate crawls — the oracle's counts only
+    // match if it does) -> langid -> quality gates -> per-language stats
+    "text_curation" -> Q(
+      (s, d) => TextOps.curate(
+          WebKg.synthesizeWebPages(t(s, d, "documents"), withDuplicates = true))
+        .groupBy(col("pred_lang"), floor(col("n_tokens") / 20).as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens")),
+      Some(kgPagesSql +
+        """, ded AS (SELECT min(url) AS url, any_value(text) AS text
+          |  FROM pages GROUP BY md5(text)),
+          |sc AS (SELECT url, len(string_split_regex(text,'\s+')) AS n_tokens,
+          |  len(list_filter(string_split_regex(text,'\s+'), w -> w='the' OR w='a'))
+          |    * 1.0 / len(string_split_regex(text,'\s+')) AS sw,
+          |  len(list_filter(string_split_regex(text,'\s+'), w -> w='the' OR w='a')) AS en,
+          |  len(list_filter(string_split_regex(text,'\s+'), w -> w='le' OR w='la')) AS fr,
+          |  len(list_filter(string_split_regex(text,'\s+'), w -> w='der' OR w='die')) AS de,
+          |  len(list_filter(string_split_regex(text,'\s+'), w -> w='el' OR w='los')) AS es
+          |  FROM ded)
+          |SELECT CASE WHEN en>=fr AND en>=de AND en>=es THEN 'en'
+          |  WHEN fr>=de AND fr>=es THEN 'fr' WHEN de>=es THEN 'de'
+          |  ELSE 'es' END AS pred_lang,
+          |CAST(n_tokens // 20 AS BIGINT) AS len_bucket,
+          |count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+          |FROM sc WHERE n_tokens >= 20 AND sw <= 0.2 GROUP BY 1, 2""".stripMargin)),
 
     "text_fingerprint" -> Q(
       (s, d) => TextOps.fingerprints(t(s, d, "documents")),
@@ -440,20 +489,25 @@ object Queries {
              |(v <> 0) AS ebv
              |FROM (SELECT doc_id, n_chars * 100 - 20000 AS v FROM documents)""".stripMargin)),
 
-    // Open datatype REGISTRY driver-visible: hexBinary + gYear run through
-    // Xsd.DatatypeRegistry (XsdExtra registrations — datatypes the
-    // reference itself lacks), validation + canonical forms cross-checked
-    // against plain SQL. UDFs on purpose: the query verifies the registry
-    // kernel's semantics; the hot paths never run these.
+    // Open datatype REGISTRY driver-visible: hexBinary + gYear + the
+    // duration family run through Xsd.DatatypeRegistry (XsdExtra /
+    // XsdDuration registrations — datatypes the reference itself lacks),
+    // validation + canonical forms cross-checked against plain SQL. UDFs
+    // on purpose: the query verifies the registry kernel's semantics; the
+    // hot paths never run these.
     "rdf_xsd_registry" -> Q(
       (s, d) => {
-        import graft.core.{Xsd, XsdExtra}
-        XsdExtra.register()
+        import graft.core.{Xsd, XsdDuration, XsdExtra}
+        XsdExtra.register(); XsdDuration.register()
         val canonHex = udf((lex: String) =>
           Xsd.canonicalLexical(lex, XsdExtra.xsdHexBinary).orNull)
         val canonYear = udf((lex: String) =>
           Xsd.canonicalLexical(lex, XsdExtra.xsdGYear).orNull)
         val validYear = udf((lex: String) => Xsd.valid(lex, XsdExtra.xsdGYear))
+        val canonDur = udf((lex: String) =>
+          Xsd.canonicalLexical(lex, XsdDuration.xsdDuration).orNull)
+        val canonYm = udf((lex: String) =>
+          Xsd.canonicalLexical(lex, XsdDuration.xsdYearMonthDuration).orNull)
         val year = (col("doc_id") % 200 + 1900).cast("string")
         t(s, d, "documents").select(col("doc_id"),
             md5(col("text")).as("hex"),
@@ -462,17 +516,39 @@ object Queries {
                 .when(col("doc_id") % 3 === 1, lit("Z"))
                 .otherwise(lit("+00:00"))).as("gy"),
             // 5 digits with a leading zero: invalid per XML Schema
-            concat(lit("0"), year).as("gybad"))
+            concat(lit("0"), year).as("gybad"),
+            // a raw seconds count / months count to normalize
+            concat(lit("PT"), col("n_chars").cast("string"), lit("S")).as("dur"),
+            concat(lit("P"), (col("doc_id") % 40).cast("string"), lit("M")).as("ym"))
           .select(col("doc_id"),
             canonHex(col("hex")).as("hex_canon"),
             canonYear(col("gy")).as("gyear_canon"),
             validYear(col("gy")).as("gyear_valid"),
-            validYear(col("gybad")).as("bad_valid"))
+            validYear(col("gybad")).as("bad_valid"),
+            canonDur(col("dur")).as("dur_canon"),
+            canonYm(col("ym")).as("ym_canon"))
       },
       Some("""SELECT doc_id, upper(md5(text)) AS hex_canon,
              |CAST(1900 + doc_id % 200 AS VARCHAR) ||
              |  (CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Z' END) AS gyear_canon,
-             |TRUE AS gyear_valid, FALSE AS bad_valid
+             |TRUE AS gyear_valid, FALSE AS bad_valid,
+             |CASE WHEN n_chars = 0 THEN 'PT0S' ELSE 'P' ||
+             |  (CASE WHEN n_chars // 86400 > 0
+             |     THEN CAST(n_chars // 86400 AS VARCHAR) || 'D' ELSE '' END) ||
+             |  (CASE WHEN n_chars % 86400 > 0 THEN 'T' ||
+             |    (CASE WHEN (n_chars % 86400) // 3600 > 0
+             |       THEN CAST((n_chars % 86400) // 3600 AS VARCHAR) || 'H' ELSE '' END) ||
+             |    (CASE WHEN (n_chars % 3600) // 60 > 0
+             |       THEN CAST((n_chars % 3600) // 60 AS VARCHAR) || 'M' ELSE '' END) ||
+             |    (CASE WHEN n_chars % 60 > 0
+             |       THEN CAST(n_chars % 60 AS VARCHAR) || 'S' ELSE '' END)
+             |   ELSE '' END) END AS dur_canon,
+             |CASE WHEN doc_id % 40 = 0 THEN 'P0M' ELSE 'P' ||
+             |  (CASE WHEN (doc_id % 40) // 12 > 0
+             |     THEN CAST((doc_id % 40) // 12 AS VARCHAR) || 'Y' ELSE '' END) ||
+             |  (CASE WHEN (doc_id % 40) % 12 > 0
+             |     THEN CAST((doc_id % 40) % 12 AS VARCHAR) || 'M' ELSE '' END)
+             |  END AS ym_canon
              |FROM documents""".stripMargin)),
 
     // RDF-star end-to-end: annotation triples built as Column expressions

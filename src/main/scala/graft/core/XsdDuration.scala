@@ -1,0 +1,157 @@
+package graft.core
+
+import scala.math.BigDecimal
+
+/** The XSD duration family — xsd:duration plus the two XPath/XQuery
+  * totally-ordered subtypes xsd:yearMonthDuration and xsd:dayTimeDuration
+  * (XML Schema 1.1 §3.3.6, §3.4.26, §3.4.27).
+  *
+  * The REFERENCE does not implement these (lib/rdf/xsd/datatype.ex:34-56
+  * marks the duration family ❌); like hexBinary/gYear in [[XsdExtra]] they
+  * are provided as registrations against the open `Xsd.DatatypeRegistry`,
+  * so the engine can validate/canonicalize duration literals found in web
+  * data without touching the built-in dispatch.
+  *
+  * Value space (XSD 1.1): a (months, seconds) pair with one overall sign.
+  * Canonical form: months normalized to `yY mM`, seconds normalized to
+  * `dD hH mM s(.fff)S`, zero components omitted, fractional seconds
+  * without trailing zeros, and the shortest all-zero forms `PT0S` /
+  * `P0M` / `PT0S` for duration / yearMonthDuration / dayTimeDuration.
+  */
+object XsdDuration {
+
+  val xsdDuration: String = Vocab.xsd + "duration"
+  val xsdYearMonthDuration: String = Vocab.xsd + "yearMonthDuration"
+  val xsdDayTimeDuration: String = Vocab.xsd + "dayTimeDuration"
+
+  // XSD 1.1 duration lexical: -?P[nY][nM][nD][T[nH][nM][n(.n+)?S]] with at
+  // least one component present and 'T' only when followed by a time
+  // component. Fractions allowed only on seconds.
+  private val durRe =
+    ("^(-)?P(?:(\\d+)Y)?(?:(\\d+)M)?(?:(\\d+)D)?" +
+      "(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+(?:\\.\\d+)?)S)?)?$").r
+
+  /** Parsed value: overall sign, total months, total seconds (both >= 0). */
+  final case class Value(negative: Boolean, months: BigInt, seconds: BigDecimal) {
+    def signedMonths: BigInt = if (negative) -months else months
+    def signedSeconds: BigDecimal = if (negative) -seconds else seconds
+  }
+
+  def parse(lex: String): Option[Value] = lex match {
+    case durRe(sign, y, mo, d, h, mi, s) =>
+      val parts = Seq(y, mo, d, h, mi, s)
+      // "P" alone, or a trailing bare "T" (T with no time fields), is invalid
+      val hasAny = parts.exists(_ != null)
+      val bareT = lex.contains("T") && Seq(h, mi, s).forall(_ == null)
+      if (!hasAny || bareT) None
+      else {
+        def big(x: String): BigInt = if (x == null) BigInt(0) else BigInt(x)
+        val months = big(y) * 12 + big(mo)
+        val secs = BigDecimal(big(d)) * 86400 + BigDecimal(big(h)) * 3600 +
+          BigDecimal(big(mi)) * 60 +
+          (if (s == null) BigDecimal(0) else BigDecimal(s))
+        Some(Value(sign != null && (months != 0 || secs != 0), months, secs))
+      }
+    case _ => None
+  }
+
+  def validDuration(lex: String): Boolean = parse(lex).isDefined
+
+  /** yearMonthDuration restricts the lexical space to Y/M components only. */
+  def validYearMonthDuration(lex: String): Boolean =
+    parse(lex).isDefined && !lex.exists(c => c == 'D' || c == 'T')
+
+  /** dayTimeDuration restricts the lexical space to D/H/M/S components. */
+  def validDayTimeDuration(lex: String): Boolean =
+    parse(lex).isDefined && {
+      // no Y, and no M before any T (months M vs minutes M)
+      val beforeT = lex.indexOf('T') match {
+        case -1 => lex
+        case i  => lex.substring(0, i)
+      }
+      !lex.contains("Y") && !beforeT.contains("M")
+    }
+
+  private def stripFraction(s: BigDecimal): String = {
+    val plain = s.underlying.stripTrailingZeros.toPlainString
+    if (plain == "-0") "0" else plain
+  }
+
+  /** Canonical form of an already-parsed value, constrained to the lexical
+    * space of the requesting subtype. */
+  def format(v: Value, yearMonthOnly: Boolean = false, dayTimeOnly: Boolean = false): String = {
+    val sb = new StringBuilder
+    if (v.negative && (v.months != 0 || v.seconds != 0)) sb += '-'
+    sb += 'P'
+    val y = v.months / 12
+    val mo = v.months % 12
+    if (y != 0) sb ++= s"${y}Y"
+    if (mo != 0) sb ++= s"${mo}M"
+    if (!yearMonthOnly) {
+      val totalSecs = v.seconds
+      val d = totalSecs.quot(86400).toBigInt
+      val rem1 = totalSecs - BigDecimal(d) * 86400
+      val h = rem1.quot(3600).toBigInt
+      val rem2 = rem1 - BigDecimal(h) * 3600
+      val mi = rem2.quot(60).toBigInt
+      val s = rem2 - BigDecimal(mi) * 60
+      if (d != 0) sb ++= s"${d}D"
+      if (h != 0 || mi != 0 || s != 0) {
+        sb += 'T'
+        if (h != 0) sb ++= s"${h}H"
+        if (mi != 0) sb ++= s"${mi}M"
+        if (s != 0) sb ++= s"${stripFraction(s)}S"
+      }
+    }
+    if (sb.last == 'P') { // all components zero: shortest zero form
+      if (yearMonthOnly) sb ++= "0M" else sb ++= "T0S"
+    }
+    sb.result()
+  }
+
+  def canonicalDuration(lex: String): Option[String] = parse(lex).map(format(_))
+
+  def canonicalYearMonthDuration(lex: String): Option[String] =
+    if (validYearMonthDuration(lex)) parse(lex).map(format(_, yearMonthOnly = true))
+    else None
+
+  def canonicalDayTimeDuration(lex: String): Option[String] =
+    if (validDayTimeDuration(lex)) parse(lex).map(format(_, dayTimeOnly = true))
+    else None
+
+  /** XSD order relation on durations is PARTIAL: values with both a month
+    * and a second component are comparable only when the month parts (or
+    * second parts) already decide the order regardless of day lengths
+    * (XSD 1.1 uses four reference dateTimes; the equivalent bound here is
+    * 28..31 days per month). Subtypes are totally ordered. Returns None
+    * when indeterminate. */
+  def compare(a: Value, b: Value): Option[Int] = {
+    val dm = (a.signedMonths - b.signedMonths)
+    val ds = (a.signedSeconds - b.signedSeconds)
+    if (dm == 0) Some(ds.signum)
+    else {
+      // months difference dm spans between dm*28 and dm*31 days
+      val loDays = if (dm > 0) dm * 28 else dm * 31
+      val hiDays = if (dm > 0) dm * 31 else dm * 28
+      val lo = BigDecimal(loDays) * 86400 + ds
+      val hi = BigDecimal(hiDays) * 86400 + ds
+      if (lo > 0) Some(1)
+      else if (hi < 0) Some(-1)
+      else if (lo == 0 && hi == 0) Some(0)
+      else None
+    }
+  }
+
+  def compareLexical(a: String, b: String): Option[Int] =
+    for { va <- parse(a); vb <- parse(b); c <- compare(va, vb) } yield c
+
+  /** Idempotent registration into the open datatype registry. */
+  def register(): Unit = {
+    Xsd.DatatypeRegistry.register(xsdDuration,
+      Xsd.DatatypeDef(validDuration, canonicalDuration))
+    Xsd.DatatypeRegistry.register(xsdYearMonthDuration,
+      Xsd.DatatypeDef(validYearMonthDuration, canonicalYearMonthDuration))
+    Xsd.DatatypeRegistry.register(xsdDayTimeDuration,
+      Xsd.DatatypeDef(validDayTimeDuration, canonicalDayTimeDuration))
+  }
+}

@@ -54,6 +54,76 @@ object Streaming {
       .dropDuplicates("h")
       .select(col("doc_id"), col("h"), col("ts"))
 
+  /** One LSH band occurrence of one document (the stateful-dedup input). */
+  final case class LshBandRow(doc_id: Long, source: String, band: Int,
+                              sig: String, ts: java.sql.Timestamp)
+  /** A near-dup candidate pair (d1 < d2). */
+  final case class LshCandPair(d1: Long, d2: Long)
+
+  /** STREAMING near-dup candidate generation: the stateful counterpart of
+    * `Dedup.minhashLshPairs` for continuous ingestion. Per-row minhash
+    * signature + band keys are pure projections (no pre-shuffle
+    * aggregation); the only stateful operator is one
+    * `flatMapGroupsWithState` keyed by (source, band, sig) — each LSH
+    * bucket remembers the doc ids it has seen (capped at `stateCap`) and
+    * emits a candidate pair the moment a new arrival lands in a non-empty
+    * bucket. State expires on event-time timeout `stateTtlMs` past the
+    * bucket's newest event, so at 100 TB/day the store holds only the
+    * dedup horizon, not the corpus; `stateCap` bounds any single
+    * degenerate bucket.
+    *
+    * On a static input processed in one batch, the emitted pair set
+    * (after the cross-band `distinct`) equals `minhashLshPairs` whenever
+    * no bucket overflows the cap — asserted in StreamingSpec and oracled
+    * as `stream_dedup_lsh`. Under cap pressure the two diverge by design:
+    * batch drops an oversized bucket wholesale, while streaming cannot
+    * retract already-emitted pairs and instead stops admitting new state.
+    * Duplicate pairs (same pair from several bands, or re-crawled ids)
+    * are expected; dedup them downstream — e.g. watermarked
+    * `dropDuplicates` in the same query, or `distinct()` on the sink. */
+  def streamingLshCandidatePairs(docs: DataFrame, numHashes: Int = 8,
+                                 rowsPerBand: Int = 2, stateCap: Int = 64,
+                                 watermark: String = "24 hours",
+                                 stateTtlMs: Long = 24L * 3600 * 1000)
+  : org.apache.spark.sql.Dataset[LshCandPair] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("ts"),
+        explode(graft.ops.Dedup.bandStructs(
+          graft.ops.Dedup.rowMinhashSignature(col("text"), numHashes),
+          numHashes, rowsPerBand)).as("bs"))
+      .select(col("doc_id"), col("source"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"), col("ts"))
+      .as[LshBandRow]
+    bands
+      .groupByKey(r => (r.source, r.band, r.sig))
+      .flatMapGroupsWithState[List[Long], LshCandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(List.empty[Long])
+            val out = List.newBuilder[LshCandPair]
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              if (r.ts != null) maxTs = math.max(maxTs, r.ts.getTime)
+              if (!seen.contains(r.doc_id)) {
+                seen.foreach(o =>
+                  out += LshCandPair(math.min(o, r.doc_id), math.max(o, r.doc_id)))
+                if (seen.size < stateCap) seen = r.doc_id :: seen
+              }
+            }
+            state.update(seen)
+            if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Incremental KG materialization: streaming extraction feeding the
     * bucketed lineage store through foreachBatch — the "crawl keeps
     * arriving" deployment. Each micro-batch runs extract -> dedup ->

@@ -45,6 +45,30 @@ object Dedup {
     tok.groupBy(col("doc_id"), col("source")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-row minhash signature as an ARRAY column — the same values
+    * `minhashSignatures` computes by aggregating the exploded token
+    * relation, produced row-locally instead. This is the form the
+    * STREAMING path needs: a pre-shuffle aggregation would be a second
+    * stateful operator, while this is a pure projection. (Batch keeps the
+    * explode+groupBy form: for long documents the per-row transform
+    * materializes numHashes × |tokens| values per row at once, where the
+    * aggregate streams them.) */
+  def rowMinhashSignature(text: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(TextOps.distinctTokens(text), w => keyedHash(i, w)))): _*)
+
+  /** LSH band structs `(band, sig)` for a row-signature array, identical
+    * band signatures to `minhashLshPairs`. */
+  def bandStructs(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    require(numHashes % rowsPerBand == 0)
+    val nBands = numHashes / rowsPerBand
+    array((0 until nBands).map { b =>
+      val s = md5(concat((0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
+      struct(lit(b).as("band"), s.as("sig"))
+    }: _*)
+  }
+
   /** LSH candidate PAIRS: `numHashes` minhashes grouped into bands of
     * `rowsPerBand`; docs sharing a (blocking key, band, band-signature)
     * bucket become candidate pairs (d1 < d2, distinct).

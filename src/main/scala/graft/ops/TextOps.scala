@@ -44,18 +44,58 @@ object TextOps {
   /** Language-ID by stopword-marker counting (n-gram heuristic family):
     * argmax over per-language marker-token counts, ties broken by a fixed
     * language preference order. */
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  def predLang(text: Column): Column = {
+    val toks = tokens(text)
     def score(markers: String*): Column =
       size(filter(toks, w => markers.map(w === _).reduce(_ || _)))
     val en = score("the", "a"); val fr = score("le", "la")
     val de = score("der", "die"); val es = score("el", "los")
-    docs.select(
-      col("doc_id"),
-      when(en >= fr && en >= de && en >= es, "en")
-        .when(fr >= de && fr >= es, "fr")
-        .when(de >= es, "de")
-        .otherwise("es").as("pred_lang"))
+    when(en >= fr && en >= de && en >= es, "en")
+      .when(fr >= de && fr >= es, "fr")
+      .when(de >= es, "de")
+      .otherwise("es")
+  }
+
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), predLang(col("text")).as("pred_lang"))
+
+  /** The composed corpus-curation pipeline (the CCNet-shaped job a
+    * training-data run actually executes): content-hash exact dedup over a
+    * re-crawled web-page corpus -> language ID -> quality gates
+    * (min token count, max stopword ratio) -> curated rows
+    * (url, pred_lang, n_tokens, stopword_ratio).
+    *
+    * One plan: a single hash-aggregate shuffle (the dedup) then pure
+    * Column projections and filters — at 100 TB the whole pipeline costs
+    * one pass over the corpus plus one exchange on the content hash, and
+    * Catalyst pushes the post-dedup filters to right after the aggregate.
+    */
+  def curate(pages: DataFrame, minTokens: Long = 20,
+             maxStopwordRatio: Double = 0.2): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val sw = size(filter(toks, w => w === "the" || w === "a")).cast("double") /
+      nTok.cast("double")
+    // all text-derived columns and both quality gates run BEFORE the dedup
+    // exchange: rejected documents never shuffle, and the shuffle rows are
+    // (hash, url, lang, 2 numerics) — tens of bytes — instead of the full
+    // document text. The gates commute with content-hash dedup because
+    // every metric is a pure function of the text.
+    val stats = pages
+      .select(md5(col("text")).as("h"), col("url"),
+        predLang(col("text")).as("pred_lang"),
+        nTok.as("n_tokens"), sw.as("stopword_ratio"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopwordRatio)
+    // keeper = min(url); the other mins are no-ops (content-derived values
+    // are identical within a group). String-valued min forces a
+    // SortAggregate, but over the post-filter ~60-byte rows the per-row
+    // sort cost is trivial next to the exchange it rides on.
+    stats.groupBy("h")
+      .agg(min(col("url")).as("url"), min(col("pred_lang")).as("pred_lang"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("stopword_ratio")).as("stopword_ratio"))
+      .select("url", "pred_lang", "n_tokens", "stopword_ratio")
   }
 
   /** Document fingerprint: order-independent content hash over the sorted

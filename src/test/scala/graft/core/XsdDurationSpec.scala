@@ -1,0 +1,97 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class XsdDurationSpec extends AnyFunSuite {
+
+  test("duration validation") {
+    assert(XsdDuration.validDuration("P1Y2M3DT4H5M6S"))
+    assert(XsdDuration.validDuration("P1Y"))
+    assert(XsdDuration.validDuration("PT0S"))
+    assert(XsdDuration.validDuration("P0Y"))
+    assert(XsdDuration.validDuration("-P60D"))
+    assert(XsdDuration.validDuration("PT1M30.5S"))
+    assert(XsdDuration.validDuration("PT0.001S"))
+    // XML Schema invalid forms
+    assert(!XsdDuration.validDuration("P"))           // no components
+    assert(!XsdDuration.validDuration("PT"))          // bare T
+    assert(!XsdDuration.validDuration("P1YT"))        // trailing bare T
+    assert(!XsdDuration.validDuration("P-1Y"))        // sign inside
+    assert(!XsdDuration.validDuration("P1S"))         // seconds outside T
+    assert(!XsdDuration.validDuration("PT1Y"))        // years inside T
+    assert(!XsdDuration.validDuration("P1.5Y"))       // fraction not on seconds
+    assert(!XsdDuration.validDuration("1Y"))          // missing P
+    assert(!XsdDuration.validDuration(""))
+  }
+
+  test("duration canonical form: months and seconds normalized, zeros dropped") {
+    def c(l: String) = XsdDuration.canonicalDuration(l)
+    assert(c("P1Y2M3DT4H5M6S").contains("P1Y2M3DT4H5M6S"))
+    assert(c("P13M").contains("P1Y1M"))               // months -> Y,M
+    assert(c("P24M").contains("P2Y"))
+    assert(c("PT25H").contains("P1DT1H"))             // hours -> D,H
+    assert(c("PT86400S").contains("P1D"))
+    assert(c("PT90061S").contains("P1DT1H1M1S"))
+    assert(c("P0Y0M0DT0H0M0S").contains("PT0S"))      // all-zero shortest form
+    assert(c("-P0D").contains("PT0S"))                // negative zero is zero
+    assert(c("PT1M90S").contains("PT2M30S"))
+    assert(c("PT1.500S").contains("PT1.5S"))          // trailing fraction zeros
+    assert(c("PT1.000S").contains("PT1S"))
+    assert(c("-PT36H").contains("-P1DT12H"))
+    assert(c("P1Y0M0DT0H0M0S").contains("P1Y"))
+  }
+
+  test("yearMonthDuration facet: Y/M only, canonical shortest") {
+    assert(XsdDuration.validYearMonthDuration("P1Y2M"))
+    assert(XsdDuration.validYearMonthDuration("-P13M"))
+    assert(!XsdDuration.validYearMonthDuration("P1D"))
+    assert(!XsdDuration.validYearMonthDuration("PT1S"))
+    assert(!XsdDuration.validYearMonthDuration("P1Y1D"))
+    assert(XsdDuration.canonicalYearMonthDuration("P13M").contains("P1Y1M"))
+    assert(XsdDuration.canonicalYearMonthDuration("P0Y").contains("P0M"))
+    assert(XsdDuration.canonicalYearMonthDuration("-P0M").contains("P0M"))
+    assert(XsdDuration.canonicalYearMonthDuration("P1D").isEmpty)
+  }
+
+  test("dayTimeDuration facet: D/H/M/S only, canonical shortest") {
+    assert(XsdDuration.validDayTimeDuration("P3DT4H"))
+    assert(XsdDuration.validDayTimeDuration("PT0.5S"))
+    assert(XsdDuration.validDayTimeDuration("-PT1M"))
+    assert(XsdDuration.validDayTimeDuration("PT1M"))  // minutes M is fine
+    assert(!XsdDuration.validDayTimeDuration("P1M"))  // months M is not
+    assert(!XsdDuration.validDayTimeDuration("P1Y"))
+    assert(!XsdDuration.validDayTimeDuration("P1Y1D"))
+    assert(XsdDuration.canonicalDayTimeDuration("PT25H").contains("P1DT1H"))
+    assert(XsdDuration.canonicalDayTimeDuration("P0D").contains("PT0S"))
+    assert(XsdDuration.canonicalDayTimeDuration("P1M").isEmpty)
+  }
+
+  test("partial order: subtypes total, mixed month/day indeterminate") {
+    def cmp(a: String, b: String) = XsdDuration.compareLexical(a, b)
+    assert(cmp("P1Y", "P13M").contains(-1))
+    assert(cmp("P2Y", "P13M").contains(1))
+    assert(cmp("P12M", "P1Y").contains(0))
+    assert(cmp("PT1H", "PT61M").contains(-1))
+    assert(cmp("-P1D", "PT0S").contains(-1))
+    // the XSD spec's classic indeterminate pairs
+    assert(cmp("P1M", "P30D").isEmpty)
+    assert(cmp("P1M", "P28D").isEmpty)                // Feb makes them equal
+    assert(cmp("P1M", "P27D").contains(1))            // shortest month is 28 days
+    assert(cmp("P1M", "P32D").contains(-1))           // longest month is 31 days
+    assert(cmp("P5M", "P150D").isEmpty)
+    assert(cmp("-P1M", "-P27D").contains(-1))
+  }
+
+  test("registry integration: duration literals canonicalize via dispatch") {
+    XsdDuration.register()
+    assert(Xsd.valid("PT25H", XsdDuration.xsdDuration))
+    assert(!Xsd.valid("P", XsdDuration.xsdDuration))
+    assert(Xsd.canonicalLexical("PT25H", XsdDuration.xsdDuration)
+      .contains("P1DT1H"))
+    assert(Xsd.canonicalLexical("P13M", XsdDuration.xsdYearMonthDuration)
+      .contains("P1Y1M"))
+    assert(Xsd.canonicalLexical("PT86461S", XsdDuration.xsdDayTimeDuration)
+      .contains("P1DT1M1S"))
+    assert(!Xsd.valid("P1D", XsdDuration.xsdYearMonthDuration))
+  }
+}

@@ -57,6 +57,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.length == 2 && batches.forall(_.startsWith("stream-")))
   }
 
+  test("streaming LSH near-dup candidates equal the batch plan on a static corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_slsh").toString
+    // exact duplicate texts (share all bands) + distinct docs across sources
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "src0"),
+      (1L, "alpha beta gamma delta epsilon", "src0"),
+      (7L, "alpha beta gamma delta epsilon", "src0"),
+      (2L, "totally different words here now", "src0"),
+      (3L, "alpha beta gamma delta epsilon", "src1"), // other block: no pair
+      (4L, "unrelated text in source one", "src1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("ts", expr(
+        "TIMESTAMP '2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"))
+    docs.write.mode("overwrite").parquet(dir)
+
+    val stream = Streaming.streamingLshCandidatePairs(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir))
+    assert(stream.isStreaming)
+    val got = Streaming.runToCompletion(stream.toDF(), "slsh_pairs")
+      .distinct().as[(Long, Long)].collect().toSet
+    val expected = graft.ops.Dedup.minhashLshPairs(spark.read.parquet(dir))
+      .as[(Long, Long)].collect().toSet
+    assert(expected == Set((0L, 1L), (0L, 7L), (1L, 7L)))
+    assert(got == expected)
+  }
+
+  test("streaming LSH state carries across micro-batches (cross-wave pair)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_slsh2").toString
+    def wave(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("source", lit("src0"))
+      .withColumn("ts", expr(
+        "TIMESTAMP '2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"))
+    wave(Seq(0L -> "the same near dup text", 1L -> "something else entirely"))
+      .write.mode("append").parquet(dir)
+
+    val stream = Streaming.streamingLshCandidatePairs(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir))
+    val q = stream.toDF().writeStream.format("memory").queryName("slsh_waves")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("slsh_waves").count() == 0) // no dups yet
+
+    // wave 2: a re-crawl duplicate of doc 0 -> pair found against STATE
+    wave(Seq(5L -> "the same near dup text")).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("slsh_waves").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 5L)))
+  }
+
   test("watermarked windowed event counts match batch date_trunc aggregation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.WebKg
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      // doc 0: long English doc, low stopword ratio (1/9) -> kept
+      (0L, ("the quick brown fox jumps over one lazy dog " * 3).trim, "en", "src1"),
+      // doc 10: re-crawled (same content injected twice by synthesize) and
+      // all-stopword -> deduped then rejected on stopword ratio
+      (10L, ("the a " * 12).trim, "en", "src2"),
+      // doc 2: too short -> rejected on min tokens
+      (2L, "le petit chat", "fr", "src1"),
+      // doc 3: long French doc -> kept as fr
+      (3L, ("le grand chien noir " * 6).trim, "fr", "src3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  test("curate: dedups re-crawls, applies language id and quality gates") {
+    val pages = WebKg.synthesizeWebPages(docs, withDuplicates = true)
+    // the duplicate injection really duplicated docs 0 and 10 (ids % 10 == 0)
+    assert(pages.count() == 6)
+    val rows = TextOps.curate(pages).collect()
+    // doc 10 (stopword-heavy, duplicated) and doc 2 (short) are gone
+    assert(rows.length == 2)
+    val byUrl = rows.map(r => r.getAs[String]("url") -> r).toMap
+    assert(byUrl.keySet == Set(
+      "https://src1.example.org/doc/0", "https://src3.example.org/doc/3"))
+    assert(byUrl("https://src1.example.org/doc/0").getAs[String]("pred_lang") == "en")
+    assert(byUrl("https://src3.example.org/doc/3").getAs[String]("pred_lang") == "fr")
+    assert(rows.forall(_.getAs[Long]("n_tokens") >= 20))
+    assert(rows.forall(_.getAs[Double]("stopword_ratio") <= 0.2))
+  }
+
+  test("curate plan: one exchange, gates pushed below it, no text in shuffle") {
+    // go through parquet so the plan is the real one (literal local data
+    // gets folded by ConvertToLocalRelation, hiding the Filter node)
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val pages = WebKg.synthesizeWebPages(spark.read.parquet(dir),
+      withDuplicates = true)
+    val df = TextOps.curate(pages)
+    df.collect() // finalize the adaptive plan
+    // AQE's toString appends the pre-adaptive plan after "== Initial Plan ==";
+    // audit only the executed final section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+    // the quality gates and the stat projection run BEFORE the exchange
+    // (printed tree is top-down, so upstream operators appear AFTER it):
+    // shuffled rows carry (h, url, pred_lang, numerics), never the text
+    val shuffleSide = plan.split("Exchange")(1)
+    assert(shuffleSide.contains("Filter"),
+      s"gates should be below the exchange:\n$plan")
+    val postShuffle = plan.split("Exchange")(0)
+    assert(!postShuffle.contains("split(text"),
+      s"text-derived work should not run post-shuffle:\n$plan")
+  }
+
+  test("predLang ties break by preference order") {
+    import spark.implicits._
+    val df = Seq("nothing matches here").toDF("text")
+    assert(df.select(TextOps.predLang(col("text"))).head().getString(0) == "en")
+  }
+}
