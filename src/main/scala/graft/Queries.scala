@@ -302,6 +302,15 @@ object Queries {
           |count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
           |FROM sc WHERE n_tokens >= 20 AND sw <= 0.2 GROUP BY 1, 2""".stripMargin)),
 
+    // vocabulary building: global top-k tokens (occurrences + doc
+    // frequency), distributed top-k with a lexicographic k-boundary tie
+    "text_vocab" -> Q(
+      (s, d) => TextOps.topTokens(t(s, d, "documents"), 100),
+      Some("""WITH tokall AS (SELECT doc_id,
+             |  unnest(string_split_regex(text,'\s+')) AS w FROM documents)
+             |SELECT w, count(*) AS n, count(DISTINCT doc_id) AS df
+             |FROM tokall GROUP BY 1 ORDER BY n DESC, w LIMIT 100""".stripMargin)),
+
     "text_fingerprint" -> Q(
       (s, d) => TextOps.fingerprints(t(s, d, "documents")),
       Some("""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
@@ -638,6 +647,39 @@ object Queries {
              |r(node, depth) AS (SELECT CAST(1 AS BIGINT), 0
              |  UNION ALL SELECT e.dst, r.depth+1 FROM r JOIN e ON e.src=r.node WHERE r.depth < 4)
              |SELECT node, min(depth) AS depth FROM r GROUP BY 1""".stripMargin)),
+
+    // Fixed-point integer PageRank over the deterministic doc link graph:
+    // 3 iterations, damping as exact 85/100 integer ops, so Spark's
+    // iterative cached-edge plan hashes bit-identical against the oracle's
+    // chained CTEs (double-valued PR is order-dependent and un-oracle-able)
+    "graph_pagerank" -> Q(
+      (s, d) => WebKg.pageRank(WebKg.docEdges(t(s, d, "documents")), iterations = 3),
+      Some {
+        val S = "1000000000000"
+        val sb = new StringBuilder
+        sb.append(
+          """WITH nn AS (SELECT count(*) AS c FROM documents),
+            |e AS (SELECT doc_id AS src, (doc_id*2) % (SELECT c FROM nn) AS dst FROM documents
+            |  UNION ALL SELECT doc_id, (doc_id*3+1) % (SELECT c FROM nn) FROM documents),
+            |nodes AS (SELECT DISTINCT node FROM
+            |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+            |nc AS (SELECT count(*) AS n FROM nodes),
+            |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+            |pr0 AS (SELECT node, """.stripMargin + S +
+            " // (SELECT n FROM nc) AS r FROM nodes)")
+        for (i <- 1 to 3) {
+          sb.append(
+            s""", m$i AS (SELECT e.dst AS node, sum(p.r // d.deg) AS mass FROM e
+               |  JOIN pr${i - 1} p ON e.src = p.node JOIN deg d ON d.src = e.src
+               |  GROUP BY 1),
+               |pr$i AS (SELECT nodes.node,
+               |  (15 * $S) // (100 * (SELECT n FROM nc)) +
+               |  (85 * COALESCE(m$i.mass, 0)) // 100 AS r
+               |  FROM nodes LEFT JOIN m$i ON nodes.node = m$i.node)""".stripMargin)
+        }
+        sb.append(" SELECT node, CAST(r AS BIGINT) AS rank_fp FROM pr3")
+        sb.toString
+      }),
 
     // Diff ALGEBRA end-to-end (diff.ex union/invert/apply): diff two graph
     // versions, apply the diff back, and report the applied statements and

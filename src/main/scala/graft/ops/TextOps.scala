@@ -98,6 +98,19 @@ object TextOps {
       .select("url", "pred_lang", "n_tokens", "stopword_ratio")
   }
 
+  /** Vocabulary building: global top-k tokens with total occurrence count
+    * and document frequency — the token-frequency table a tokenizer
+    * training run starts from. One explode, one hash aggregation, then a
+    * DISTRIBUTED top-k (TakeOrderedAndProject: per-partition heaps, no
+    * global sort). The k-boundary tie is broken lexicographically so the
+    * result set is deterministic across engines. */
+  def topTokens(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(k)
+
   /** Document fingerprint: order-independent content hash over the sorted
     * distinct-token set (md5 so the fingerprint is reproducible across
     * engines and languages). */

@@ -296,4 +296,52 @@ object WebKg {
       .unionAll(docs.select(col("doc_id").as("src"),
         pmod(col("doc_id") * 3 + 1, lit(n)).as("dst")))
   }
+
+  /** PageRank over the document link graph — the crawl-prioritization /
+    * page-quality signal of a webtext pipeline. FIXED-POINT integer
+    * arithmetic throughout: ranks are scaled by `scale` (default 1e12) and
+    * every step is integer division and exact integer sums, so the result
+    * is bit-identical regardless of aggregation order — double-valued
+    * PageRank cannot be cross-engine oracle-checked because FP addition is
+    * order-dependent, while this variant hashes equal against the same
+    * chained-CTE computation in any SQL engine.
+    *
+    * Per iteration: contribution(u->v) = rank(u) div outdeg(u); rank'(v) =
+    * (15·scale div (100·N)) + (85·Σ contribs) div 100 — i.e. damping 0.85
+    * as exact 85/100 integer ops, mass from dangling-free nodes only (the
+    * simplified formulation; nodes without out-links leak mass in both the
+    * Spark and oracle computation identically).
+    *
+    * Scale shape: the edge table is cached once; each of the `iterations`
+    * rounds is ONE shuffled equi-join plus ONE hash aggregation on dst,
+    * with `localCheckpoint` truncating lineage per round (the
+    * `reachable`-proven pattern, so round t never replays rounds 1..t-1).
+    * Iteration count is fixed (deterministic), not convergence-tested:
+    * the oracle must run the same number of rounds. */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               scale: Long = 1000000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count() // metadata-scale action; N is a plan constant
+    val withDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(e, "src").select(col("src"), col("dst"), col("deg")).persist()
+    val base = (15L * scale) / (100L * n)
+    var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // `div` (IntegralDivide), NOT `/`: Column./ on longs is double
+      // division, and double floor can disagree with exact integer floor
+      // when the fraction 1/deg approaches the double ulp
+      val mass = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("mass"))
+      ranks = nodes.join(mass, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(mass, cast(0 as bigint))) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    withDeg.unpersist(); nodes.unpersist(); e.unpersist()
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
 }

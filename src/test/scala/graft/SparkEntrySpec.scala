@@ -36,9 +36,31 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("all queries run on sf0.001 without error") {
+  test("all queries run on sf0.001 without error; plans stay UDF-free") {
+    // UDFs allowed ONLY where a documented design decision puts one:
+    // - rdf_xsd_bounded / rdf_xsd_registry: kernel-semantics verification
+    //   (registry/cast/EBV through the JVM kernel, off the hot path)
+    // - kg_extract / kg_dedup: the RFC 3986 §5.2 resolution UDF sits in
+    //   the `otherwise` branch behind the codegen fast path that handles
+    //   absolute + root-relative hrefs (WebKg.resolveHref)
+    // - rdf_star_bgp: quoted-triple destructuring is a recursive grammar
+    //   (Terms.parseQuoted), used only on the star-pattern match path
+    // - rdf_turtle_decode / rdf_turtle_roundtrip: the distributed Turtle
+    //   parser/encoder is per-document lambda-shaped by nature
+    // Anything NOT in this list growing a UDF is a hot-path regression.
+    val udfAllowlist = Set("rdf_xsd_bounded", "rdf_xsd_registry",
+      "kg_extract", "kg_dedup", "rdf_star_bgp",
+      "rdf_turtle_decode", "rdf_turtle_roundtrip")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").limit(1).collect(); None }
+      try {
+        val df = fn(spark, "/root/testdata/sf0.001")
+        val plan = df.queryExecution.sparkPlan.toString
+        if (plan.contains("BatchEvalPython"))
+          Some(s"$name: python eval in plan")
+        else if (plan.contains("UDF") && !udfAllowlist(name))
+          Some(s"$name: ScalaUDF in plan")
+        else { df.limit(1).collect(); None }
+      }
       catch { case e: Exception => Some(s"$name: ${e.getMessage.take(100)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))

@@ -68,6 +68,18 @@ class TextOpsSpec extends AnyFunSuite {
       s"text-derived work should not run post-shuffle:\n$plan")
   }
 
+  test("topTokens: counts, doc frequency, deterministic k-boundary") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b b c"),
+      (2L, "b c d"),
+      (3L, "c d e")).toDF("doc_id", "text")
+    val top = TextOps.topTokens(df, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // counts: b=3 c=3 d=2 a=1 e=1; ties broken lexicographically
+    assert(top.toSeq == Seq(("b", 3L, 2L), ("c", 3L, 3L), ("d", 2L, 2L)))
+  }
+
   test("predLang ties break by preference order") {
     import spark.implicits._
     val df = Seq("nothing matches here").toDF("text")

@@ -94,6 +94,27 @@ class WebKgSpec extends AnyFunSuite {
     assert(r == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
+  test("fixed-point pagerank: hand-computed exact integer values") {
+    import spark.implicits._
+    // 0 -> {1, 2}, 1 -> 0, node 2 dangling (leaks mass in the simplified
+    // formulation). n=3, scale=1e12: r0 = 333333333333 each,
+    // base = 15e12 div 300 = 50000000000.
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L)).toDF("src", "dst")
+    val r1 = WebKg.pageRank(edges, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1(0) = base + 85*333333333333 div 100 = 50e9 + 283333333333
+    // r1(1) = r1(2) = base + 85*(333333333333 div 2) div 100
+    assert(r1 == Map(
+      0L -> 333333333333L, 1L -> 191666666666L, 2L -> 191666666666L))
+    // two runs produce identical longs (order-independent integer sums)
+    val r1b = WebKg.pageRank(edges, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r1b)
+    // more iterations keep total mass bounded by the scale (leak only)
+    val r3 = WebKg.pageRank(edges, iterations = 3).collect().map(_.getLong(1))
+    assert(r3.sum <= 1000000000000L && r3.forall(_ > 0))
+  }
+
   test("reachability at depth 10+: deep chain converges, lineage stays flat") {
     import spark.implicits._
     // a 12-node chain plus two disconnected components; depth 10 must reach
