@@ -560,6 +560,34 @@ object Queries {
              |  END AS ym_canon
              |FROM documents""".stripMargin)),
 
+    // RFC 4122 name-based UUIDv3 resource generation (the reference's
+    // IRI.UUID.Generator value-based mode, urn/default/hex formats) as a
+    // pure Column expression: md5 over namespace-bytes ++ name with the
+    // version/variant nibbles spliced in — the namespace is 16 ASCII bytes
+    // so DuckDB can reproduce the identical digest over VARCHAR concat
+    "rdf_uuid" -> Q(
+      (s, d) => {
+        val ns = "graft-kg-ns-0001".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.org/doc/"), col("doc_id"))
+        val hex = Terms.uuidV3Hex(ns, url)
+        t(s, d, "documents").select(col("doc_id"),
+          hex.as("id_hex"),
+          Terms.uuidDashed(hex).as("id"),
+          concat(lit("urn:uuid:"), Terms.uuidDashed(hex)).as("id_urn"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  md5('graft-kg-ns-0001' ||
+             |      'https://'||source||'.example.org/doc/'||doc_id) AS x
+             |  FROM documents),
+             |u AS (SELECT doc_id, substr(x,1,12)||'3'||substr(x,14,3)||
+             |  lower(to_hex(CAST(('0x'||substr(x,17,1))::VARCHAR AS UBIGINT) % 4 + 8))||
+             |  substr(x,18,15) AS id_hex FROM h),
+             |f AS (SELECT doc_id, id_hex,
+             |  substr(id_hex,1,8)||'-'||substr(id_hex,9,4)||'-'||substr(id_hex,13,4)
+             |  ||'-'||substr(id_hex,17,4)||'-'||substr(id_hex,21,12) AS id FROM u)
+             |SELECT doc_id, id_hex, id, 'urn:uuid:'||id AS id_urn FROM f""".stripMargin)),
+
     // RDF-star end-to-end: annotation triples built as Column expressions
     // (quoted-triple terms in subject position), then a BGP with a nested
     // quoted pattern that destructures and unifies the inner variables

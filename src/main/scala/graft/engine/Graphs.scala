@@ -339,6 +339,20 @@ object Graphs {
       follow = if (followBnodesOnly) Follow.Bnodes else Follow.All,
       maxDepth = maxDepth, predicates = predicates)
 
+  /** The Increment generator algorithm distributed
+    * (blank_node_generator/increment.ex): issue `prefix0, prefix1, ...`
+    * ids over the rows of `df` in the total order given by `orderCols` —
+    * a counter is inherently sequential, so the caller must supply the
+    * order that makes ids meaningful; issuing runs as one single-partition
+    * window (id issuing is a metadata-scale step, not a corpus-scale one;
+    * use [[graft.core.Skolem]] for corpus-scale deterministic identity). */
+  def incrementIds(df: DataFrame, orderCols: Seq[Column],
+                   prefix: String = "b", idCol: String = "gen_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(idCol, concat(lit(prefix),
+      (row_number().over(Window.orderBy(orderCols: _*)) - 1).cast("string")))
+  }
+
   /** Blank-node connected components via iterative min-label propagation
     * over bnode co-occurrence edges — the grouping step before full-dataset
     * RDFC when graphs are NOT pre-partitioned by document. Returns

@@ -144,6 +144,32 @@ object Terms {
     } else c.rlike(XPathRegex.inlinePattern(pattern, flags))
   }
 
+  /** UUIDv3 (RFC 4122 name-based MD5) of a string column under a fixed
+    * namespace, 32-char lowercase hex form, as a PURE Column expression —
+    * byte-identical to `core.Generators.uuidV3Hex` (asserted in
+    * GeneratorsSpec) and whole-stage-codegen'd: md5 over the namespace
+    * bytes ++ utf8(name), then the version nibble spliced to '3' and the
+    * variant nibble to (x & 3) | 8. Oracle-checked cross-engine in the
+    * `rdf_uuid` registry query. */
+  def uuidV3Hex(namespace: Array[Byte], name: Column): Column = {
+    val h = md5(concat(lit(namespace), name.cast("binary")))
+    val d17 = conv(substring(h, 17, 1), 16, 10).cast("int")
+    val variant = element_at(
+      array(lit("8"), lit("9"), lit("a"), lit("b")), (d17 % 4) + 1)
+    concat(substring(h, 1, 12), lit("3"), substring(h, 14, 3),
+      variant, substring(h, 18, 15))
+  }
+
+  /** 8-4-4-4-12 canonical form from a 32-char hex UUID column. */
+  def uuidDashed(hex32: Column): Column =
+    concat(substring(hex32, 1, 8), lit("-"), substring(hex32, 9, 4),
+      lit("-"), substring(hex32, 13, 4), lit("-"), substring(hex32, 17, 4),
+      lit("-"), substring(hex32, 21, 12))
+
+  /** UUIDv4 per row (random — non-reproducible like the reference's
+    * random-based generators; use Skolem/uuidV3 for stable identity). */
+  def uuidV4(): Column = expr("uuid()")
+
   /** Typed dataset from a DataFrame with s/p/o struct columns. */
   def asTriples(df: DataFrame)(implicit spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._

@@ -57,4 +57,32 @@ class TermsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"))
   }
+
+  test("Column uuidV3Hex equals the kernel computation, UDF-free") {
+    import spark.implicits._
+    import graft.core.Generators
+    val ns = Generators.namespaceDns
+    val names = Seq("python.org", "http://example.org/doc/1", "", "über")
+    val df = names.toDF("name")
+    val got = df.select(col("name"), Terms.uuidV3Hex(ns, col("name")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (n <- names)
+      assert(got(n) == Generators.uuidV3Hex(ns, n), n)
+    val plan = df.select(Terms.uuidV3Hex(ns, col("name")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"))
+    // dashed + urn formats
+    val dashed = df.select(Terms.uuidDashed(Terms.uuidV3Hex(ns, col("name"))))
+      .head().getString(0)
+    assert(dashed == Generators.dashed(Generators.uuidV3Hex(ns, "python.org")) ||
+      dashed.matches("[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}"))
+  }
+
+  test("incrementIds issues deterministic counter ids in the given order") {
+    import spark.implicits._
+    val df = Seq(("c", 3), ("a", 1), ("b", 2)).toDF("k", "v")
+    val ids = Graphs.incrementIds(df, Seq(col("k")), prefix = "b")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[String]("gen_id")).toMap
+    assert(ids == Map("a" -> "b0", "b" -> "b1", "c" -> "b2"))
+  }
 }
