@@ -167,4 +167,44 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(g.exists(t => t.o.value == graft.w3c.Earl.earl + "passed"))
     assert(g.exists(t => t.o.value == graft.w3c.Earl.earl + "failed"))
   }
+
+  test("sigil interpolators build terms like RDF.Sigils (~i/~b/~L)") {
+    import Sigils._
+    val host = "example.com"
+    assert(iri"http://$host/x" == Term.iri("http://example.com/x"))
+    assert(bnode"b1" == Term.bnode("b1"))
+    assert(lit"hello" == Term.str("hello"))
+    assert(lang"bonjour@fr" == Term.langLit("bonjour", "fr"))
+    assertThrows[IllegalArgumentException](lang"notag")
+  }
+
+  test("GraphBuilder: base/prefix resolution, a, describe, exclude") {
+    import Sigils._
+    val g = GraphBuilder()
+      .base("http://example.com/base/")
+      .prefix("foaf", "http://xmlns.com/foaf/0.1/")
+      .describe("<#me>")(
+        ("foaf:name", lit"John"),
+        ("foaf:age", Term.int(42)))
+      .add("<#me>", GraphBuilder().a, "foaf:Person")
+      .add("<other>", "foaf:knows", "<#me>")
+      .add("<#me>", "foaf:nick", lit"dropme")
+      .exclude("<#me>", "foaf:nick", lit"dropme")
+      .build
+    val me = Term.iri("http://example.com/base/#me")
+    assert(g.size == 4)
+    assert(g.contains(Triple(me,
+      Term.iri("http://xmlns.com/foaf/0.1/name"), Term.str("John"))))
+    assert(g.contains(Triple(me, Term.iri(Vocab.rdfType),
+      Term.iri("http://xmlns.com/foaf/0.1/Person"))))
+    assert(g.contains(Triple(Term.iri("http://example.com/base/other"),
+      Term.iri("http://xmlns.com/foaf/0.1/knows"), me)))
+    assert(!g.exists(_.p.value.endsWith("nick")))
+    // built triples + declared prefixes feed the Turtle encoder directly
+    val b = GraphBuilder().prefix("foaf", "http://xmlns.com/foaf/0.1/")
+    val ttl = TurtleEncoder.encode(g,
+      prefixes = Map("foaf" -> "http://xmlns.com/foaf/0.1/"))
+    assert(ttl.contains("foaf:name") && ttl.contains("@prefix foaf:"))
+    assert(b.prefixes.expand("foaf:name").contains("http://xmlns.com/foaf/0.1/name"))
+  }
 }
