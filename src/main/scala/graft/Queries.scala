@@ -153,6 +153,34 @@ object Queries {
       Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
              |round(sum(value),3) AS sv FROM events GROUP BY 1,2""".stripMargin)),
 
+    // INCREMENTAL BGP: lang annotations ARRIVE as a stream and join the
+    // static source triples per micro-batch (stream-static equi-join;
+    // each arriving triple emits its new solutions exactly once)
+    "stream_bgp_incr" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sCol = Terms.iri(concat(lit(WebKg.docNs), col("doc_id")))
+        def p(iri: String) = Terms.iri(lit(iri))
+        val static = docs.select(sCol.as("s"),
+          p(WebKg.vocab + "source").as("p"), Terms.strLit(col("source")).as("o"))
+        val dir = s"/tmp/graft_stream_bgp_${math.abs(d.hashCode)}"
+        docs.select(sCol.as("s"), p(WebKg.pLang).as("p"),
+            Terms.strLit(col("lang")).as("o"))
+          .write.mode("overwrite").parquet(dir)
+        val stream = s.readStream
+          .schema(s.read.parquet(dir).schema).parquet(dir)
+        import Bgp.dsl._
+        val q = Bgp.Pattern(Seq(
+          pat(v("doc"), iri(WebKg.pLang), v("lang")), // streamed
+          pat(v("doc"), iri(WebKg.vocab + "source"), lit("src3"))))
+        val inc = Bgp.executeIncremental(s, static, stream, q, streamedIdx = 0)
+        graft.engine.Streaming.runToCompletion(inc,
+          s"stream_bgp_${math.abs(d.hashCode)}", outputMode = "append")
+          .select(col("doc")("value").as("doc"), col("lang")("value").as("lang"))
+      },
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, lang
+             |FROM documents WHERE source='src3'""".stripMargin)),
+
     // -------------------------------------------------------- dedup family
     "dedup_exact" -> Q(
       (s, d) => Dedup.exact(t(s, d, "documents")),

@@ -163,4 +163,43 @@ object Bgp {
     val df = execute(spark, triples, bgp)
     df.select(df.columns.map(c => col(c)("value").as(c)).toSeq: _*)
   }
+
+  /** INCREMENTAL BGP over a streaming triple source: pattern `streamedIdx`
+    * matches triples as they ARRIVE, every other pattern matches the
+    * static graph — the continuous-query face of the engine ("an
+    * annotation arrives for an already-materialized KG; emit each new
+    * solution once"). The static side is solved once as a batch plan; the
+    * streamed pattern scan joins it per micro-batch (stream-static
+    * equi-joins are append-mode safe, no watermark/state needed), so each
+    * arriving triple costs one broadcast/hash probe, never a rescan of the
+    * stream.
+    *
+    * Exactly ONE pattern is streamed: solutions needing two or more
+    * not-yet-seen triples are out of scope for this operator (that is a
+    * stream-stream join with watermark state — a different cost model).
+    * The streamed pattern must bind at least one variable. Result columns:
+    * the solved variables of the whole BGP, like `execute`. */
+  def executeIncremental(spark: SparkSession, staticTriples: DataFrame,
+                         stream: DataFrame, bgp: Pattern,
+                         streamedIdx: Int): DataFrame = {
+    require(stream.isStreaming, "stream side must be a streaming DataFrame")
+    require(streamedIdx >= 0 && streamedIdx < bgp.patterns.size)
+    val pStream = bgp.patterns(streamedIdx)
+    require(pStream.vars.nonEmpty, "streamed pattern must bind a variable")
+    val rest = bgp.patterns.zipWithIndex.collect {
+      case (p, i) if i != streamedIdx => p
+    }
+    val streamSc = scan(stream, pStream)
+    if (rest.isEmpty) streamSc
+    else {
+      val staticSol = execute(spark, staticTriples, Pattern(rest))
+      val shared = pStream.vars.distinct.filter(staticSol.columns.toSet)
+      val joined =
+        if (shared.nonEmpty) streamSc.join(staticSol, shared, "inner")
+        else streamSc.crossJoin(staticSol)
+      val projected = (pStream.vars ++ rest.flatMap(_.vars))
+        .distinct.sorted.filterNot(_.startsWith("_"))
+      joined.select(projected.map(col): _*)
+    }
+  }
 }

@@ -110,6 +110,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 5L)))
   }
 
+  test("incremental BGP: streamed pattern joins static solutions per wave") {
+    import spark.implicits._
+    import graft.core.Term
+    val dir = java.nio.file.Files.createTempDirectory("graft_ibgp").toString
+    def t(s: String, p: String, o: Term) =
+      (Term.iri(s), Term.iri(p), o)
+    val ex = "http://ex.org/"
+    // static graph: doc sources
+    val static = Seq(
+      t(ex + "d1", ex + "source", Term.str("src3")),
+      t(ex + "d2", ex + "source", Term.str("src1")),
+      t(ex + "d3", ex + "source", Term.str("src3"))).toDF("s", "p", "o")
+    // wave 1 of streamed lang annotations
+    Seq(t(ex + "d1", ex + "lang", Term.str("en")),
+      t(ex + "d2", ex + "lang", Term.str("fr"))).toDF("s", "p", "o")
+      .write.mode("append").parquet(dir)
+
+    import Bgp.dsl._
+    val q = Bgp.Pattern(Seq(
+      pat(v("doc"), iri(ex + "lang"), v("lang")), // streamed
+      pat(v("doc"), iri(ex + "source"), lit("src3"))))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val inc = Bgp.executeIncremental(spark, static, stream, q, streamedIdx = 0)
+    assert(inc.isStreaming)
+    val qh = inc.writeStream.format("memory").queryName("ibgp")
+      .outputMode("append").start()
+    qh.processAllAvailable()
+    def got() = spark.table("ibgp")
+      .select(col("doc")("value"), col("lang")("value"))
+      .as[(String, String)].collect().toSet
+    assert(got() == Set((ex + "d1", "en"))) // d2 is src1: filtered
+
+    // wave 2: d3's annotation arrives -> one new solution, d1 NOT re-emitted
+    Seq(t(ex + "d3", ex + "lang", Term.str("de"))).toDF("s", "p", "o")
+      .write.mode("append").parquet(dir)
+    qh.processAllAvailable()
+    qh.stop()
+    assert(got() == Set((ex + "d1", "en"), (ex + "d3", "de")))
+
+    // batch equivalence: same BGP over static ++ all streamed triples
+    val batch = Bgp.executeValues(spark, static.unionAll(spark.read.parquet(dir)), q)
+      .as[(String, String)].collect().toSet
+    assert(batch == got())
+  }
+
   test("watermarked windowed event counts match batch date_trunc aggregation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
