@@ -61,7 +61,14 @@ object Materialize {
       case None => bucketed
     }
 
-    val cached = remaining.persist()
+    // ONE file per bucket, subjects SORTED within it: repartition(bucket)
+    // collapses the (writer tasks × buckets) small-file explosion into a
+    // file per bucket, and the sort makes every parquet row group carry a
+    // tight s-min/max — `lookupSubject` then prunes row groups inside the
+    // bucket, not just the bucket directory. The stats groupBy("bucket")
+    // reuses the same hash exchange, so this costs no extra shuffle.
+    val cached = remaining.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("s")).persist()
     try {
       cached.write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$root/data")
@@ -95,7 +102,9 @@ object Materialize {
             .select("bucket").distinct()), Seq("bucket"), "left_anti")
       case None => bucketed
     }
-    val cached = remaining.persist()
+    // same sorted one-file-per-(batch,bucket) layout as `materialize`
+    val cached = remaining.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("s")).persist()
     try {
       cached.write.mode(SaveMode.Overwrite).partitionBy("batch_id", "bucket")
         .parquet(s"$root/data")

@@ -319,6 +319,18 @@ class GraphsSpec extends AnyFunSuite {
     assert(scans.nonEmpty)
     assert(scans.exists(_.partitionFilters.exists(
       _.references.exists(_.name == "bucket"))), scans.map(_.partitionFilters))
+    // layout: ONE parquet file per bucket directory, subjects sorted
+    // within it (tight row-group s-stats for intra-bucket pruning)
+    val bucketDirs = new java.io.File(s"$root/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    for (dir <- bucketDirs) {
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${dir.getName}: ${files.length} files")
+      val subjects = spark.read.parquet(files.head.getPath)
+        .select("s").collect().map(_.getString(0)).toSeq
+      assert(subjects == subjects.sorted, dir.getName)
+    }
   }
 
   test("compact merges incremental batches with global dedup") {
