@@ -30,12 +30,15 @@ import scala.collection.mutable
 object TurtleEncoder {
 
   def encode(triples: Seq[Triple], prefixes: Map[String, String] = Map.empty,
-             base: Option[String] = None): String = {
+             base: Option[String] = None,
+             directives: Boolean = true): String = {
     val sb = new StringBuilder
-    base.foreach(b => sb.append("@base <").append(b).append("> .\n"))
-    for ((p, ns) <- prefixes.toSeq.sortBy(_._1))
-      sb.append("@prefix ").append(p).append(": <").append(ns).append("> .\n")
-    if (prefixes.nonEmpty || base.nonEmpty) sb.append('\n')
+    if (directives) {
+      base.foreach(b => sb.append("@base <").append(b).append("> .\n"))
+      for ((p, ns) <- prefixes.toSeq.sortBy(_._1))
+        sb.append("@prefix ").append(p).append(": <").append(ns).append("> .\n")
+      if (prefixes.nonEmpty || base.nonEmpty) sb.append('\n')
+    }
 
     val bySubject: Map[Term, Seq[Triple]] = triples.groupBy(_.s)
     val objRefs: Map[Term, Int] =

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{NTriples, Quad, Triple, Turtle}
+import graft.core.{NTriples, Quad, TrigEncoder, Triple, Turtle}
 
 /** Distributed N-Triples / N-Quads source & sink.
   *
@@ -137,6 +137,13 @@ object RdfIO {
         .transform(df => graft.engine.Graphs.toTurtlePerGroup(df, "k", prefixes))
         .select(col("turtle").as("value")).coalesce(1)
         .write.mode(SaveMode.Overwrite).text(path)
+    case "trig" =>
+      // whole-document format like Turtle: one deterministic document
+      val spark = quads.sparkSession
+      import spark.implicits._
+      quads.select("s", "p", "o", "g").as[Quad].coalesce(1)
+        .mapPartitions(it => Iterator(TrigEncoder.encode(it.toSeq, prefixes)))
+        .toDF("value").write.mode(SaveMode.Overwrite).text(path)
     case other => throw new IllegalArgumentException(s"no writer for format '$other'")
   }
 }

@@ -168,6 +168,30 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(g.exists(t => t.o.value == graft.w3c.Earl.earl + "failed"))
   }
 
+  test("TriG encoder: default graph + named blocks round-trip") {
+    import Sigils._
+    val ex = "http://ex.org/"
+    val quads = Seq(
+      Quad(iri"${ex}s1", iri"${ex}p", lit"in default", null),
+      Quad(iri"${ex}s1", iri"${ex}p", Term.int(1), iri"${ex}g1"),
+      Quad(iri"${ex}s2", Term.iri(Vocab.rdfType), iri"${ex}T", iri"${ex}g1"),
+      Quad(iri"${ex}s3", iri"${ex}p", lang"salut@fr", iri"${ex}g2"))
+    val doc = TrigEncoder.encode(quads, Map("ex" -> ex))
+    assert(doc.contains("@prefix ex:"))
+    assert(doc.contains("GRAPH ex:g1 {"))
+    assert(doc.contains("GRAPH ex:g2 {"))
+    assert(doc.contains("ex:s2\n        a ex:T") || doc.contains("a ex:T"))
+    val back = Turtle.parseTriG(doc).quads
+    assert(back.toSet == quads.toSet)
+    // bnode-containing graph: compare modulo bnode naming per graph
+    val bq = Seq(
+      Quad(iri"${ex}s4", iri"${ex}p", Term.bnode("x"), null),
+      Quad(Term.bnode("x"), iri"${ex}q", lit"leaf", null))
+    val doc2 = TrigEncoder.encode(bq)
+    val back2 = Turtle.parseTriG(doc2).quads
+    assert(Rdfc10.isomorphic(bq, back2))
+  }
+
   test("sigil interpolators build terms like RDF.Sigils (~i/~b/~L)") {
     import Sigils._
     val host = "example.com"

@@ -59,6 +59,11 @@ class EngineApiSpec extends AnyFunSuite {
     assert(RdfIO.readGraph(spark, s"$dir/out_nt/*.txt", Some("ntriples")).count() == 2)
     RdfIO.writeGraph(quads, s"$dir/out_ttl", "turtle", Map("" -> ex))
     assert(RdfIO.readGraph(spark, s"$dir/out_ttl/*.txt", Some("turtle")).count() == 2)
+    // trig: the quad-level whole-document writer; graph term survives
+    RdfIO.writeGraph(quads, s"$dir/out_trig", "trig", Map("" -> ex))
+    val backTrig = RdfIO.readGraph(spark, s"$dir/out_trig/*.txt", Some("trig"))
+    assert(backTrig.count() == 2)
+    assert(backTrig.filter(col("g").isNotNull).count() == 1)
   }
 
   test("Bgp.path chains patterns through hidden variables (query.ex path/2)") {
