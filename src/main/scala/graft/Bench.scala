@@ -19,8 +19,9 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q2_join_agg", "q4_window", "q9_skew_join", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "text_tokens", "text_fingerprint", "embed_cosine_topk", "rdf_bgp",
-    "kg_extract", "kg_dedup")
+    "text_tokens", "text_fingerprint", "text_curation", "text_vocab",
+    "embed_cosine_topk", "rdf_bgp", "kg_extract", "kg_dedup",
+    "graph_pagerank")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -74,6 +75,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm up IO
     val timed = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        // queries that persist() intermediate frames (the LSH family)
+        // would otherwise leak cached blocks into later queries' storage
+        // region — clear between queries so each is measured independently
+        spark.catalog.clearCache()
         def once(): Double = {
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count() catch { case _: Throwable => -1L }

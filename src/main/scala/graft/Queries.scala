@@ -330,6 +330,23 @@ object Queries {
           |count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
           |FROM sc WHERE n_tokens >= 20 AND sw <= 0.2 GROUP BY 1, 2""".stripMargin)),
 
+    // Gopher-style repetition removal signals: duplicate word-2-gram and
+    // duplicate-token fractions per document
+    "text_repetition" -> Q(
+      (s, d) => TextOps.repetitionSignals(t(s, d, "documents")),
+      Some("""WITH tt AS (SELECT doc_id,
+             |  string_split_regex(text,'\s+') AS t FROM documents),
+             |b AS (SELECT doc_id, t,
+             |  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+             |  FROM tt)
+             |SELECT doc_id,
+             |round(CASE WHEN len(bg) > 0 THEN
+             |  (len(bg) - len(list_distinct(bg))) * 1.0 / len(bg)
+             |  ELSE 0.0 END, 6) AS dup_bigram_frac,
+             |round((len(t) - len(list_distinct(t))) * 1.0 / len(t), 6)
+             |  AS dup_token_frac
+             |FROM b""".stripMargin)),
+
     // vocabulary building: global top-k tokens (occurrences + doc
     // frequency), distributed top-k with a lexicographic k-boundary tie
     "text_vocab" -> Q(

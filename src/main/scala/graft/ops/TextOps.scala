@@ -98,6 +98,26 @@ object TextOps {
       .select("url", "pred_lang", "n_tokens", "stopword_ratio")
   }
 
+  /** In-document repetition signals (the Gopher/MassiveText "repetition
+    * removal" rule family): fraction of duplicate word 2-grams and the
+    * duplicate-token fraction. High values mark boilerplate/spam pages a
+    * curation run drops before training. Pure Columns — one projection,
+    * no shuffle, no UDF. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // word 2-grams via zip of the array with its own tail
+    val bigrams = zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val nBi = size(bigrams).cast("double")
+    val dupBi = (size(bigrams) - size(array_distinct(bigrams))).cast("double")
+    val dupTok = (n - size(array_distinct(toks))).cast("double")
+    docs.select(col("doc_id"),
+      round(when(nBi > 0, dupBi / nBi).otherwise(0.0), 6).as("dup_bigram_frac"),
+      round(dupTok / n.cast("double"), 6).as("dup_token_frac"))
+  }
+
   /** Vocabulary building: global top-k tokens with total occurrence count
     * and document frequency — the token-frequency table a tokenizer
     * training run starts from. One explode, one hash aggregation, then a

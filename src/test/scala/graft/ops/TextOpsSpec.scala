@@ -80,6 +80,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(("b", 3L, 2L), ("c", 3L, 3L), ("d", 2L, 2L)))
   }
 
+  test("repetitionSignals: duplicate bigram/token fractions, hand-checked") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"),   // bigrams: ab,ba,ab,bc -> 1 dup of 4; tokens 2 dup of 5
+      (2L, "x"),           // no bigrams -> 0.0; no dup tokens
+      (3L, "y y y y"))     // bigrams: yy,yy,yy -> 2 dup of 3; tokens 3 dup of 4
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(df).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((0.25, 0.4)))
+    assert(got(2L) == ((0.0, 0.0)))
+    assert(got(3L) == ((math.rint(2.0 / 3 * 1e6) / 1e6, 0.75)))
+  }
+
   test("predLang ties break by preference order") {
     import spark.implicits._
     val df = Seq("nothing matches here").toDF("text")
