@@ -347,6 +347,24 @@ object Queries {
              |  AS dup_token_frac
              |FROM b""".stripMargin)),
 
+    // benchmark decontamination: docs sharing any word 3-gram with the
+    // "benchmark" slice (doc_id % 97 == 0) get flagged; benchmark side
+    // broadcast, corpus side one explode + broadcast join
+    "text_decontaminate" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextOps.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0), 3)
+      },
+      Some("""WITH ng AS (SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS ng
+             |  FROM (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents)),
+             |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
+             |ov AS (SELECT n.doc_id, count(*) AS n_overlap
+             |  FROM ng n JOIN bench b ON n.ng = b.ng GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+             |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin)),
+
     // vocabulary building: global top-k tokens (occurrences + doc
     // frequency), distributed top-k with a lexicographic k-boundary tie
     "text_vocab" -> Q(

@@ -118,6 +118,39 @@ object TextOps {
       round(dupTok / n.cast("double"), 6).as("dup_token_frac"))
   }
 
+  /** Word n-grams of a text column (space-joined), empty array when the
+    * document has fewer than n tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array())
+  }
+
+  /** Benchmark DECONTAMINATION: flag documents sharing any word n-gram
+    * with a benchmark/eval corpus — the standard pre-training hygiene
+    * check. Output: (doc_id, n_overlap, contaminated) for every document,
+    * n_overlap = count of DISTINCT shared n-grams.
+    *
+    * Scale shape: the benchmark side is exploded to distinct n-grams and
+    * BROADCAST (eval suites are tiny next to a 100 TB corpus); the corpus
+    * side is one explode + a broadcast hash join + one count aggregation —
+    * no corpus-side shuffle besides the per-doc count. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val docNg = docs.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(col("text"), n))).as("ng"))
+    val benchNg = benchmark.select(
+      explode(array_distinct(wordNgrams(col("text"), n))).as("ng")).distinct()
+    val overlaps = docNg.join(broadcast(benchNg), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.select(col("doc_id")).join(overlaps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Vocabulary building: global top-k tokens with total occurrence count
     * and document frequency — the token-frequency table a tokenizer
     * training run starts from. One explode, one hash aggregation, then a

@@ -94,6 +94,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((math.rint(2.0 / 3 * 1e6) / 1e6, 0.75)))
   }
 
+  test("decontaminate: flags docs sharing 3-grams with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares "quick brown fox"
+      (2L, "entirely unrelated content words"),
+      (3L, "short"),                            // < 3 tokens: no ngrams
+      (4L, "quick brown fox quick brown fox"))  // distinct overlap counted once+
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox ran")).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(corpus, bench, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false)))
+    // doc 4's distinct 3-grams: {qbf, bfq, fqb} -> only "quick brown fox" shared
+    assert(got(4L) == ((1L, true)))
+    // plan: benchmark side broadcast, no corpus-side shuffle before the join
+    val plan = TextOps.decontaminate(corpus, bench, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("predLang ties break by preference order") {
     import spark.implicits._
     val df = Seq("nothing matches here").toDF("text")
