@@ -82,6 +82,30 @@ class XsdDurationSpec extends AnyFunSuite {
     assert(cmp("-P1M", "-P27D").contains(-1))
   }
 
+  test("property: canonical form is a fixpoint and value-preserving (2000 random durations)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val sign = if (rnd.nextBoolean()) "-" else ""
+      def part(u: String, max: Int) =
+        if (rnd.nextBoolean()) s"${rnd.nextInt(max)}$u" else ""
+      val date = part("Y", 30) + part("M", 40) + part("D", 500)
+      val time = part("H", 50) + part("M", 200) +
+        (if (rnd.nextBoolean()) f"${rnd.nextInt(90)}%d.${rnd.nextInt(1000)}%03dS" else "")
+      val lex = s"${sign}P$date" + (if (time.nonEmpty) s"T$time" else "")
+      if (XsdDuration.validDuration(lex)) {
+        val c1 = XsdDuration.canonicalDuration(lex).get
+        // fixpoint: canonicalizing a canonical form is the identity
+        assert(XsdDuration.canonicalDuration(c1).contains(c1), s"$lex -> $c1")
+        // value-preserving: same (months, seconds) pair
+        val (v0, v1) = (XsdDuration.parse(lex).get, XsdDuration.parse(c1).get)
+        assert(v0.signedMonths == v1.signedMonths && v0.signedSeconds == v1.signedSeconds,
+          s"$lex -> $c1")
+        // order: equal to itself through the comparator
+        assert(XsdDuration.compareLexical(lex, c1).contains(0), s"$lex vs $c1")
+      }
+    }
+  }
+
   test("registry integration: duration literals canonicalize via dispatch") {
     XsdDuration.register()
     assert(Xsd.valid("PT25H", XsdDuration.xsdDuration))
