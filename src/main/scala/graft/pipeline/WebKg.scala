@@ -319,7 +319,8 @@ object WebKg {
     * Iteration count is fixed (deterministic), not convergence-tested:
     * the oracle must run the same number of rounds. */
   def pageRank(edges: DataFrame, iterations: Int = 3,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               checkpointInterval: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.persist()
     val nodes = e.select(col("src").as("node"))
@@ -329,6 +330,12 @@ object WebKg {
       .join(e, "src").select(col("src"), col("dst"), col("deg")).persist()
     val base = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint()
+    // ranks is referenced twice per round (contribution join + the outer
+    // join), so an unmaterialized plan doubles per round — checkpoint
+    // every `checkpointInterval` rounds: between checkpoints the plan
+    // grows at most 2^interval (bounded), and short runs skip the
+    // per-round materialization cost entirely.
+    var sinceCheckpoint = 0
     for (_ <- 1 to iterations) {
       // `div` (IntegralDivide), NOT `/`: Column./ on longs is double
       // division, and double floor can disagree with exact integer floor
@@ -339,7 +346,11 @@ object WebKg {
       ranks = nodes.join(mass, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(mass, cast(0 as bigint))) div 100")).as("r"))
-        .localCheckpoint()
+      sinceCheckpoint += 1
+      if (sinceCheckpoint >= checkpointInterval) {
+        ranks = ranks.localCheckpoint()
+        sinceCheckpoint = 0
+      }
     }
     withDeg.unpersist(); nodes.unpersist(); e.unpersist()
     ranks.select(col("node"), col("r").as("rank_fp"))
