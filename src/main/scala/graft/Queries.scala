@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Vocab
 import graft.engine.{Bgp, Terms}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.pipeline.WebKg
 
 /** The oracle-checked query registry: every operator claimed in SURVEY.md §2
@@ -346,6 +346,31 @@ object Queries {
              |round((len(t) - len(list_distinct(t))) * 1.0 / len(t), 6)
              |  AS dup_token_frac
              |FROM b""".stripMargin)),
+
+    // deterministic hash-based train/val/test split (no RNG: stable under
+    // re-runs, retries, and corpus growth)
+    "sample_split" -> Q(
+      (s, d) => Sampling.hashSplit(t(s, d, "documents"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+      Some("""SELECT doc_id, CASE WHEN u < 0.8 THEN 'train'
+             |  WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |  CAST('0x'||substr(md5('graft-split-v1:'||doc_id),1,15) AS BIGINT)
+             |    / 1152921504606846976.0 AS u
+             |  FROM documents)""".stripMargin)),
+
+    // token-budget shard packing: greedy sequential semantics computed as
+    // a distributed prefix sum (range partitions + per-partition window +
+    // broadcast offsets)
+    "sample_shards" -> Q(
+      (s, d) => Sampling.packShards(t(s, d, "documents"), budgetTokens = 2000),
+      Some("""WITH t AS (SELECT doc_id,
+             |  len(string_split_regex(text,'\s+')) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER
+             |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  AS cum FROM t)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard FROM c""".stripMargin)),
 
     // benchmark decontamination: docs sharing any word 3-gram with the
     // "benchmark" slice (doc_id % 97 == 0) get flagged; benchmark side

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dataset splitting and shard packing — the last two stages a corpus
+  * passes before training.
+  *
+  * Both are DETERMINISTIC by construction (no RNG): a re-run, a retried
+  * task, or a different engine assigns every document to the same split
+  * and the same shard, which is what makes eval splits trustworthy and
+  * jobs resumable at 100 TB.
+  */
+object Sampling {
+
+  /** Uniform [0,1) value from md5("salt:key") — top 60 bits over 2^60,
+    * the same cross-engine-reproducible construction as the minhash
+    * family. */
+  def hashUniform(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), key.cast("string"))), 1, 15),
+      16, 10).cast("double") / lit((1L << 60).toDouble)
+
+  /** Deterministic train/val/test split: label thresholds over the hash
+    * uniform. `weights` are (label, fraction) pairs summing to <= 1 (any
+    * remainder falls to the last label). Stable under re-runs, retries,
+    * corpus growth (a doc's label never changes when other docs appear),
+    * and engine changes. */
+  def hashSplit(docs: DataFrame, weights: Seq[(String, Double)],
+                salt: String = "graft-split-v1"): DataFrame = {
+    require(weights.nonEmpty)
+    val u = hashUniform(col("doc_id"), salt)
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val labeled = weights.zip(cuts).dropRight(1)
+      .foldLeft(when(lit(false), lit(""))) { case (c, ((label, _), cut)) =>
+        c.when(u < cut, label)
+      }.otherwise(weights.last._1)
+    docs.select(col("doc_id"), labeled.as("split"))
+  }
+
+  /** Token-budget SHARD PACKING: documents in deterministic doc_id order
+    * are packed greedily into shards of at most ~`budgetTokens` tokens —
+    * shard = exclusive-prefix-token-count div budget. The prefix sum is
+    * computed the scale-correct way (a single global window would move
+    * the corpus through ONE task): range-partition by doc_id, window
+    * cumsum WITHIN each partition (parallel), then add per-partition
+    * offsets — the offsets are one tiny per-partition aggregate collected
+    * to the driver (numPartitions rows, metadata-scale) and broadcast
+    * back. Output: (doc_id, n_tokens, shard). */
+  def packShards(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withTok = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val ranged = withTok.repartitionByRange(col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    // per-partition totals -> exclusive offsets, in partition (= range) order
+    val partTotals = ranged.groupBy("__pid").agg(sum("n_tokens").as("t"))
+      .orderBy("__pid").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = partTotals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, t)) => (pid, acc + t)
+    }.tail.zip(partTotals).map { case ((pid, cumIncl), (_, t)) =>
+      (pid, cumIncl - t)
+    }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "__pid")
+      .withColumn("__cum", col("__off") + sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(__cum - n_tokens) div $budgetTokens").as("shard"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, ("w " * (i % 40 + 1)).trim))
+      .toDF("doc_id", "text")
+  }
+
+  test("hashSplit: deterministic, complete, near the requested fractions") {
+    val d = docs(2000)
+    val s1 = Sampling.hashSplit(d, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.hashSplit(d, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)                       // reproducible
+    assert(s1.size == 2000)                // total
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac)
+    assert(math.abs(frac("val") - 0.1) < 0.03, frac)
+    assert(math.abs(frac("test") - 0.1) < 0.03, frac)
+    // stability under corpus growth: labels of existing docs unchanged
+    val bigger = Sampling.hashSplit(docs(4000),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.forall { case (id, l) => bigger(id) == l })
+  }
+
+  test("packShards equals the sequential greedy packing") {
+    val d = docs(500)
+    val got = Sampling.packShards(d, budgetTokens = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // sequential reference: exclusive cumulative sum div budget
+    var cum = 0L
+    val expected = got.map { case (id, n, _) =>
+      val shard = cum / 100; cum += n; (id, n, shard)
+    }
+    assert(got.toSeq == expected.toSeq)
+    // shards are contiguous ranges of doc_ids and none (except possibly
+    // by one overflowing doc) exceeds the budget grossly
+    val byShard = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(byShard.values.forall(_ <= 100 + 40)) // budget + max doc size
+    // parallel plan: the cumsum window is partitioned (not one global task)
+    val plan = Sampling.packShards(d, 100).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") || plan.contains("windowspecdefinition(__pid"), plan)
+  }
+}
