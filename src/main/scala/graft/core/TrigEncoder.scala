@@ -22,9 +22,32 @@ object TrigEncoder {
       sb.append("@prefix ").append(p).append(": <").append(ns).append("> .\n")
     if (prefixes.nonEmpty || base.nonEmpty) sb.append('\n')
 
+    // bnodes visible in MORE than one graph (incl. the default graph and
+    // graph-name position, and bnodes nested in quoted-triple terms) must
+    // render labeled everywhere: each graph body is encoded independently,
+    // and an anonymous []/(...)/[ ... ] form in one body would sever the
+    // node's identity with its occurrences in the other graphs on re-parse.
+    val crossGraph: Set[Term] = {
+      def bnodesOf(t: Term): Iterator[Term] = t.kind match {
+        case TermKind.BNODE => Iterator.single(t)
+        case TermKind.TRIPLE =>
+          val i = NTriples.parseQuotedString(t.value)
+          Iterator(i.s, i.p, i.o).flatMap(bnodesOf)
+        case _ => Iterator.empty
+      }
+      val graphsOf = scala.collection.mutable.HashMap.empty[Term, Set[Term]]
+      for (q <- quads; t <- Iterator(q.s, q.o).flatMap(bnodesOf))
+        graphsOf(t) = graphsOf.getOrElse(t, Set.empty) +
+          (if (q.g == null) Term.iri("") else q.g)
+      val shared = graphsOf.collect { case (t, gs) if gs.size > 1 => t }.toSet
+      val graphNames = quads.iterator.map(_.g)
+        .filter(g => g != null && g.isBnode).toSet
+      shared ++ graphNames
+    }
+
     def body(qs: Seq[Quad]): String =
       TurtleEncoder.encode(qs.map(q => Triple(q.s, q.p, q.o)), prefixes,
-        base = None, directives = false)
+        base = None, directives = false, forceLabeled = crossGraph)
 
     val (default, named) = quads.partition(_.g == null)
     if (default.nonEmpty) {

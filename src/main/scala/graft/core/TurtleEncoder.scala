@@ -29,9 +29,15 @@ import scala.collection.mutable
   */
 object TurtleEncoder {
 
+  /** `forceLabeled`: blank nodes that must render with their label in
+    * EVERY position — never `[]`, `[ ... ]`, or `( ... )`. The TriG
+    * encoder passes the bnodes shared across graphs (each graph body is
+    * encoded independently, so an anonymous form would sever the
+    * cross-graph identity on re-parse). */
   def encode(triples: Seq[Triple], prefixes: Map[String, String] = Map.empty,
              base: Option[String] = None,
-             directives: Boolean = true): String = {
+             directives: Boolean = true,
+             forceLabeled: Set[Term] = Set.empty): String = {
     val sb = new StringBuilder
     if (directives) {
       base.foreach(b => sb.append("@base <").append(b).append("> .\n"))
@@ -63,7 +69,7 @@ object TurtleEncoder {
         case _ =>
       }
       triples.foreach { t => walk(t.s); walk(t.o) }
-      acc.toSet
+      acc.toSet ++ forceLabeled
     }
 
     // ---- list reconstruction: pure first/rest chains

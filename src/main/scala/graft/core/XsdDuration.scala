@@ -77,9 +77,11 @@ object XsdDuration {
     if (plain == "-0") "0" else plain
   }
 
-  /** Canonical form of an already-parsed value, constrained to the lexical
-    * space of the requesting subtype. */
-  def format(v: Value, yearMonthOnly: Boolean = false, dayTimeOnly: Boolean = false): String = {
+  /** Canonical form of an already-parsed value. `yearMonthOnly` restricts
+    * output to the yearMonthDuration lexical space (Y/M components and the
+    * `P0M` zero); the dayTimeDuration space needs no flag — validation
+    * guarantees `months == 0`, so Y/M components never print. */
+  def format(v: Value, yearMonthOnly: Boolean = false): String = {
     val sb = new StringBuilder
     if (v.negative && (v.months != 0 || v.seconds != 0)) sb += '-'
     sb += 'P'
@@ -116,7 +118,7 @@ object XsdDuration {
     else None
 
   def canonicalDayTimeDuration(lex: String): Option[String] =
-    if (validDayTimeDuration(lex)) parse(lex).map(format(_, dayTimeOnly = true))
+    if (validDayTimeDuration(lex)) parse(lex).map(format(_))
     else None
 
   /** XSD order relation on durations is PARTIAL: values with both a month

@@ -133,11 +133,11 @@ object Bgp {
     else df.select(proj: _*)
   }
 
-  /** Execute a BGP against a triple table (columns s/p/o as term structs).
-    * Result: one term-struct column per projected variable. */
-  def execute(spark: SparkSession, triples: DataFrame, bgp: Pattern): DataFrame = {
-    // empty BGP -> one empty solution (SPARQL empty group pattern)
-    if (bgp.patterns.isEmpty) return spark.range(1).drop("id")
+  /** The join chain WITHOUT the final projection: returns the solution
+    * frame still carrying underscore-prefixed (hidden) variables plus the
+    * solved-variable set — callers that join further (executeIncremental)
+    * need the hidden vars as join keys before projecting them away. */
+  private def executeAll(triples: DataFrame, bgp: Pattern): (DataFrame, Set[String]) = {
     val ordered = plan(bgp.patterns)
     var solution: DataFrame = null
     var solved = Set.empty[String]
@@ -152,6 +152,15 @@ object Bgp {
       }
       solved ++= p.vars
     }
+    (solution, solved)
+  }
+
+  /** Execute a BGP against a triple table (columns s/p/o as term structs).
+    * Result: one term-struct column per projected variable. */
+  def execute(spark: SparkSession, triples: DataFrame, bgp: Pattern): DataFrame = {
+    // empty BGP -> one empty solution (SPARQL empty group pattern)
+    if (bgp.patterns.isEmpty) return spark.range(1).drop("id")
+    val (solution, solved) = executeAll(triples, bgp)
     val projected = solved.toSeq.sorted.filterNot(_.startsWith("_"))
     if (projected.isEmpty) solution.select().limit(1)
     else solution.select(projected.map(col): _*).drop("__exists")
@@ -190,14 +199,21 @@ object Bgp {
       case (p, i) if i != streamedIdx => p
     }
     val streamSc = scan(stream, pStream)
-    if (rest.isEmpty) streamSc
+    val streamProjected = pStream.vars.distinct.sorted.filterNot(_.startsWith("_"))
+    require(streamProjected.nonEmpty,
+      "streamed pattern must bind a non-hidden variable")
+    if (rest.isEmpty) streamSc.select(streamProjected.map(col): _*)
     else {
-      val staticSol = execute(spark, staticTriples, Pattern(rest))
-      val shared = pStream.vars.distinct.filter(staticSol.columns.toSet)
+      // join against the UNPROJECTED static solution: hidden (_-prefixed)
+      // variables shared with the streamed pattern must participate as
+      // join keys — projecting first would silently turn the equi-join
+      // into a cross product
+      val (staticSol, solvedStatic) = executeAll(staticTriples, Pattern(rest))
+      val shared = pStream.vars.distinct.filter(solvedStatic)
       val joined =
         if (shared.nonEmpty) streamSc.join(staticSol, shared, "inner")
-        else streamSc.crossJoin(staticSol)
-      val projected = (pStream.vars ++ rest.flatMap(_.vars))
+        else streamSc.crossJoin(staticSol.drop("__exists"))
+      val projected = (pStream.vars ++ solvedStatic)
         .distinct.sorted.filterNot(_.startsWith("_"))
       joined.select(projected.map(col): _*)
     }

@@ -44,13 +44,13 @@ final case class Diff(additions: DataFrame, deletions: DataFrame) {
 
 object Diff {
 
-  /** Diff two graph versions: original -> updated (diff.ex:115-135). */
-  def compute(original: DataFrame, updated: DataFrame): Diff = {
-    val cols = original.columns.toSeq
+  /** Diff two graph versions: original -> updated (diff.ex:115-135).
+    * Null-safe on every column, so quad frames with a default graph
+    * (g = null) diff correctly. */
+  def compute(original: DataFrame, updated: DataFrame): Diff =
     Diff(
-      additions = updated.join(original, cols, "left_anti"),
-      deletions = original.join(updated, cols, "left_anti"))
-  }
+      additions = Graphs.antiNullSafe(updated, original),
+      deletions = Graphs.antiNullSafe(original, updated))
 
   /** An empty diff over the given schema template. */
   def empty(template: DataFrame): Diff =

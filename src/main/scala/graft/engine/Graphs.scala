@@ -19,9 +19,21 @@ object Graphs {
   def add(g: DataFrame, other: DataFrame): DataFrame =
     g.unionByName(other).dropDuplicates()
 
+  /** NULL-SAFE anti-join on all of `l`'s columns. USING-column joins
+    * compare with plain equality, where null never equals null — so a
+    * quad frame's default graph (g = null) would make every statement
+    * "absent" from the other side. `<=>` restores set semantics. */
+  private[graft] def antiNullSafe(l: DataFrame, r: DataFrame): DataFrame = {
+    val cols = l.columns.toSeq
+    val ra = r.select(cols.map(col): _*).alias("__r")
+    val la = l.alias("__l")
+    val cond = cols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _)
+    la.join(ra, cond, "left_anti")
+  }
+
   /** Graph.delete (graph.ex:437-511): input-shaped removal. */
   def delete(g: DataFrame, other: DataFrame): DataFrame =
-    g.join(other, g.columns.toSeq, "left_anti")
+    antiNullSafe(g, other)
 
   /** Graph.put (graph.ex:309-340): replace whole subjects — the classic
     * upsert; anti-join old on new subject keys, then union. */
@@ -41,7 +53,7 @@ object Graphs {
 
   /** include? (graph.ex:1146-1178): statement containment via anti-join. */
   def includesAll(g: DataFrame, statements: DataFrame): Boolean =
-    statements.join(g, statements.columns.toSeq, "left_anti").isEmpty
+    antiNullSafe(statements, g).isEmpty
 
   /** Graph.equal? modulo prefixes (graph.ex:1399-1406). */
   def equalGraphs(a: DataFrame, b: DataFrame): Boolean =
@@ -303,8 +315,10 @@ object Graphs {
         case Follow.Bnodes =>
           cand.filter(predOk && Terms.isBnode(col("o")) && lit(d <= bDepth))
         case Follow.Custom(f) =>
+          // the predicate whitelist gates traversal for EVERY strategy,
+          // custom follow functions included
           val depth = d
-          cand.select(col("p"), col("o")).as[(Term, Term)]
+          cand.filter(predOk).select(col("p"), col("o")).as[(Term, Term)]
             .filter { case (p, o) => f(o, p, depth) }
             .toDF("p", "o")
       }

@@ -38,20 +38,23 @@ object Streaming {
       .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
 
-  /** Streaming exact dedup: watermarked `dropDuplicates` on the md5 text
-    * hash — the streaming face of `Dedup.exact`. State is bounded by the
-    * watermark: a duplicate arriving within `watermark` of the original's
-    * event time is dropped, later re-crawls re-emit (at 100 TB the state
-    * store cannot hold every hash forever; the watermark IS the dedup
-    * horizon, exactly Structured Streaming's intended state-expiry
-    * contract). Output: first-seen rows (doc_id, h, ts). */
+  /** Streaming exact dedup: watermarked dedup on the md5 text hash — the
+    * streaming face of `Dedup.exact`. State is bounded by the watermark:
+    * a duplicate arriving within `watermark` of the original's event time
+    * is dropped, later re-crawls re-emit (at 100 TB the state store
+    * cannot hold every hash forever; the watermark IS the dedup horizon).
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates("h")`: with a
+    * plain key-subset dedup the watermark only filters late input and the
+    * per-hash state lives forever — only the WithinWatermark variant
+    * actually evicts state at the horizon. Output: first-seen rows
+    * (doc_id, h, ts). */
   def streamingExactDedup(docs: DataFrame,
                           watermark: String = "24 hours"): DataFrame =
     docs
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("h", md5(col("text")))
       .withWatermark("ts", watermark)
-      .dropDuplicates("h")
+      .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("h"), col("ts"))
 
   /** One LSH band occurrence of one document (the stateful-dedup input). */

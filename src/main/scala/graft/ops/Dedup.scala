@@ -132,9 +132,11 @@ object Dedup {
   def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLshPairs(docs)
     // tokSets joins against BOTH pair sides; jac feeds BOTH direction
-    // unions — persist each so the verify stage is computed once, not
-    // re-expanded per reference (this query's plan used to scan the corpus
-    // 50 times through the un-reused LSH subtree)
+    // unions. Cache lifecycle: the CORPUS-scale token-set frame is
+    // persisted only while the verify join materializes (eager
+    // localCheckpoint of the RESULT-scale jac frame), then released —
+    // the method never leaks corpus-sized cached blocks into the caller's
+    // session (the returned frame references only the small checkpoint).
     val tokSets = tokenRelation(docs).groupBy("doc_id")
       .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n"))
       .persist()
@@ -145,7 +147,8 @@ object Dedup {
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select("d1", "d2")
-      .persist()
+      .localCheckpoint() // eager: runs the verify join ONCE, truncates plan
+    tokSets.unpersist()
     // count partners in both directions so the metric is per-doc symmetric
     jac.select(col("d1").as("doc_id")).unionAll(jac.select(col("d2").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))

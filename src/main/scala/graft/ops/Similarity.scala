@@ -80,6 +80,10 @@ object Similarity {
     * vs [[cosineNearDupPairs]] is asserted in SimilaritySpec). */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
                       nPlanes: Int = 8, probeHamming: Int = 1): DataFrame = {
+    // only 0 (exact bucket) and 1 (single-bit probes) are implemented; a
+    // larger radius silently degrading to 1 would overstate recall
+    require(probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming must be 0 or 1 (got $probeHamming)")
     val c = embeddings.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes).as("b0"))
     // probe expansion on ONE side only: pairing (x in bucket b) with
@@ -148,6 +152,8 @@ object Similarity {
     * so the join stays an equi-join on bucket keys. */
   def lshBucketedTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
                       nPlanes: Int = 8, probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming must be 0 or 1 (got $probeHamming)")
     val c = embeddings.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes).as("bucket"))
     val q0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),

@@ -125,8 +125,14 @@ object Materialize {
     try Some(spark.read.parquet(s"$root/lineage"))
     catch {
       case e: org.apache.spark.sql.AnalysisException
-        if Option(e.getCondition).contains("PATH_NOT_FOUND") ||
-          e.getMessage.contains("Path does not exist") => None
+        // "first run" also covers a crash that created the directory but
+        // no parquet footer (only _temporary etc.): that surfaces as
+        // UNABLE_TO_INFER_SCHEMA, and treating it as wedged would block
+        // every subsequent resume on a store that holds no lineage at all
+        if Option(e.getCondition).exists(c =>
+            c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA") ||
+          e.getMessage.contains("Path does not exist") ||
+          e.getMessage.contains("Unable to infer schema") => None
     }
 
   def readGraph(spark: SparkSession, root: String): DataFrame =

@@ -226,8 +226,9 @@ object WebKg {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) >= 3).distinct()
     // the shingle relation feeds the minhash-band blocking AND the
-    // exact-Jaccard verify sets — persist so the corpus tokenization runs
-    // once instead of once per reference
+    // exact-Jaccard verify sets — persisted so the corpus tokenization
+    // runs once, RELEASED as soon as the scored candidates materialize
+    // (so the method leaks no corpus-scale cache into the session)
     val sh = tok.select(col("doc_id"), col("w"), explode(shingles("w")).as("g"))
       .persist()
     val mentionBands = bandRows(minhash4(sh, Seq("doc_id", "w")), Seq("doc_id", "w"))
@@ -247,6 +248,8 @@ object WebKg {
       .withColumn("jac",
         col("inter") / (size(col("wg")) + size(col("sg")) - col("inter")))
       .filter(col("jac") >= threshold)
+      .localCheckpoint() // eager: result-scale; lets sh release right here
+    sh.unpersist()
     val wnd = Window.partitionBy("doc_id", "w").orderBy(col("jac").desc, col("entity"))
     val resolved = scored.withColumn("rn", row_number().over(wnd)).filter(col("rn") === 1)
     resolved.groupBy(col("doc_id"), col("entity"))

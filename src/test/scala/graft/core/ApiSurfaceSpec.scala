@@ -192,6 +192,28 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(Rdfc10.isomorphic(bq, back2))
   }
 
+  test("TriG encoder: bnodes shared across graphs stay labeled (identity preserved)") {
+    import Sigils._
+    val ex = "http://ex.org/"
+    // _:b is annotated in G1 and described in G2: an anonymous form in
+    // either body would sever the identity on re-parse
+    val bq = Seq(
+      Quad(iri"${ex}a", iri"${ex}p", Term.bnode("b"), iri"${ex}g1"),
+      Quad(Term.bnode("b"), iri"${ex}q", lit"leaf", iri"${ex}g2"),
+      // and a bnode leaf used once in EACH of two graphs (would be "[]")
+      Quad(iri"${ex}c", iri"${ex}p", Term.bnode("x"), iri"${ex}g1"),
+      Quad(iri"${ex}d", iri"${ex}p", Term.bnode("x"), iri"${ex}g2"))
+    val doc = TrigEncoder.encode(bq)
+    assert(!doc.contains("[]") && !doc.contains("[ "), doc)
+    val back = Turtle.parseTriG(doc).quads
+    assert(Rdfc10.isomorphic(bq, back), doc)
+    // within ONE graph, compact forms are still used
+    val single = Seq(
+      Quad(iri"${ex}a", iri"${ex}p", Term.bnode("y"), iri"${ex}g1"),
+      Quad(Term.bnode("y"), iri"${ex}q", lit"leaf", iri"${ex}g1"))
+    assert(TrigEncoder.encode(single).contains("[ "), TrigEncoder.encode(single))
+  }
+
   test("sigil interpolators build terms like RDF.Sigils (~i/~b/~L)") {
     import Sigils._
     val host = "example.com"

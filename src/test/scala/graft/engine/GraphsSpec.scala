@@ -357,6 +357,41 @@ class GraphsSpec extends AnyFunSuite {
     assert(dels.collect().map(_.getString(0)).toSeq == Seq("s2"))
   }
 
+  test("diff and delete are null-safe: default-graph quads (g = null) diff correctly") {
+    import spark.implicits._
+    val v1 = Seq(("s1", "p", "a", null: String), ("s2", "p", "b", "g1"))
+      .toDF("s", "p", "o", "g")
+    val v2 = Seq(("s1", "p", "a", null: String), ("s3", "p", "c", "g1"))
+      .toDF("s", "p", "o", "g")
+    val d = Diff.compute(v1, v2)
+    // the unchanged default-graph quad must NOT appear on either side
+    assert(d.additions.collect().map(_.getString(0)).toSeq == Seq("s3"))
+    assert(d.deletions.collect().map(_.getString(0)).toSeq == Seq("s2"))
+    // delete can remove a default-graph quad
+    val afterDelete = Graphs.delete(v1,
+      Seq(("s1", "p", "a", null: String)).toDF("s", "p", "o", "g"))
+    assert(afterDelete.collect().map(_.getString(0)).toSeq == Seq("s2"))
+    // applying a diff of identical quad frames is a no-op
+    assert(Diff.compute(v1, v1).applyTo(v1).count() == 2)
+  }
+
+  test("reachable with a custom follow fn still honors the predicate whitelist") {
+    import spark.implicits._
+    import graft.core.Term
+    val ex = "http://e/"
+    def t(s: String, p: String, o: String) =
+      (Term.iri(ex + s), Term.iri(ex + p), Term.iri(ex + o))
+    val g = Seq(t("a", "follow", "b"), t("a", "skip", "c"), t("b", "follow", "d"))
+      .toDF("s", "p", "o")
+    val r = Graphs.reachable(g, Term.iri(ex + "a"),
+      Graphs.Follow.Custom((_, _, _) => true),
+      predicates = Seq(ex + "follow"))
+    val subjects = r.select(col("s")("value")).as[String].collect().toSet
+    // c is reached only through :skip, which the whitelist must gate even
+    // when the custom function says yes — so c's description is absent
+    assert(subjects == Set(ex + "a", ex + "b"))
+  }
+
   test("Diff algebra: union, invert, apply, empty (diff.ex semantics)") {
     import spark.implicits._
     def df(rows: (String, String, String)*) = rows.toDF("s", "p", "o")

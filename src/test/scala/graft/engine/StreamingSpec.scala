@@ -156,6 +156,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got())
   }
 
+  test("incremental BGP: hidden (_-prefixed) shared vars still join") {
+    import spark.implicits._
+    import graft.core.Term
+    val dir = java.nio.file.Files.createTempDirectory("graft_ibgp_h").toString
+    val ex = "http://ex.org/"
+    // static: docs point at annotation nodes via :hasAnn
+    val static = Seq(
+      (Term.iri(ex + "d1"), Term.iri(ex + "hasAnn"), Term.iri(ex + "a1")),
+      (Term.iri(ex + "d2"), Term.iri(ex + "hasAnn"), Term.iri(ex + "a2")))
+      .toDF("s", "p", "o")
+    // streamed: annotation VALUES arrive, joined through the hidden var
+    Seq((Term.iri(ex + "a1"), Term.iri(ex + "value"), Term.str("v1")))
+      .toDF("s", "p", "o").write.mode("append").parquet(dir)
+    import Bgp.dsl._
+    val q = Bgp.Pattern(Seq(
+      pat(v("_a"), iri(ex + "value"), v("v")), // streamed; _a is hidden
+      pat(v("doc"), iri(ex + "hasAnn"), v("_a"))))
+    val inc = Bgp.executeIncremental(spark,
+      static, spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+      q, streamedIdx = 0)
+    val got = Streaming.runToCompletion(inc, "ibgp_hidden")
+    // joined through _a: ONLY d1 pairs with v1 (a cross product would
+    // also emit d2), and the hidden var is not a result column
+    assert(got.columns.toSeq == Seq("doc", "v"))
+    val rows = got.select(col("doc")("value"), col("v")("value"))
+      .as[(String, String)].collect().toSet
+    assert(rows == Set((ex + "d1", "v1")))
+  }
+
   test("watermarked windowed event counts match batch date_trunc aggregation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
