@@ -90,6 +90,27 @@ object Bench {
     }
     val results = timed.map { case (n, (_, w)) => n -> w }
     val resultsCold = timed.map { case (n, (c, _)) => n -> c }
+
+    // big-dictionary entity linking: 100k synthetic surfaces through the
+    // NON-broadcast (shuffled) path — evidence that the big-dict plan
+    // holds when the dictionary exceeds any broadcast threshold
+    val bigDictSurfaces = 100000
+    val (bigCold, bigWarm) = {
+      spark.catalog.clearCache()
+      val dict = spark.range(bigDictSurfaces.toLong).select(
+        substring(md5(concat(lit("dict:"), col("id"))), 1, 8).as("surface"),
+        concat(lit(WebKg.entityNs), col("id")).as("entity"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try WebKg.entityLinkFuzzyDF(
+          spark.read.parquet(s"$sfDir/documents.parquet"), dict,
+          broadcastDict = false).count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val c = once(); val w = once()
+      (c, w)
+    }
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -116,44 +137,62 @@ object Bench {
     // criterion is after: no serial stage, no skewed partition, shuffle
     // volume constant. Methodology + the other pairs documented in
     // BENCH.md.
+    // The SECONDARY pair (2N -> 8N, i.e. 2->8 by default) runs in the SAME
+    // interleaved rounds so the DRAM-saturation decay curve the pair
+    // choice rests on is visible in every driver run, not only in BENCH.md
+    // prose: each round samples all four configs back-to-back.
     val nCores = args.headOption.map(_.toInt)
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt)
     val n4Cores = nCores * 4
+    val secondary = sys.env.getOrElse("SPARK_GRAFT_SCALE_SECONDARY", "1") == "1"
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "6").toInt
     def run(cores: Int): (Long, Double) = {
       val s = session(cores)
       try kgJob(s, sfDir)
       finally { s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
     }
-    // one warm-up pair (JIT + codegen), untimed
-    run(nCores); run(n4Cores)
-    val runsN = Array.newBuilder[Double]
-    val runs4N = Array.newBuilder[Double]
+    val configs = Seq(nCores, n4Cores) ++
+      (if (secondary) Seq(nCores * 2, nCores * 8) else Nil)
+    // one warm-up sweep (JIT + codegen), untimed
+    configs.foreach(run)
+    val runsBy = configs.map(c => c -> Array.newBuilder[Double]).toMap
     var triples = 0L
     for (_ <- 1 to rounds) {
-      val (t, sN) = run(nCores); runsN += sN; triples = t
-      val (_, s4N) = run(n4Cores); runs4N += s4N
+      configs.foreach { c =>
+        val (t, sec) = run(c); runsBy(c) += sec; triples = t
+      }
     }
-    val allN = runsN.result(); val all4N = runs4N.result()
-    val secN = allN.min
-    val sec4N = all4N.min
-
-    val tpN = triples / secN
-    val tp4N = triples / sec4N
-    val eff = (tp4N / tpN) / 4.0
+    val allBy = runsBy.map { case (c, b) => c -> b.result() }
+    def pair(lo: Int, hi: Int): (Double, Double, Double, Double, Double) = {
+      val secLo = allBy(lo).min; val secHi = allBy(hi).min
+      val tpLo = triples / secLo; val tpHi = triples / secHi
+      (secLo, secHi, tpLo, tpHi, (tpHi / tpLo) / (hi.toDouble / lo))
+    }
+    val (secN, sec4N, tpN, tp4N, eff) = pair(nCores, n4Cores)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qsCold = resultsCold.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def arr(xs: Array[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val sec2 = if (secondary) {
+      val lo = nCores * 2; val hi = nCores * 8
+      val (sL, sH, tL, tH, e2) = pair(lo, hi)
+      f""","secondary_pair":{"cores_n":$lo,"cores_4n":$hi,""" +
+        f""""sec_ncore":$sL%.3f,"sec_4ncore":$sH%.3f,""" +
+        f""""runs_ncore":${arr(allBy(lo))},"runs_4ncore":${arr(allBy(hi))},""" +
+        f""""triples_per_sec_ncore":${tL.toLong}%d,"triples_per_sec_4ncore":${tH.toLong}%d,""" +
+        f""""scaling_efficiency":$e2%.3f}"""
+    } else ""
     val kg = f"""{"triples":$triples,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
       f""""rounds":$rounds,"interleaved":true,""" +
       f""""sec_ncore":$secN%.3f,"sec_4ncore":$sec4N%.3f,""" +
-      f""""runs_ncore":${arr(allN)},"runs_4ncore":${arr(all4N)},""" +
+      f""""runs_ncore":${arr(allBy(nCores))},"runs_4ncore":${arr(allBy(n4Cores))},""" +
       f""""triples_per_sec_ncore":${tpN.toLong}%d,"triples_per_sec_4ncore":${tp4N.toLong}%d,""" +
-      f""""scaling_efficiency":$eff%.3f}"""
+      f""""scaling_efficiency":$eff%.3f$sec2%s}"""
+    val bigdict =
+      f"""{"surfaces":$bigDictSurfaces,"cold":$bigCold%.3f,"warm":$bigWarm%.3f}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s","kg_pipeline":$kg%s}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s","bigdict_link":$bigdict%s,"kg_pipeline":$kg%s}""")
     ()
   }
 }

@@ -24,6 +24,54 @@ object Queries {
 
   private val xsdInt = Vocab.xsdInteger
 
+  // shared by kg_entity_link_fuzzy (broadcast dictionary) and
+  // kg_entity_link_big (shuffled big-dictionary path): identical semantics,
+  // different physical distribution — one oracle
+  private val fuzzyLinkSql: String =
+    """WITH dict(surface, entity) AS (VALUES
+      |  ('customer','http://graft.dev/entity/customer'),
+      |  ('part','http://graft.dev/entity/part'),
+      |  ('order','http://graft.dev/entity/order'),
+      |  ('supplier','http://graft.dev/entity/supplier'),
+      |  ('spark','http://graft.dev/entity/spark'),
+      |  ('vector','http://graft.dev/entity/vector')),
+      |tok AS (SELECT DISTINCT doc_id, w FROM
+      |  (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w FROM documents)
+      |  WHERE length(w) >= 3),
+      |sh AS (SELECT doc_id, w, unnest(list_distinct(list_transform(
+      |  range(1, length(w)-1), i -> substr(w, i, 3)))) AS g FROM tok),
+      |mh AS (SELECT doc_id, w,
+      |  min(md5('0:'||g)) AS s0, min(md5('1:'||g)) AS s1,
+      |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM sh GROUP BY 1,2),
+      |mb AS (SELECT doc_id, w, 0 AS band, md5(s0||s1) AS sig FROM mh
+      |  UNION ALL SELECT doc_id, w, 1, md5(s2||s3) FROM mh),
+      |dsh AS (SELECT surface, entity, unnest(list_distinct(list_transform(
+      |  range(1, length(surface)-1), i -> substr(surface, i, 3)))) AS g FROM dict),
+      |dmh AS (SELECT surface, entity,
+      |  min(md5('0:'||g)) AS s0, min(md5('1:'||g)) AS s1,
+      |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM dsh GROUP BY 1,2),
+      |db AS (SELECT surface, entity, 0 AS band, md5(s0||s1) AS sig FROM dmh
+      |  UNION ALL SELECT surface, entity, 1, md5(s2||s3) FROM dmh),
+      |cand AS (SELECT DISTINCT m.doc_id, m.w, d.surface, d.entity
+      |  FROM mb m JOIN db d ON m.band=d.band AND m.sig=d.sig),
+      |wn AS (SELECT doc_id, w, count(*) AS na FROM sh GROUP BY 1,2),
+      |dn AS (SELECT surface, count(*) AS nb FROM dsh GROUP BY 1),
+      |inter AS (SELECT c.doc_id, c.w, c.surface, c.entity, count(*) AS i
+      |  FROM cand c JOIN sh a ON a.doc_id=c.doc_id AND a.w=c.w
+      |  JOIN dsh b ON b.surface=c.surface AND b.g=a.g GROUP BY 1,2,3,4),
+      |scored AS (SELECT i.doc_id, i.w, i.entity,
+      |    i.i * 1.0 / (wn.na + dn.nb - i.i) AS jac
+      |  FROM inter i JOIN wn ON i.doc_id=wn.doc_id AND i.w=wn.w
+      |  JOIN dn ON i.surface=dn.surface
+      |  WHERE i.i * 1.0 / (wn.na + dn.nb - i.i) >= 0.5),
+      |resolved AS (SELECT doc_id, w, entity, jac,
+      |    row_number() OVER (PARTITION BY doc_id, w
+      |      ORDER BY jac DESC, entity) AS rn FROM scored)
+      |SELECT 'http://graft.dev/doc/'||doc_id AS s,
+      |  'http://graft.dev/vocab#mentions' AS p, entity AS o,
+      |  count(DISTINCT w) AS n_mentions, round(max(jac), 6) AS top_jac
+      |FROM resolved WHERE rn = 1 GROUP BY 1,2,3""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ----------------------------------------------------------- relational
@@ -453,24 +501,68 @@ object Queries {
           |  (SELECT d1 AS vec_id FROM p WHERE cos >= 0.95
           |   UNION ALL SELECT d2 FROM p WHERE cos >= 0.95) GROUP BY 1""".stripMargin)),
 
-    // approximate variant — not SQL-oracled (rows-only check); multi-probe
-    // (Hamming-1 buckets) for usable recall at higher dimensions
+    // approximate variant, FULLY oracled: the sign-bit bucket function is
+    // deterministic integer/double arithmetic, so DuckDB recomputes the
+    // identical buckets + Hamming-1 probe set and the exact same top-k —
+    // the oracle IS the approximation, not a recall bound
     "embed_lsh_ann" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
         Similarity.lshBucketedTopK(e, e.filter(col("vec_id") < 5), 3, probeHamming = 1)
       },
-      None),
+      Some {
+        // mirror of Similarity.lshBucket(nPlanes=8): plane weight
+        // pmod(i*31 + k*17+7, 7) - 3, sequential-fold double sums
+        def proj(k: Int) =
+          s"list_sum(list_transform(range(1, len(e)+1), i -> " +
+            s"e[i] * ((((i-1)*31 + ${k * 17 + 7}) % 7) - 3)::DOUBLE))"
+        val bucket = (0 until 8)
+          .map(k => s"(CASE WHEN ${proj(k)} > 0 THEN ${1 << k} ELSE 0 END)")
+          .mkString(" + ")
+        val probes = (Seq("b0") ++ (0 until 8).map(i => s"xor(b0, ${1 << i})"))
+          .mkString(", ")
+        s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |cb AS (SELECT vec_id, e, $bucket AS b0 FROM c),
+           |q AS (SELECT vec_id AS qid, e AS qe, unnest([$probes]) AS bucket
+           |  FROM cb WHERE vec_id < 5),
+           |sc AS (SELECT qid, c2.vec_id,
+           |  round(list_dot_product(qe, c2.e) /
+           |    (sqrt(list_dot_product(qe,qe)) * sqrt(list_dot_product(c2.e,c2.e))), 4) AS cos
+           |  FROM q JOIN cb c2 ON c2.b0 = q.bucket WHERE qid <> c2.vec_id),
+           |r AS (SELECT qid, vec_id, cos,
+           |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+           |SELECT qid, vec_id, cos FROM r WHERE rn <= 3""".stripMargin
+      }),
 
-    // IVF variant — centroid-cell partitioning + nProbe cell scan; the
-    // second classic ANN layout (rows-only: approximate; recall asserted
-    // in SimilaritySpec)
+    // IVF variant, FULLY oracled the same way: deterministic centroid
+    // seeding (8 smallest vec_ids) makes cell assignment + nProbe=2 probe
+    // + final top-3 all recomputable in SQL
     "embed_ivf_ann" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), 3, nLists = 8, nProbe = 2)
       },
-      None),
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+             |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT 8)),
+             |ac AS (SELECT c.vec_id, c.e, cents.cell,
+             |  list_dot_product(c.e, cents.ce) /
+             |    (sqrt(list_dot_product(c.e,c.e)) * sqrt(list_dot_product(cents.ce,cents.ce))) AS cs
+             |  FROM c, cents),
+             |assigned AS (SELECT vec_id, e, cell FROM
+             |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+             |   FROM ac) WHERE rn = 1),
+             |probed AS (SELECT qid, qe, cell FROM
+             |  (SELECT vec_id AS qid, e AS qe, cell,
+             |     row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+             |   FROM ac WHERE vec_id < 5) WHERE rn <= 2),
+             |sc AS (SELECT qid, a.vec_id,
+             |  round(list_dot_product(qe, a.e) /
+             |    (sqrt(list_dot_product(qe,qe)) * sqrt(list_dot_product(a.e,a.e))), 4) AS cos
+             |  FROM assigned a JOIN probed p USING (cell) WHERE qid <> a.vec_id),
+             |r AS (SELECT qid, vec_id, cos,
+             |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+             |SELECT qid, vec_id, cos FROM r WHERE rn <= 3""".stripMargin)),
 
     // ------------------------------------------------------- multimodal
     "multimodal_meta" -> Q(
@@ -479,6 +571,19 @@ object Queries {
              |CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
              |ELSE 'video' END AS kind,
              |octet_length(encode(text)) AS n_bytes, sha256(text) AS sig
+             |FROM documents""".stripMargin)),
+
+    // REAL image decode (JDK ImageIO, no stub): image rows are actual
+    // generated PNGs; the pipeline header-decodes every payload and the
+    // oracle checks the TRUE dimensions against the synthesis formula
+    "multimodal_imgdecode" -> Q(
+      (s, d) => Multimodal.decodeImageMeta(
+        Multimodal.synthesizeImages(t(s, d, "documents"))),
+      Some("""SELECT doc_id AS media_id,
+             |CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+             |ELSE 'video' END AS kind,
+             |CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 16)*8+16 ELSE -1 END AS INT) AS width,
+             |CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 9)*8+16 ELSE -1 END AS INT) AS height
              |FROM documents""".stripMargin)),
 
     // stub feature extraction: the deterministic stub's arithmetic IS
@@ -850,6 +955,45 @@ object Queries {
              |UNION ALL SELECT 'http://graft.dev/vocab#nstat', count(*), 1
              |  FROM documents""".stripMargin)),
 
+    // quad-level graph-keyed mutations end-to-end (dataset.ex put_graph /
+    // delete_graph / update_all_graphs): replace one named graph
+    // wholesale, drop another plus the default graph, then add a
+    // per-graph statement-count triple inside the distributed
+    // updateAllGraphs — aggregated per (graph, predicate) for the oracle
+    "graph_put_graph" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sCol = Terms.iri(concat(lit(WebKg.docNs), col("doc_id")))
+        val gCol = Terms.iri(concat(lit("http://graft.dev/graph/"), col("source")))
+        val quads = docs.select(sCol.as("s"),
+            Terms.iri(lit(WebKg.pLang)).as("p"),
+            Terms.strLit(col("lang")).as("o"), gCol.as("g"))
+          .unionAll(docs.select(sCol.as("s"),
+            Terms.iri(lit(WebKg.vocab + "nchars")).as("p"),
+            Terms.typedLit(col("n_chars").cast("string"), xsdInt).as("o"),
+            lit(null).cast(Terms.termSchema).as("g")))
+        val replacement = docs.filter(col("source") === "src0")
+          .select(sCol.as("s"), Terms.iri(lit(WebKg.pLang)).as("p"),
+            Terms.strLit(lit("zz")).as("o"), gCol.as("g"))
+        val afterPut = graft.engine.Graphs.putGraph(quads, replacement)
+        val afterDel = graft.engine.Graphs.deleteGraph(afterPut,
+          Seq(graft.core.Term.iri("http://graft.dev/graph/src1"), null))
+        val nstatP = WebKg.vocab + "nstat"
+        val updated = graft.engine.Graphs.updateAllGraphs(afterDel,
+          (name, triples) => triples :+ graft.core.Triple(name,
+            graft.core.Term.iri(nstatP), graft.core.Term.int(triples.size.toLong)))
+        updated.groupBy(col("g")("value").as("g"), col("p")("value").as("p"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("o")("value")).as("n_obj"))
+      },
+      Some("""SELECT 'http://graft.dev/graph/'||source AS g,
+             |  'http://graft.dev/vocab#lang' AS p, count(*) AS n,
+             |  count(DISTINCT CASE WHEN source='src0' THEN 'zz' ELSE lang END) AS n_obj
+             |FROM documents WHERE source <> 'src1' GROUP BY 1
+             |UNION ALL
+             |SELECT 'http://graft.dev/graph/'||source,
+             |  'http://graft.dev/vocab#nstat', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+             |FROM documents WHERE source <> 'src1' GROUP BY 1""".stripMargin)),
+
     // reachability with a CUSTOM follow function (object, predicate, depth)
     // -> the typed-filter path, cross-checked against a depth-bounded
     // recursive CTE: visited = nodes within 3 hops, result = the FULL
@@ -946,10 +1090,17 @@ object Queries {
              |UNION ALL SELECT 'http://graft.dev/vocab#src', count(*),
              |  count(DISTINCT source) FROM documents""".stripMargin)),
 
-    // per-group RDFC-1.0 canonicalization (rows-only: labels are hash-
-    // derived; determinism is asserted in GraphsSpec)
+    // per-group RDFC-1.0 canonicalization, FULLY oracled on its
+    // SQL-predictable projection: the canonical label SET per document
+    // (prefix-c14n0/1 — the per-doc prefix is md5(doc).take(16), and a
+    // 2-bnode graph always yields exactly those two labels even though
+    // WHICH bnode gets which is hash-order-dependent), plus the non-bnode
+    // statement parts byte-exact (predicates, literal objects, count).
+    // WHICH label lands on which bnode stays covered by the determinism
+    // assertions in GraphsSpec + the full rdf-canon W3C suite.
     "rdf_canonicalize" -> Q(
       (s, d) => {
+        import graft.core.TermKind
         val docs = t(s, d, "documents")
         val quads = docs.select(col("doc_id").cast("string").as("doc"),
             Terms.bnode(concat(lit("a"), col("doc_id"))).as("s"),
@@ -960,10 +1111,24 @@ object Queries {
             Terms.iri(lit(WebKg.vocab + "knows")).as("p"),
             Terms.bnode(concat(lit("b"), col("doc_id"))).as("o")))
         graft.engine.Graphs.canonicalizePerGroup(quads, "doc")
-          .select(col("doc"), col("s")("value").as("subject_label"),
-            col("p")("value").as("p"))
+          .groupBy(col("doc"))
+          .agg(
+            concat_ws(",", sort_array(array_union(
+              collect_set(when(col("s")("kind") === lit(TermKind.BNODE),
+                col("s")("value"))),
+              collect_set(when(col("o")("kind") === lit(TermKind.BNODE),
+                col("o")("value")))))).as("labels"),
+            count(lit(1)).as("n"),
+            max(when(col("o")("kind") === lit(TermKind.LITERAL),
+              col("o")("value"))).as("lang"),
+            concat_ws(",", sort_array(collect_set(col("p")("value")))).as("preds"))
       },
-      None),
+      Some("""SELECT CAST(doc_id AS VARCHAR) AS doc,
+             |  substr(md5(CAST(doc_id AS VARCHAR)),1,16) || '-c14n0,' ||
+             |  substr(md5(CAST(doc_id AS VARCHAR)),1,16) || '-c14n1' AS labels,
+             |  CAST(2 AS BIGINT) AS n, lang,
+             |  'http://graft.dev/vocab#knows,http://graft.dev/vocab#lang' AS preds
+             |FROM documents""".stripMargin)),
 
     // SPARQL-ish total order over typed literal terms: rank by the
     // engine's sortable term key == numeric order in plain SQL. Scale-safe
@@ -1068,49 +1233,21 @@ object Queries {
     // match fast path)
     "kg_entity_link_fuzzy" -> Q(
       (s, d) => WebKg.entityLinkFuzzy(t(s, d, "documents"), WebKg.defaultDictionary),
-      Some("""WITH dict(surface, entity) AS (VALUES
-             |  ('customer','http://graft.dev/entity/customer'),
-             |  ('part','http://graft.dev/entity/part'),
-             |  ('order','http://graft.dev/entity/order'),
-             |  ('supplier','http://graft.dev/entity/supplier'),
-             |  ('spark','http://graft.dev/entity/spark'),
-             |  ('vector','http://graft.dev/entity/vector')),
-             |tok AS (SELECT DISTINCT doc_id, w FROM
-             |  (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w FROM documents)
-             |  WHERE length(w) >= 3),
-             |sh AS (SELECT doc_id, w, unnest(list_distinct(list_transform(
-             |  range(1, length(w)-1), i -> substr(w, i, 3)))) AS g FROM tok),
-             |mh AS (SELECT doc_id, w,
-             |  min(md5('0:'||g)) AS s0, min(md5('1:'||g)) AS s1,
-             |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM sh GROUP BY 1,2),
-             |mb AS (SELECT doc_id, w, 0 AS band, md5(s0||s1) AS sig FROM mh
-             |  UNION ALL SELECT doc_id, w, 1, md5(s2||s3) FROM mh),
-             |dsh AS (SELECT surface, entity, unnest(list_distinct(list_transform(
-             |  range(1, length(surface)-1), i -> substr(surface, i, 3)))) AS g FROM dict),
-             |dmh AS (SELECT surface, entity,
-             |  min(md5('0:'||g)) AS s0, min(md5('1:'||g)) AS s1,
-             |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM dsh GROUP BY 1,2),
-             |db AS (SELECT surface, entity, 0 AS band, md5(s0||s1) AS sig FROM dmh
-             |  UNION ALL SELECT surface, entity, 1, md5(s2||s3) FROM dmh),
-             |cand AS (SELECT DISTINCT m.doc_id, m.w, d.surface, d.entity
-             |  FROM mb m JOIN db d ON m.band=d.band AND m.sig=d.sig),
-             |wn AS (SELECT doc_id, w, count(*) AS na FROM sh GROUP BY 1,2),
-             |dn AS (SELECT surface, count(*) AS nb FROM dsh GROUP BY 1),
-             |inter AS (SELECT c.doc_id, c.w, c.surface, c.entity, count(*) AS i
-             |  FROM cand c JOIN sh a ON a.doc_id=c.doc_id AND a.w=c.w
-             |  JOIN dsh b ON b.surface=c.surface AND b.g=a.g GROUP BY 1,2,3,4),
-             |scored AS (SELECT i.doc_id, i.w, i.entity,
-             |    i.i * 1.0 / (wn.na + dn.nb - i.i) AS jac
-             |  FROM inter i JOIN wn ON i.doc_id=wn.doc_id AND i.w=wn.w
-             |  JOIN dn ON i.surface=dn.surface
-             |  WHERE i.i * 1.0 / (wn.na + dn.nb - i.i) >= 0.5),
-             |resolved AS (SELECT doc_id, w, entity, jac,
-             |    row_number() OVER (PARTITION BY doc_id, w
-             |      ORDER BY jac DESC, entity) AS rn FROM scored)
-             |SELECT 'http://graft.dev/doc/'||doc_id AS s,
-             |  'http://graft.dev/vocab#mentions' AS p, entity AS o,
-             |  count(DISTINCT w) AS n_mentions, round(max(jac), 6) AS top_jac
-             |FROM resolved WHERE rn = 1 GROUP BY 1,2,3""".stripMargin)),
+      Some(fuzzyLinkSql)),
+
+    // the SAME fuzzy linking through the BIG-dictionary path: the
+    // dictionary is a DataFrame joined WITHOUT broadcast (shuffled
+    // candidate + verify joins, shuffle_merge-hinted) — semantics
+    // identical, so the one oracle covers both physical plans; the
+    // no-BroadcastExchange-on-dict-side shape is asserted in WebKgSpec
+    "kg_entity_link_big" -> Q(
+      (s, d) => {
+        import s.implicits._
+        WebKg.entityLinkFuzzyDF(t(s, d, "documents"),
+          WebKg.defaultDictionary.toDF("surface", "entity"),
+          broadcastDict = false)
+      },
+      Some(fuzzyLinkSql)),
 
     // entity linking: mention detection + broadcast-join resolve
     "kg_entity_link" -> Q(

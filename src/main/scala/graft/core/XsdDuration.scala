@@ -121,18 +121,51 @@ object XsdDuration {
     if (validDayTimeDuration(lex)) parse(lex).map(format(_))
     else None
 
-  /** XSD order relation on durations is PARTIAL: values with both a month
-    * and a second component are comparable only when the month parts (or
-    * second parts) already decide the order regardless of day lengths
-    * (XSD 1.1 uses four reference dateTimes; the equivalent bound here is
-    * 28..31 days per month). Subtypes are totally ordered. Returns None
-    * when indeterminate. */
+  private def isLeap(y: Long): Boolean = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+  private val monthDays = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+  private def monthLen(y: Long, m0: Int): Long =
+    if (m0 == 1 && isLeap(y)) 29 else monthDays(m0).toLong
+
+  /** Exact day span of adding `months` (signed) to the first of month
+    * `refM` of year `refY` per XSD dateTime arithmetic (day-of-month 1
+    * never clamps): the signed sum of consecutive Gregorian month
+    * lengths. */
+  private def spanDays(refY: Int, refM: Int, months: Long): Long = {
+    var y = refY.toLong; var m = refM - 1 // 0-indexed current month
+    var days = 0L
+    var i = 0L
+    if (months >= 0) while (i < months) {
+      days += monthLen(y, m.toInt); m += 1; if (m == 12) { m = 0; y += 1 }; i += 1
+    } else while (i < -months) {
+      m -= 1; if (m < 0) { m = 11; y -= 1 }; days -= monthLen(y, m.toInt); i += 1
+    }
+    days
+  }
+
+  /** XSD 1.1's four reference dateTimes (§3.3.6.2, all at T00:00:00Z):
+    * chosen so that an order that holds from all four holds from every
+    * starting instant. */
+  private val referenceStarts = Seq((1696, 9), (1697, 2), (1903, 3), (1903, 7))
+
+  /** Month counts beyond ~10k years fall back to conservative 28/31-day
+    * month bounds instead of iterating month lengths — still never the
+    * wrong sign, only (astronomically) indeterminate more often. */
+  private val exactMonthCap = BigInt(120000)
+
+  /** XSD order relation on durations is PARTIAL: `a < b` iff
+    * `ref + a < ref + b` for ALL FOUR reference dateTimes of XSD 1.1
+    * §3.3.6.2 — evaluated here exactly, with Gregorian month-length sums
+    * per reference (e.g. P2M > P57D is determinate: two consecutive
+    * months span at least 59 days from every reference). Subtypes are
+    * totally ordered. Returns None when indeterminate. */
   def compare(a: Value, b: Value): Option[Int] = {
-    val dm = (a.signedMonths - b.signedMonths)
+    val ma = a.signedMonths
+    val mb = b.signedMonths
     val ds = (a.signedSeconds - b.signedSeconds)
-    if (dm == 0) Some(ds.signum)
-    else {
-      // months difference dm spans between dm*28 and dm*31 days
+    if (ma == mb) Some(ds.signum)
+    else if (ma.abs > exactMonthCap || mb.abs > exactMonthCap) {
+      val dm = ma - mb
+      // conservative bounds: dm months spans between dm*28 and dm*31 days
       val loDays = if (dm > 0) dm * 28 else dm * 31
       val hiDays = if (dm > 0) dm * 31 else dm * 28
       val lo = BigDecimal(loDays) * 86400 + ds
@@ -140,6 +173,15 @@ object XsdDuration {
       if (lo > 0) Some(1)
       else if (hi < 0) Some(-1)
       else if (lo == 0 && hi == 0) Some(0)
+      else None
+    } else {
+      val signs = referenceStarts.map { case (y, mo) =>
+        val dDays = spanDays(y, mo, ma.toLong) - spanDays(y, mo, mb.toLong)
+        (BigDecimal(dDays) * 86400 + ds).signum
+      }
+      if (signs.forall(_ > 0)) Some(1)
+      else if (signs.forall(_ < 0)) Some(-1)
+      else if (signs.forall(_ == 0)) Some(0)
       else None
     }
   }

@@ -208,7 +208,13 @@ object Bgp {
       // variables shared with the streamed pattern must participate as
       // join keys — projecting first would silently turn the equi-join
       // into a cross product
-      val (staticSol, solvedStatic) = executeAll(staticTriples, Pattern(rest))
+      val (staticRaw, solvedStatic) = executeAll(staticTriples, Pattern(rest))
+      // materialize the static solution ONCE (eager localCheckpoint):
+      // the stream-static join re-evaluates its static side every
+      // micro-batch, so an unmaterialized plan would replay the full
+      // static BGP join chain per batch — after checkpointing, each batch
+      // probes a scanned in-memory/local-disk relation instead
+      val staticSol = staticRaw.localCheckpoint()
       val shared = pStream.vars.distinct.filter(solvedStatic)
       val joined =
         if (shared.nonEmpty) streamSc.join(staticSol, shared, "inner")

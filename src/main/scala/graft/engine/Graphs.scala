@@ -160,6 +160,56 @@ object Graphs {
       .groupBy("subject")
       .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("predications"))
 
+  /** values/2 with a PropertyMap `:context`
+    * (graph.ex:1328-1391 + statement.ex default_property_mapping,
+    * statement.ex:253-262): predicates present in the map render as their
+    * readable term key (Elixir atom -> String here), others fall back to
+    * the raw IRI string. The map is a literal expression (the Spark
+    * analogue of a broadcast dictionary — PropertyMaps are vocabulary-
+    * scale), so the projection stays one codegen'd pass. */
+  def valuesWithContext(g: DataFrame, context: Map[String, String]): DataFrame = {
+    val keyed =
+      if (context.isEmpty) col("p")("value")
+      else {
+        val m = map(context.flatMap { case (iri, term) =>
+          Seq(lit(iri), lit(term)) }.toSeq: _*)
+        coalesce(element_at(m, col("p")("value")), col("p")("value"))
+      }
+    g.groupBy(col("s")("value").as("subject"), keyed.as("k"))
+      .agg(collect_list(col("o")("value")).as("v"))
+      .groupBy("subject")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("predications"))
+  }
+
+  /** Statement.map/2 lifted graph-wide (statement.ex:208-244, triple.ex /
+    * quad.ex map): a CUSTOM per-position mapping fn `(position, term) ->
+    * value` where position is "subject" | "predicate" | "object" (and
+    * "graph_name" when a g column is present). The reference turns a nil
+    * fn result into a nil statement; the DataFrame analogue drops that
+    * row (documented divergence — a relation has no per-row nil). Pure
+    * per-partition flatMap, no shuffle. */
+  def mapStatements(g: DataFrame, f: (String, Term) => String): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    if (g.columns.contains("g")) {
+      g.select(col("s"), col("p"), col("o"), col("g")).as[Quad]
+        .flatMap { q =>
+          val s = f("subject", q.s); val p = f("predicate", q.p)
+          val o = f("object", q.o)
+          val gn = if (q.g == null) null else f("graph_name", q.g)
+          if (s == null || p == null || o == null || (q.g != null && gn == null)) None
+          else Some((s, p, o, gn))
+        }.toDF("s", "p", "o", "g")
+    } else {
+      g.select(col("s"), col("p"), col("o")).as[(Term, Term, Term)]
+        .flatMap { case (st, pt, ot) =>
+          val s = f("subject", st); val p = f("predicate", pt)
+          val o = f("object", ot)
+          if (s == null || p == null || o == null) None else Some((s, p, o))
+        }.toDF("s", "p", "o")
+    }
+  }
+
   // ------------------------------------------------------- dataset (quads)
 
   /** RDF.Dataset.graph_count (dataset.ex:744): distinct graphs, the default
@@ -176,6 +226,70 @@ object Graphs {
     val cond = if (name == null) col("g").isNull
                else col("g") === Terms.constTerm(name)
     quads.filter(cond).select("s", "p", "o")
+  }
+
+  /** RDF.Dataset.put_graph (dataset.ex:304-340): REPLACE whole named
+    * graphs — every graph name present in `input` (including the default
+    * graph when input carries g = null rows) is overwritten wholesale;
+    * graphs absent from `input` pass through untouched. `destination`
+    * mirrors the `:graph` option: all input statements are re-graphed to
+    * that one name first (so only that graph is replaced).
+    * Plan: a null-safe anti-join of the store against input's (tiny,
+    * broadcast) distinct graph-name set, then union — never a per-graph
+    * loop. */
+  def putGraph(quads: DataFrame, input: DataFrame,
+               destination: Option[Term] = None): DataFrame = {
+    val in0 = destination match {
+      case Some(name) =>
+        val g = if (name == null) lit(null).cast(quads.schema("g").dataType)
+                else Terms.constTerm(name)
+        input.select(col("s"), col("p"), col("o"), g.as("g"))
+      case None => input.select(col("s"), col("p"), col("o"), col("g"))
+    }
+    val names = in0.select(col("g").as("__g")).distinct()
+    quads.join(broadcast(names), col("g") <=> col("__g"), "left_anti")
+      .unionByName(in0).dropDuplicates()
+  }
+
+  /** RDF.Dataset.delete_graph (dataset.ex:478-486): drop whole graphs by
+    * name (null = the default graph, dataset.ex:492 delete_default_graph).
+    * A pushed-down filter — with graph-partitioned storage this is
+    * partition pruning. */
+  def deleteGraph(quads: DataFrame, names: Seq[Term]): DataFrame =
+    if (names.isEmpty) quads
+    else {
+      val hit = names.map { n =>
+        if (n == null) col("g").isNull else col("g") === Terms.constTerm(n)
+      }.reduce(_ || _)
+      quads.filter(!coalesce(hit, lit(false)))
+    }
+
+  /** RDF.Dataset.delete_default_graph (dataset.ex:492-494). */
+  def deleteDefaultGraph(quads: DataFrame): DataFrame =
+    deleteGraph(quads, Seq(null.asInstanceOf[Term]))
+
+  /** RDF.Dataset.update_all_graphs (dataset.ex:412-417): apply `f` to
+    * EVERY graph of the dataset — the quad-level sibling of
+    * `updateAllDescriptions`: one distributed groupByKey on the graph
+    * name, `f` runs per graph inside flatMapGroups (the reference reduces
+    * over graph_names on one node). `f` receives the (possibly default =
+    * null) graph name and the graph's triples; its output is re-graphed
+    * under the OLD name ("added using the old graph name", dataset.ex:400)
+    * and an empty result removes the graph. Set semantics on output. */
+  def updateAllGraphs(quads: DataFrame,
+                      f: (Term, Seq[Triple]) => Seq[Triple]): DataFrame = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    quads.select(col("s"), col("p"), col("o"), col("g")).as[Quad]
+      // key by a null-safe scalar projection of the name: a null Term
+      // can't pass through a product key encoder
+      .groupByKey(q =>
+        if (q.g == null) (true, "", "") else (false, q.g.kind.toString, q.g.value))
+      .flatMapGroups { (_, rows) =>
+        val group = rows.toSeq
+        val name = group.head.g
+        f(name, group.map(_.triple)).map(t => Quad(t.s, t.p, t.o, name)).distinct
+      }.toDF("s", "p", "o", "g")
   }
 
   // ------------------------------------------------------------ serialization

@@ -101,6 +101,11 @@ object Streaming {
           numHashes, rowsPerBand)).as("bs"))
       .select(col("doc_id"), col("source"), col("bs.band").as("band"),
         col("bs.sig").as("sig"), col("ts"))
+      // null ts would leave the bucket's state timeout unset (immortal
+      // state); null sig (null text) would pool unrelated docs into one
+      // shared (source, band, null) bucket and emit spurious pairs — the
+      // batch plan drops such docs at the explode, so drop both here too
+      .filter(col("ts").isNotNull && col("sig").isNotNull)
       .as[LshBandRow]
     bands
       .groupByKey(r => (r.source, r.band, r.sig))

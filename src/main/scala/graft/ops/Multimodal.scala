@@ -92,6 +92,96 @@ object Multimodal {
         md5(concat(col("payload").cast("string"), lit("@"),
           col("ts_ms").cast("string"))).as("frame_sig"))
 
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                            width: Int, height: Int)
+
+  /** Deterministic REAL PNG bytes (JDK ImageIO — no external codec deps):
+    * pixel (x,y) of image `seed` is a pure function of (seed,x,y), so the
+    * same row always produces the same image. */
+  private[ops] def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((seed * 31 + x * 7 + y * 13) % 0x1000000) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Header-only image dimension decode via the JDK's ImageIO reader
+    * registry (PNG/JPEG/GIF/BMP): reads the header, never the pixel data —
+    * the cheap "is this image well-formed and what size is it" pass a
+    * crawl pipeline runs before any expensive decode. None for
+    * undecodable payloads. */
+  def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Real-image variant of [[synthesize]]: image-kind rows carry an ACTUAL
+    * PNG payload whose true dimensions are derived from the id (width =
+    * id%16*8+16, height = id%9*8+16); audio/video rows stay opaque text
+    * blobs. mapPartitions (the encoder is a JVM library call, amortized
+    * per-batch like any codec stage). */
+  def synthesizeImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val kind = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          if (kind == "image") {
+            val w = (id % 16).toInt * 8 + 16
+            val h = (id % 9).toInt * 8 + 16
+            MediaRow(id, kind, encodePng(w, h, id), w, h)
+          } else {
+            val bytes = if (text == null) Array.emptyByteArray
+                        else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            MediaRow(id, kind, bytes, -1, -1)
+          }
+        }
+      }.toDF()
+  }
+
+  /** REAL decode pass: header-sniff every image payload for its true
+    * (width, height); non-image (or undecodable) rows report -1. Same
+    * per-partition batch contract as [[extractFeatures]]. Output:
+    * (media_id, kind, width, height). */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload) =>
+          val (w, h) =
+            if (kind == "image") imageDims(payload).getOrElse((-1, -1))
+            else (-1, -1)
+          (id, kind, w, h)
+        }
+      }.toDF("media_id", "kind", "width", "height")
+  }
+
   /** Deterministic synthetic media table derived from a text corpus (the
     * payload is the UTF-8 of the text — an opaque blob as far as the
     * pipeline is concerned). */

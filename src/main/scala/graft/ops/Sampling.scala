@@ -42,20 +42,39 @@ object Sampling {
     * are packed greedily into shards of at most ~`budgetTokens` tokens —
     * shard = exclusive-prefix-token-count div budget. The prefix sum is
     * computed the scale-correct way (a single global window would move
-    * the corpus through ONE task): range-partition by doc_id, window
-    * cumsum WITHIN each partition (parallel), then add per-partition
-    * offsets — the offsets are one tiny per-partition aggregate collected
-    * to the driver (numPartitions rows, metadata-scale) and broadcast
-    * back. Output: (doc_id, n_tokens, shard). */
+    * the corpus through ONE task): bucket by doc_id RANGE, window cumsum
+    * WITHIN each bucket (parallel), then add per-bucket offsets — the
+    * offsets are one tiny per-bucket aggregate collected to the driver
+    * (numBuckets rows, metadata-scale) and broadcast back.
+    *
+    * The bucket id is derived DETERMINISTICALLY from the doc_id VALUE
+    * (equal-width slices of [min, max]) — never from
+    * `spark_partition_id()` over a sampled range exchange, whose boundary
+    * sampling is seeded per-action: the offsets computed by the totals job
+    * would then be applied to a DIFFERENT partitioning in the final job,
+    * silently corrupting the cumulative sums. Value-derived buckets make
+    * both actions agree with no persist/checkpoint of the corpus-scale
+    * frame; dense doc_ids (the synthesis contract, and the norm for
+    * ingest-assigned ids) keep the buckets balanced.
+    * Output: (doc_id, n_tokens, shard). */
   def packShards(docs: DataFrame, budgetTokens: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val withTok = docs.select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-    val ranged = withTok.repartitionByRange(col("doc_id"))
-      .withColumn("__pid", spark_partition_id())
-    // per-partition totals -> exclusive offsets, in partition (= range) order
-    val partTotals = ranged.groupBy("__pid").agg(sum("n_tokens").as("t"))
+    val bounds = withTok.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0))
+      return withTok.withColumn("shard", lit(0L)).limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val nBuckets = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val span = hi - lo + 1
+    // ceil-div slice width so ids map onto exactly [0, nBuckets)
+    val width = (span + nBuckets - 1) / nBuckets
+    val bucketed = withTok
+      .withColumn("__pid", expr(s"cast((doc_id - $lo) div $width as int)"))
+    // per-bucket totals -> exclusive offsets, in bucket (= id range) order;
+    // deterministic because __pid is a pure function of doc_id
+    val partTotals = bucketed.groupBy("__pid").agg(sum("n_tokens").as("t"))
       .orderBy("__pid").collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val offsets = partTotals.scanLeft((0, 0L)) {
@@ -66,7 +85,7 @@ object Sampling {
     val offDf = offsets.toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy("__pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offDf), "__pid")
+    bucketed.join(broadcast(offDf), "__pid")
       .withColumn("__cum", col("__off") + sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(__cum - n_tokens) div $budgetTokens").as("shard"))

@@ -84,8 +84,17 @@ object Similarity {
     // larger radius silently degrading to 1 would overstate recall
     require(probeHamming >= 0 && probeHamming <= 1,
       s"probeHamming must be 0 or 1 (got $probeHamming)")
+    // `c` (scan + nPlanes-projection) feeds BOTH self-join sides, and the
+    // left side's probe explode makes its exchange non-identical, so
+    // ReuseExchange cannot dedup it the way it does in minhashLshPairs.
+    // Same cache lifecycle as Dedup.ngramJaccardNearDups: persist the
+    // corpus-scale bucketed frame only while the verify join materializes
+    // (eager localCheckpoint of the RESULT-scale pair frame), then release
+    // — one corpus pass, and the returned frame references only the small
+    // checkpoint, never the cache.
     val c = embeddings.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes).as("b0"))
+      .persist()
     // probe expansion on ONE side only: pairing (x in bucket b) with
     // (y in b XOR bit) covers the Hamming-1 case once per pair
     val probeCols: Seq[Column] =
@@ -96,12 +105,15 @@ object Similarity {
       explode(array(probeCols: _*)).as("bucket"))
     val right = c.select(col("vec_id").as("d2"), col("embedding").as("e2"),
       col("b0").as("bucket"))
-    left.join(right, Seq("bucket"))
+    val pairs = left.join(right, Seq("bucket"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         round(cosine(col("e1"), col("e2")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .dropDuplicates("d1", "d2")
+      .localCheckpoint() // eager: runs the blocked verify ONCE
+    c.unpersist()
+    pairs
   }
 
   /** IVF (inverted-file) approximate top-k — the second classic ANN

@@ -220,36 +220,29 @@ object WebKg {
   def entityLinkFuzzy(docs: DataFrame, dictionary: Seq[(String, String)],
                       threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    // stage 0: distinct mention tokens (>= 3 chars, shingleable)
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
-      .filter(length(col("w")) >= 3).distinct()
-    // the shingle relation feeds the minhash-band blocking AND the
-    // exact-Jaccard verify sets — persisted so the corpus tokenization
-    // runs once, RELEASED as soon as the scored candidates materialize
-    // (so the method leaks no corpus-scale cache into the session)
-    val sh = tok.select(col("doc_id"), col("w"), explode(shingles("w")).as("g"))
-      .persist()
-    val mentionBands = bandRows(minhash4(sh, Seq("doc_id", "w")), Seq("doc_id", "w"))
-    // dictionary side (tiny; broadcast everywhere)
-    val dict = dictionary.toDF("surface", "entity").filter(length(col("surface")) >= 3)
-    val dsh = dict.select(col("surface"), col("entity"), explode(shingles("surface")).as("g"))
-    val dictBands = bandRows(minhash4(dsh, Seq("surface", "entity")), Seq("surface", "entity"))
-    // stage 1: blocked candidates — equi-join on (band, sig)
-    val cand = mentionBands.join(broadcast(dictBands), Seq("band", "sig"))
-      .select("doc_id", "w", "surface", "entity").distinct()
-    // stage 2: exact Jaccard verify on shingle sets, then resolve best
-    val wsets = sh.groupBy("doc_id", "w").agg(collect_set(col("g")).as("wg"))
-    val dsets = dsh.groupBy("surface", "entity").agg(collect_set(col("g")).as("sg"))
-    val scored = cand.join(wsets, Seq("doc_id", "w"))
-      .join(broadcast(dsets), Seq("surface", "entity"))
-      .withColumn("inter", size(array_intersect(col("wg"), col("sg"))))
-      .withColumn("jac",
-        col("inter") / (size(col("wg")) + size(col("sg")) - col("inter")))
-      .filter(col("jac") >= threshold)
-      .localCheckpoint() // eager: result-scale; lets sh release right here
-    sh.unpersist()
+    entityLinkFuzzyDF(docs, dictionary.toDF("surface", "entity"), threshold,
+      broadcastDict = true)
+  }
+
+  /** [[entityLinkFuzzy]] with the dictionary as a DataFrame and an
+    * explicit distribution choice. `broadcastDict = true` is the
+    * vocabulary-scale path (dictionary bands + shingle sets replicated to
+    * every task — zero shuffle on the corpus side beyond the token
+    * distinct). `broadcastDict = false` is the BIG-dictionary path (a
+    * dictionary of millions of surfaces exceeds any broadcast threshold):
+    * both the candidate join and the verify join become shuffled
+    * equi-joins — on (band, sig) and (surface, entity) respectively — so
+    * the dictionary streams through the exchange like any fact table and
+    * never materializes whole on one executor. Join hints pin the shape so
+    * AQE cannot silently re-broadcast a "small today" dictionary that
+    * grows tomorrow. */
+  def entityLinkFuzzyDF(docs: DataFrame, dictionary: DataFrame,
+                        threshold: Double = 0.5,
+                        broadcastDict: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = fuzzyScored(docs, dictionary, threshold, broadcastDict,
+      materialize = true)
     val wnd = Window.partitionBy("doc_id", "w").orderBy(col("jac").desc, col("entity"))
     val resolved = scored.withColumn("rn", row_number().over(wnd)).filter(col("rn") === 1)
     resolved.groupBy(col("doc_id"), col("entity"))
@@ -257,6 +250,60 @@ object WebKg {
       .select(concat(lit(docNs), col("doc_id")).as("s"),
         lit(pMentions).as("p"), col("entity").as("o"),
         col("n_mentions"), col("top_jac"))
+  }
+
+  /** The scored-candidate stage of [[entityLinkFuzzyDF]]. With
+    * `materialize = true` (the production path) the corpus/dictionary
+    * shingle relations are persisted for their two consumers each and the
+    * result is eagerly checkpointed (one pass, no cache leak). With
+    * `materialize = false` the full UNcheckpointed plan is returned — the
+    * spec hook for asserting the join strategy (broadcast vs shuffled
+    * dictionary) on the complete physical plan. */
+  private[graft] def fuzzyScored(docs: DataFrame, dictionary: DataFrame,
+                                 threshold: Double, broadcastDict: Boolean,
+                                 materialize: Boolean): DataFrame = {
+    // stage 0: distinct mention tokens (>= 3 chars, shingleable)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 3).distinct()
+    // the shingle relation feeds the minhash-band blocking AND the
+    // exact-Jaccard verify sets — persisted so the corpus tokenization
+    // runs once, RELEASED as soon as the scored candidates materialize
+    // (so the method leaks no corpus-scale cache into the session)
+    val sh0 = tok.select(col("doc_id"), col("w"), explode(shingles("w")).as("g"))
+    val sh = if (materialize) sh0.persist() else sh0
+    val mentionBands = bandRows(minhash4(sh, Seq("doc_id", "w")), Seq("doc_id", "w"))
+    val dict = dictionary.select(col("surface"), col("entity"))
+      .filter(length(col("surface")) >= 3)
+    val dsh0 = dict.select(col("surface"), col("entity"), explode(shingles("surface")).as("g"))
+    // big-dict mode reuses the dictionary shingle relation on both join
+    // sides without broadcast — persist it for the two passes, released
+    // with sh below
+    val dsh = if (!broadcastDict && materialize) dsh0.persist() else dsh0
+    val dictBands = bandRows(minhash4(dsh, Seq("surface", "entity")), Seq("surface", "entity"))
+    val dictBandSide =
+      if (broadcastDict) broadcast(dictBands) else dictBands.hint("shuffle_merge")
+    // stage 1: blocked candidates — equi-join on (band, sig)
+    val cand = mentionBands.join(dictBandSide, Seq("band", "sig"))
+      .select("doc_id", "w", "surface", "entity").distinct()
+    // stage 2: exact Jaccard verify on shingle sets
+    val wsets = sh.groupBy("doc_id", "w").agg(collect_set(col("g")).as("wg"))
+    val dsets0 = dsh.groupBy("surface", "entity").agg(collect_set(col("g")).as("sg"))
+    val dsetSide =
+      if (broadcastDict) broadcast(dsets0) else dsets0.hint("shuffle_merge")
+    val scored0 = cand.join(wsets, Seq("doc_id", "w"))
+      .join(dsetSide, Seq("surface", "entity"))
+      .withColumn("inter", size(array_intersect(col("wg"), col("sg"))))
+      .withColumn("jac",
+        col("inter") / (size(col("wg")) + size(col("sg")) - col("inter")))
+      .filter(col("jac") >= threshold)
+    if (!materialize) scored0
+    else {
+      val scored = scored0
+        .localCheckpoint() // eager: result-scale; lets sh release right here
+      sh.unpersist()
+      if (!broadcastDict) dsh.unpersist()
+      scored
+    }
   }
 
   /** BFS reachability (graph.ex reachability semantics): iterative frontier
@@ -323,7 +370,7 @@ object WebKg {
     * the oracle must run the same number of rounds. */
   def pageRank(edges: DataFrame, iterations: Int = 3,
                scale: Long = 1000000000000L,
-               checkpointInterval: Int = 4): DataFrame = {
+               checkpointInterval: Int = 2): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.persist()
     val nodes = e.select(col("src").as("node"))
@@ -333,11 +380,11 @@ object WebKg {
       .join(e, "src").select(col("src"), col("dst"), col("deg")).persist()
     val base = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint()
-    // ranks is referenced twice per round (contribution join + the outer
-    // join), so an unmaterialized plan doubles per round — checkpoint
-    // every `checkpointInterval` rounds: between checkpoints the plan
-    // grows at most 2^interval (bounded), and short runs skip the
-    // per-round materialization cost entirely.
+    // ranks is referenced ONCE per round (the contribution join; the outer
+    // join's other inputs are the cached nodes/mass), so the unmaterialized
+    // plan grows LINEARLY per round — checkpoint every `checkpointInterval`
+    // rounds to bound lineage depth and scheduler/codegen cost while
+    // skipping the per-round materialization cost between checkpoints.
     var sinceCheckpoint = 0
     for (_ <- 1 to iterations) {
       // `div` (IntegralDivide), NOT `/`: Column./ on longs is double
@@ -355,7 +402,11 @@ object WebKg {
         sinceCheckpoint = 0
       }
     }
+    // materialize the final ranks BEFORE releasing the cached inputs —
+    // otherwise the caller's first action replays the whole iterative
+    // chain from the (now-uncached) source
+    val out = ranks.select(col("node"), col("r").as("rank_fp")).localCheckpoint()
     withDeg.unpersist(); nodes.unpersist(); e.unpersist()
-    ranks.select(col("node"), col("r").as("rank_fp"))
+    out
   }
 }

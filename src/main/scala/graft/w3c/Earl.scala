@@ -18,13 +18,22 @@ object Earl {
   /** Assertion triples for a test-suite run. `results` = (test IRI,
     * passed). Deterministic bnode labels so reports are reproducible. */
   def assertions(subjectIri: String,
-                 results: Seq[(String, Boolean)]): Seq[Triple] = {
+                 results: Seq[(String, Boolean)]): Seq[Triple] =
+    assertionsWithOutcomes(subjectIri,
+      results.map { case (iri, p) => (iri, if (p) "passed" else "failed") })
+
+  /** Assertion triples with an explicit EARL outcome per test: "passed" |
+    * "failed" | "untested" | "inapplicable" | "cantTell" (earl vocabulary
+    * outcome individuals) — "untested" is how a DOCUMENTED skip appears in
+    * the report instead of being silently absent. */
+  def assertionsWithOutcomes(subjectIri: String,
+                             results: Seq[(String, String)]): Seq[Triple] = {
     val subj = Term.iri(subjectIri)
     val project = Seq(
       Triple(subj, Term.iri(Vocab.rdfType), Term.iri(doap + "Project")),
       Triple(subj, Term.iri(Vocab.rdfType), Term.iri(earl + "TestSubject")),
       Triple(subj, Term.iri(Vocab.rdfType), Term.iri(earl + "Software")))
-    project ++ results.zipWithIndex.flatMap { case ((testIri, passed), i) =>
+    project ++ results.zipWithIndex.flatMap { case ((testIri, outcome), i) =>
       val a = Term.bnode(f"assertion$i%05d")
       val r = Term.bnode(f"result$i%05d")
       Seq(
@@ -34,12 +43,16 @@ object Earl {
         Triple(a, Term.iri(earl + "mode"), Term.iri(earl + "automatic")),
         Triple(a, Term.iri(earl + "result"), r),
         Triple(r, Term.iri(Vocab.rdfType), Term.iri(earl + "TestResult")),
-        Triple(r, Term.iri(earl + "outcome"),
-          Term.iri(earl + (if (passed) "passed" else "failed"))))
+        Triple(r, Term.iri(earl + "outcome"), Term.iri(earl + outcome)))
     }
   }
 
   /** Full Turtle report document. */
   def report(subjectIri: String, results: Seq[(String, Boolean)]): String =
     TurtleEncoder.encode(assertions(subjectIri, results), prefixes)
+
+  /** Full Turtle report with explicit outcomes. */
+  def reportWithOutcomes(subjectIri: String,
+                         results: Seq[(String, String)]): String =
+    TurtleEncoder.encode(assertionsWithOutcomes(subjectIri, results), prefixes)
 }

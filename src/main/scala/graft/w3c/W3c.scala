@@ -100,6 +100,38 @@ object W3c {
       case ex: Exception => Fail(s"${ex.getClass.getSimpleName}: ${ex.getMessage}")
     }
   }
+
+  /** Run one RDFC-1.0 canonicalization entry (RDFC10EvalTest /
+    * RDFC10MapTest / RDFC10NegativeEvalTest) — shared by the conformance
+    * spec and the EARL report generator. */
+  def runCanonEntry(suite: Suite, e: Entry): Outcome = {
+    val kind = e.kinds.find(_.startsWith(rdfc)).map(_.stripPrefix(rdfc))
+    val algo = e.hashAlgorithm.map {
+      case "SHA384" => "SHA-384"; case "SHA512" => "SHA-512"; case a => a
+    }.getOrElse("SHA-256")
+    try {
+      val in = NTriples.parseDocument(readFile(localPath(suite.dir, suite.base, e.action.get)))
+      kind match {
+        case Some("RDFC10EvalTest") =>
+          val expected = readFile(localPath(suite.dir, suite.base, e.result.get))
+          if (Rdfc10.canonicalNQuads(in, hashAlgorithm = algo) == expected) Pass
+          else Fail("canonical nquads differ")
+        case Some("RDFC10MapTest") =>
+          val expectedJson = readFile(localPath(suite.dir, suite.base, e.result.get))
+          val expPairs = "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r
+            .findAllMatchIn(expectedJson).map(m => m.group(1) -> m.group(2)).toMap
+          val (_, mapping) = Rdfc10.canonicalize(in, hashAlgorithm = algo)
+          if (mapping == expPairs) Pass else Fail("mapping differs")
+        case Some("RDFC10NegativeEvalTest") =>
+          // poison graph must trip the HNDQ call budget
+          try { Rdfc10.canonicalize(in, hndqCallLimit = 3); Fail("no poison abort") }
+          catch { case _: Rdfc10.PoisonedGraph => Pass }
+        case other => Fail(s"unsupported $other")
+      }
+    } catch {
+      case ex: Exception => Fail(s"${ex.getClass.getSimpleName}: ${ex.getMessage}")
+    }
+  }
 }
 
 /** Scorer: run the rdf11 Turtle/NT/NQ suites + rdf-canon and print rates.

@@ -80,6 +80,16 @@ class XsdDurationSpec extends AnyFunSuite {
     assert(cmp("P1M", "P32D").contains(-1))           // longest month is 31 days
     assert(cmp("P5M", "P150D").isEmpty)
     assert(cmp("-P1M", "-P27D").contains(-1))
+    // exact four-reference-dateTime bounds (XSD 1.1 §3.3.6.2): two
+    // consecutive months span 59..62 days over the references, so
+    // P2M > P57D is DETERMINATE — the conservative 28·n..31·n per-month
+    // bound (56..62) would wrongly call it indeterminate
+    assert(cmp("P2M", "P57D").contains(1))
+    assert(cmp("P2M", "P58D").contains(1))
+    assert(cmp("P2M", "P59D").isEmpty)  // equal starting at 1697-02-01
+    assert(cmp("P2M", "P62D").isEmpty)  // equal starting at 1903-07-01
+    assert(cmp("P2M", "P63D").contains(-1))
+    assert(cmp("-P2M", "-P57D").contains(-1))
   }
 
   test("property: canonical form is a fixpoint and value-preserving (2000 random durations)") {

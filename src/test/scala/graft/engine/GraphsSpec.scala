@@ -458,4 +458,99 @@ class GraphsSpec extends AnyFunSuite {
       Materialize.readLineage(spark, root).foreach(_.collect())
     }
   }
+  // ---- quad-level graph-keyed mutations (dataset.ex:304-340,412,478-486)
+
+  private def quadStore = {
+    import spark.implicits._
+    Seq(
+      Quad(Term.iri(ex + "a"), Term.iri(ex + "p"), Term.str("1"), Term.iri(ex + "g1")),
+      Quad(Term.iri(ex + "a"), Term.iri(ex + "q"), Term.str("2"), Term.iri(ex + "g1")),
+      Quad(Term.iri(ex + "b"), Term.iri(ex + "p"), Term.str("3"), Term.iri(ex + "g2")),
+      Quad(Term.iri(ex + "c"), Term.iri(ex + "p"), Term.str("4"), null)).toDF()
+  }
+
+  test("putGraph replaces whole named graphs; other graphs untouched") {
+    import spark.implicits._
+    val input = Seq(
+      Quad(Term.iri(ex + "x"), Term.iri(ex + "p"), Term.str("9"), Term.iri(ex + "g1"))).toDF()
+    val out = Graphs.putGraph(quadStore, input)
+    assert(out.count() == 3) // g1 collapsed to 1 row; g2 + default intact
+    val g1rows = Graphs.graph(out, Term.iri(ex + "g1")).collect()
+    assert(g1rows.length == 1 && g1rows(0).getStruct(0).getString(1) == ex + "x")
+    assert(Graphs.graph(out, Term.iri(ex + "g2")).count() == 1)
+    assert(Graphs.graph(out, null).count() == 1)
+    // input with g = null replaces the DEFAULT graph
+    val inputDefault = Seq(
+      Quad(Term.iri(ex + "y"), Term.iri(ex + "p"), Term.str("8"), null)).toDF()
+    val out2 = Graphs.putGraph(quadStore, inputDefault)
+    assert(Graphs.graph(out2, null).collect().map(_.getStruct(0).getString(1)).toSeq
+      == Seq(ex + "y"))
+    assert(out2.count() == 4)
+    // the :graph destination option re-graphs ALL input statements
+    val out3 = Graphs.putGraph(quadStore, input, destination = Some(Term.iri(ex + "g2")))
+    assert(Graphs.graph(out3, Term.iri(ex + "g2")).collect()
+      .map(_.getStruct(0).getString(1)).toSeq == Seq(ex + "x"))
+    assert(Graphs.graph(out3, Term.iri(ex + "g1")).count() == 2) // untouched
+  }
+
+  test("deleteGraph drops graphs by name; null names the default graph") {
+    val out = Graphs.deleteGraph(quadStore,
+      Seq(Term.iri(ex + "g1"), null.asInstanceOf[Term]))
+    assert(out.count() == 1)
+    assert(Graphs.graph(out, Term.iri(ex + "g2")).count() == 1)
+    assert(Graphs.deleteDefaultGraph(quadStore).count() == 3)
+    assert(Graphs.deleteGraph(quadStore, Nil).count() == 4)
+  }
+
+  test("updateAllGraphs re-graphs f's output under the old name; empty removes") {
+    val exg2 = ex + "g2"
+    val defaultSubj = ex + "default"
+    val out = Graphs.updateAllGraphs(quadStore, (name, triples) =>
+      if (name != null && name.value == exg2) Nil // remove g2 wholesale
+      else {
+        val subj = if (name == null) Term.iri(defaultSubj) else name
+        triples :+ Triple(subj, Term.iri(defaultSubj + "#n"), Term.int(triples.size.toLong))
+      })
+    assert(Graphs.graph(out, Term.iri(ex + "g2")).isEmpty)
+    assert(Graphs.graph(out, Term.iri(ex + "g1")).count() == 3) // 2 + count triple
+    assert(Graphs.graph(out, null).count() == 2) // 1 + count triple
+    // output triples carry the OLD graph name, even if f re-graphs: quads
+    // in out never reference a graph not in the input name set
+    val names = out.select(col("g")("value")).distinct().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null")).toSet
+    assert(names == Set(ex + "g1", "null"))
+  }
+
+  test("valuesWithContext renders mapped predicates as PropertyMap terms") {
+    val out = Graphs.valuesWithContext(g1, Map(ex + "p" -> "p")).collect()
+      .map(r => r.getString(0) -> r.getMap[String, Seq[String]](1)).toMap
+    // mapped predicate appears under its term key, unmapped under raw IRI
+    assert(out(ex + "a").keySet == Set("p", ex + "q"))
+    assert(out(ex + "b").keySet == Set("p"))
+    assert(out(ex + "b")("p").toSet == Set("3", ex + "a"))
+    // empty context degrades to plain values()
+    val plain = Graphs.valuesWithContext(g1, Map.empty).collect()
+      .map(r => r.getString(0) -> r.getMap[String, Seq[String]](1)).toMap
+    assert(plain(ex + "a").keySet == Set(ex + "p", ex + "q"))
+  }
+
+  test("mapStatements applies the custom per-position fn; null result drops the row") {
+    val out = Graphs.mapStatements(g1, (pos, term) =>
+      if (pos == "predicate") term.value.substring(term.value.lastIndexOf('/') + 1)
+      else if (pos == "object" && term.value == "2") null // nil statement
+      else term.value)
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length == 3) // the o="2" statement dropped
+    assert(rows.forall { case (_, p, _) => p == "p" || p == "q" })
+    // quad frames also map graph_name, with null g passed through
+    import spark.implicits._
+    val q = Seq(
+      Quad(Term.iri(ex + "a"), Term.iri(ex + "p"), Term.str("1"), Term.iri(ex + "g1")),
+      Quad(Term.iri(ex + "b"), Term.iri(ex + "p"), Term.str("2"), null)).toDF()
+    val qo = Graphs.mapStatements(q, (_, term) => term.value).collect()
+    assert(qo.length == 2)
+    assert(qo.map(r => Option(r.getString(3)).getOrElse("null")).toSet
+      == Set(ex + "g1", "null"))
+  }
+
 }

@@ -84,6 +84,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming LSH drops null-ts and null-text rows (no immortal state, no spurious pairs)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_slsh_null").toString
+    // two null-text docs (null band sig) and one null-ts doc: the batch
+    // plan drops all of them at the explode — streaming must too, instead
+    // of pooling null sigs into one shared bucket / keeping unexpirable
+    // state
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "src0", "2025-01-01 00:00:00"),
+      (1L, "alpha beta gamma delta epsilon", "src0", "2025-01-01 00:00:01"),
+      (2L, null.asInstanceOf[String], "src0", "2025-01-01 00:00:02"),
+      (3L, null.asInstanceOf[String], "src0", "2025-01-01 00:00:03"),
+      (4L, "alpha beta gamma delta epsilon", "src0", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .write.mode("overwrite").parquet(dir)
+    val stream = Streaming.streamingLshCandidatePairs(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir))
+    val got = Streaming.runToCompletion(stream.toDF(), "slsh_null")
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L))) // no (2,3) null-sig pair, no doc-4 pairs
+  }
+
   test("streaming LSH state carries across micro-batches (cross-wave pair)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_slsh2").toString
@@ -135,6 +158,10 @@ class StreamingSpec extends AnyFunSuite {
       .schema(spark.read.parquet(dir).schema).parquet(dir)
     val inc = Bgp.executeIncremental(spark, static, stream, q, streamedIdx = 0)
     assert(inc.isStreaming)
+    // the static solution is MATERIALIZED at build time (eager
+    // localCheckpoint): micro-batches probe a LogicalRDD, never replay
+    // the static BGP join chain per batch
+    assert(inc.queryExecution.analyzed.toString.contains("LogicalRDD"))
     val qh = inc.writeStream.format("memory").queryName("ibgp")
       .outputMode("append").start()
     qh.processAllAvailable()

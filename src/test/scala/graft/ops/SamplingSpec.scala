@@ -52,4 +52,23 @@ class SamplingSpec extends AnyFunSuite {
     val plan = Sampling.packShards(d, 100).queryExecution.executedPlan.toString
     assert(!plan.contains("Window [") || plan.contains("windowspecdefinition(__pid"), plan)
   }
+
+  test("packShards: deterministic across actions, sparse ids, empty input") {
+    import spark.implicits._
+    // sparse, non-contiguous ids: the value-derived bucket id must yield
+    // the SAME bucketing in the totals action and the final join (the
+    // spark_partition_id-over-range-exchange version could diverge
+    // between the two actions)
+    val sparse = (0 until 400)
+      .map(i => (i.toLong * 17 + (i % 7).toLong * 1000, ("tok " * (i % 25 + 1)).trim))
+      .toDF("doc_id", "text").dropDuplicates("doc_id")
+    def run() = Sampling.packShards(sparse, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq) // reproducible
+    var cum = 0L
+    val exp = a.map { case (id, n, _) => val s = cum / 64; cum += n; (id, n, s) }
+    assert(a.toSeq == exp.toSeq) // equals sequential greedy packing
+    assert(Sampling.packShards(sparse.limit(0), 64).collect().isEmpty)
+  }
 }

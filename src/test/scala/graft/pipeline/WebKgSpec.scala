@@ -127,4 +127,28 @@ class WebKgSpec extends AnyFunSuite {
     assert(r == (0L to 10L).map(i => i -> i.toInt).toMap)
     assert(!r.contains(100L) && !r.contains(200L))
   }
+  test("big-dictionary fuzzy linking: shuffled plan, identical results") {
+    import spark.implicits._
+    val dictDf = WebKg.defaultDictionary.toDF("surface", "entity")
+    // results identical across the two physical distributions
+    val viaBroadcast = WebKg.entityLinkFuzzyDF(docs, dictDf, broadcastDict = true)
+      .collect().map(_.toSeq).toSet
+    val viaShuffle = WebKg.entityLinkFuzzyDF(docs, dictDf, broadcastDict = false)
+      .collect().map(_.toSeq).toSet
+    assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty)
+    // plan shape with auto-broadcast off (the 100 TB condition — a real
+    // big dictionary exceeds any threshold): the broadcast path still
+    // broadcasts EXPLICITLY, the big-dict path has ZERO BroadcastExchange
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def planOf(bcast: Boolean): String =
+        WebKg.fuzzyScored(docs, dictDf, 0.5, broadcastDict = bcast,
+          materialize = false).queryExecution.executedPlan.toString
+      assert(planOf(true).contains("BroadcastExchange"))
+      assert(!planOf(false).contains("BroadcastExchange"))
+      assert(planOf(false).contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
 }

@@ -96,30 +96,10 @@ class W3cSuitesSpec extends AnyFunSuite {
     val suite = W3c.loadManifest(dir, base)
     assert(suite.entries.nonEmpty)
     val failures = suite.entries.flatMap { e =>
-      val kind = e.kinds.find(_.startsWith(W3c.rdfc)).map(_.stripPrefix(W3c.rdfc))
-      val algo = e.hashAlgorithm.map {
-        case "SHA384" => "SHA-384"; case "SHA512" => "SHA-512"; case a => a
-      }.getOrElse("SHA-256")
-      try {
-        val in = NTriples.parseDocument(W3c.readFile(W3c.localPath(dir, base, e.action.get)))
-        kind match {
-          case Some("RDFC10EvalTest") =>
-            val expected = W3c.readFile(W3c.localPath(dir, base, e.result.get))
-            if (Rdfc10.canonicalNQuads(in, hashAlgorithm = algo) == expected) None
-            else Some(s"${e.name.get}: canonical nquads differ")
-          case Some("RDFC10MapTest") =>
-            val expectedJson = W3c.readFile(W3c.localPath(dir, base, e.result.get))
-            val expPairs = "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r
-              .findAllMatchIn(expectedJson).map(m => m.group(1) -> m.group(2)).toMap
-            val (_, mapping) = Rdfc10.canonicalize(in, hashAlgorithm = algo)
-            if (mapping == expPairs) None else Some(s"${e.name.get}: mapping differs")
-          case Some("RDFC10NegativeEvalTest") =>
-            // poison graph must trip the HNDQ call budget
-            try { Rdfc10.canonicalize(in, hndqCallLimit = 3); Some(s"${e.name.get}: no poison abort") }
-            catch { case _: Rdfc10.PoisonedGraph => None }
-          case other => Some(s"${e.name.get}: unsupported $other")
-        }
-      } catch { case ex: Exception => Some(s"${e.name.getOrElse(e.iri)}: $ex") }
+      W3c.runCanonEntry(suite, e) match {
+        case W3c.Pass => None
+        case W3c.Fail(r) => Some(s"${e.name.getOrElse(e.iri)}: $r")
+      }
     }
     assert(failures.isEmpty, failures.take(10).mkString("\n"))
   }
