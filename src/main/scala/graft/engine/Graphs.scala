@@ -268,6 +268,28 @@ object Graphs {
   def deleteDefaultGraph(quads: DataFrame): DataFrame =
     deleteGraph(quads, Seq(null.asInstanceOf[Term]))
 
+  /** RDF.Dataset.update/4 (dataset.ex:342-383): transform ONE named graph
+    * (null = default) with a function over its triple frame. If the graph
+    * is absent, `initial` is inserted under `name` (or the dataset is
+    * returned unchanged when no initial is given); an empty result from
+    * `f` removes the graph. Presence is one pushed-down-filter emptiness
+    * probe (metadata-scale with graph-partitioned storage). */
+  def updateGraph(quads: DataFrame, name: Term,
+                  f: DataFrame => DataFrame,
+                  initial: Option[DataFrame] = None): DataFrame = {
+    val gCol = if (name == null) lit(null).cast(quads.schema("g").dataType)
+               else Terms.constTerm(name)
+    def regraph(df: DataFrame): DataFrame =
+      df.select(col("s"), col("p"), col("o")).withColumn("g", gCol)
+    val current = graph(quads, name)
+    if (current.isEmpty) initial match {
+      case Some(init) => quads.unionByName(regraph(init)).dropDuplicates()
+      case None => quads
+    } else
+      deleteGraph(quads, Seq(name)).unionByName(regraph(f(current)))
+        .dropDuplicates()
+  }
+
   /** RDF.Dataset.update_all_graphs (dataset.ex:412-417): apply `f` to
     * EVERY graph of the dataset — the quad-level sibling of
     * `updateAllDescriptions`: one distributed groupByKey on the graph

@@ -502,6 +502,28 @@ class GraphsSpec extends AnyFunSuite {
     assert(Graphs.deleteGraph(quadStore, Nil).count() == 4)
   }
 
+  test("updateGraph transforms one named graph; absent inserts initial; empty removes") {
+    import spark.implicits._
+    val extra = Seq(Triple(Term.iri(ex + "n"), Term.iri(ex + "p"), Term.str("new"))).toDF()
+    // present: f applied, result re-graphed under the name
+    val out = Graphs.updateGraph(quadStore, Term.iri(ex + "g1"),
+      g => g.unionByName(extra))
+    assert(Graphs.graph(out, Term.iri(ex + "g1")).count() == 3)
+    assert(out.count() == 5)
+    // empty result removes the graph
+    val gone = Graphs.updateGraph(quadStore, Term.iri(ex + "g2"), g => g.limit(0))
+    assert(Graphs.graph(gone, Term.iri(ex + "g2")).isEmpty && gone.count() == 3)
+    // absent + initial: inserted under the given name
+    val ins = Graphs.updateGraph(quadStore, Term.iri(ex + "g9"),
+      identity, initial = Some(extra))
+    assert(Graphs.graph(ins, Term.iri(ex + "g9")).count() == 1)
+    // absent + no initial: unchanged
+    assert(Graphs.updateGraph(quadStore, Term.iri(ex + "g9"), identity).count() == 4)
+    // default graph addressed by null name
+    val def2 = Graphs.updateGraph(quadStore, null, g => g.unionByName(extra))
+    assert(Graphs.graph(def2, null).count() == 2)
+  }
+
   test("updateAllGraphs re-graphs f's output under the old name; empty removes") {
     val exg2 = ex + "g2"
     val defaultSubj = ex + "default"
