@@ -81,8 +81,10 @@ object Bench {
         spark.catalog.clearCache()
         def once(): Double = {
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          // same sentinel as bigdict_link: a crashed query reports -1,
+          // never a fabricated fast timing
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case scala.util.control.NonFatal(_) => -1.0 }
         }
         val cold = once(); val warm = once()
         name -> ((cold, warm))
@@ -102,13 +104,16 @@ object Bench {
         concat(lit(WebKg.entityNs), col("id")).as("entity"))
       def once(): Double = {
         val t0 = System.nanoTime()
-        try WebKg.entityLinkFuzzyDF(
-          spark.read.parquet(s"$sfDir/documents.parquet"), dict,
-          broadcastDict = false).count()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        // a failed run must NOT be published as a fast timing — the whole
+        // point of this block is evidence the big-dict plan works
+        try {
+          WebKg.entityLinkFuzzyDF(
+            spark.read.parquet(s"$sfDir/documents.parquet"), dict,
+            broadcastDict = false).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(_) => -1.0 }
       }
-      val c = once(); val w = once()
+      val c = once(); val w = if (c < 0) -1.0 else once()
       (c, w)
     }
     spark.stop()

@@ -447,6 +447,27 @@ object Queries {
              |SELECT w, count(*) AS n, count(DISTINCT doc_id) AS df
              |FROM tokall GROUP BY 1 ORDER BY n DESC, w LIMIT 100""".stripMargin)),
 
+    // corpus-wide line-level exact dedup (C4-style boilerplate removal):
+    // every doc gains a shared footer + a per-source nav line; dedup keeps
+    // each boilerplate line only at its first corpus occurrence and
+    // rebuilds the texts byte-exactly
+    "text_line_dedup" -> Q(
+      (s, d) => TextOps.lineDedup(t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          lit("=== standard web footer: all rights reserved ==="),
+          concat(lit("navigation menu for "), col("source"))).as("text"))),
+      Some("""WITH d AS (SELECT doc_id, text || chr(10) ||
+             |  '=== standard web footer: all rights reserved ===' || chr(10) ||
+             |  'navigation menu for ' || source AS text FROM documents),
+             |l AS (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+             |  (x, i) -> {'idx': i, 'line': x})) AS s FROM d),
+             |f AS (SELECT doc_id, s.idx AS idx, s.line AS line,
+             |  row_number() OVER (PARTITION BY md5(s.line) ORDER BY doc_id, s.idx) AS rn
+             |  FROM l),
+             |k AS (SELECT * FROM f WHERE rn = 1 OR length(line) < 10)
+             |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+             |  count(*) AS n_kept FROM k GROUP BY 1""".stripMargin)),
+
     "text_fingerprint" -> Q(
       (s, d) => TextOps.fingerprints(t(s, d, "documents")),
       Some("""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(

@@ -129,15 +129,19 @@ object XsdDuration {
   /** Exact day span of adding `months` (signed) to the first of month
     * `refM` of year `refY` per XSD dateTime arithmetic (day-of-month 1
     * never clamps): the signed sum of consecutive Gregorian month
-    * lengths. */
+    * lengths. O(1)-ish: the Gregorian calendar repeats every 400 years
+    * (4800 months = 146097 days exactly), so only the residual < 4800
+    * months is summed by iteration. */
   private def spanDays(refY: Int, refM: Int, months: Long): Long = {
+    val cycleMonths = 4800L
+    val cycleDays = 146097L
+    val cycles = Math.floorDiv(months, cycleMonths)
+    var rem = months - cycles * cycleMonths // in [0, 4800)
+    var days = cycles * cycleDays
     var y = refY.toLong; var m = refM - 1 // 0-indexed current month
-    var days = 0L
-    var i = 0L
-    if (months >= 0) while (i < months) {
-      days += monthLen(y, m.toInt); m += 1; if (m == 12) { m = 0; y += 1 }; i += 1
-    } else while (i < -months) {
-      m -= 1; if (m < 0) { m = 11; y -= 1 }; days -= monthLen(y, m.toInt); i += 1
+    while (rem > 0) {
+      days += monthLen(y, m.toInt); m += 1; if (m == 12) { m = 0; y += 1 }
+      rem -= 1
     }
     days
   }
@@ -147,10 +151,10 @@ object XsdDuration {
     * starting instant. */
   private val referenceStarts = Seq((1696, 9), (1697, 2), (1903, 3), (1903, 7))
 
-  /** Month counts beyond ~10k years fall back to conservative 28/31-day
-    * month bounds instead of iterating month lengths — still never the
-    * wrong sign, only (astronomically) indeterminate more often. */
-  private val exactMonthCap = BigInt(120000)
+  /** Month counts beyond Long range fall back to conservative 28/31-day
+    * month bounds instead of exact spans — still never the wrong sign,
+    * only (astronomically) indeterminate more often. */
+  private val exactMonthCap = BigInt(Long.MaxValue / 40000)
 
   /** XSD order relation on durations is PARTIAL: `a < b` iff
     * `ref + a < ref + b` for ALL FOUR reference dateTimes of XSD 1.1

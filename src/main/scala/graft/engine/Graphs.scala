@@ -154,11 +154,7 @@ object Graphs {
 
   /** values/2 nested-map projection at the API edge (graph.ex:1328-1391):
     * one row per subject with map(predicate -> objects). */
-  def values(g: DataFrame): DataFrame =
-    g.groupBy(col("s")("value").as("subject"), col("p")("value").as("k"))
-      .agg(collect_list(col("o")("value")).as("v"))
-      .groupBy("subject")
-      .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("predications"))
+  def values(g: DataFrame): DataFrame = valuesWithContext(g, Map.empty)
 
   /** values/2 with a PropertyMap `:context`
     * (graph.ex:1328-1391 + statement.ex default_property_mapping,
@@ -238,17 +234,22 @@ object Graphs {
     * broadcast) distinct graph-name set, then union — never a per-graph
     * loop. */
   def putGraph(quads: DataFrame, input: DataFrame,
-               destination: Option[Term] = None): DataFrame = {
-    val in0 = destination match {
-      case Some(name) =>
-        val g = if (name == null) lit(null).cast(quads.schema("g").dataType)
-                else Terms.constTerm(name)
-        input.select(col("s"), col("p"), col("o"), g.as("g"))
-      case None => input.select(col("s"), col("p"), col("o"), col("g"))
-    }
-    val names = in0.select(col("g").as("__g")).distinct()
-    quads.join(broadcast(names), col("g") <=> col("__g"), "left_anti")
-      .unionByName(in0).dropDuplicates()
+               destination: Option[Term] = None): DataFrame = destination match {
+    case Some(name) =>
+      // an explicit destination replaces THAT graph even when the input
+      // is empty (put_graph with :graph puts a possibly-empty graph under
+      // the name — statement-wise, a deletion), so the name itself drives
+      // the removal rather than the input's row-derived name set
+      val g = if (name == null) lit(null).cast(quads.schema("g").dataType)
+              else Terms.constTerm(name)
+      deleteGraph(quads, Seq(name))
+        .unionByName(input.select(col("s"), col("p"), col("o"), g.as("g")))
+        .dropDuplicates()
+    case None =>
+      val in0 = input.select(col("s"), col("p"), col("o"), col("g"))
+      val names = in0.select(col("g").as("__g")).distinct()
+      quads.join(broadcast(names), col("g") <=> col("__g"), "left_anti")
+        .unionByName(in0).dropDuplicates()
   }
 
   /** RDF.Dataset.delete_graph (dataset.ex:478-486): drop whole graphs by

@@ -129,53 +129,34 @@ object Dedup {
     * |A∩B| / |A∪B| per pair with array_intersect — no token-level shuffle.
     * Output: (doc_id, n_near) — near-dup partner count per doc over both
     * pair directions. */
-  def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.8,
-                           numHashes: Int = 8, rowsPerBand: Int = 2,
-                           bucketCap: Int = 64): DataFrame = {
-    require(numHashes % rowsPerBand == 0)
-    import org.apache.spark.sql.expressions.Window
-    // ONE tokenization pass: the minhash signatures (for LSH blocking) AND
-    // the distinct token set + count (for the exact-Jaccard verify) come
-    // out of the SAME hash aggregation — the r3 shape ran the corpus
-    // explode + shuffle twice, once inside minhashLshPairs and once for
-    // the verify sets. The combined per-doc frame is persisted for its
-    // four consumers (both band self-join sides via the band projection,
-    // both verify joins) and released once the RESULT-scale pair frame is
-    // eagerly checkpointed — no corpus-sized cache leaks to the caller.
-    val tok = tokenRelation(docs)
-    val aggs = (0 until numHashes).map(i => min(keyedHash(i, col("w"))).as(s"s$i")) ++
-      Seq(collect_set(col("w")).as("toks"), count(lit(1)).as("n"))
-    val per = tok.groupBy("doc_id", "source").agg(aggs.head, aggs.tail: _*)
+  def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(docs)
+    // tokSets joins against BOTH pair sides; jac feeds BOTH direction
+    // unions. Cache lifecycle: the CORPUS-scale token-set frame is
+    // persisted only while the verify join materializes (eager
+    // localCheckpoint of the RESULT-scale jac frame), then released —
+    // the method never leaks corpus-sized cached blocks into the caller's
+    // session (the returned frame references only the small checkpoint).
+    //
+    // A fused variant (minhash mins + collect_set in ONE aggregation, so
+    // the token relation shuffles once instead of twice) was measured in
+    // r4 and REVERTED: collect_set forces the whole combined agg into
+    // ObjectHashAggregate (the separate min-only agg is codegen
+    // HashAggregate) and the cached per-doc array frame materializes
+    // eagerly — 2.2s -> 3.1s steady-state at sf0.1 on the same host
+    // phase. Two cheap codegen passes beat one heavyweight object agg.
+    val tokSets = tokenRelation(docs).groupBy("doc_id")
+      .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n"))
       .persist()
-    val nBands = numHashes / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      val sig = md5(concat((0 until rowsPerBand)
-        .map(r => col(s"s${b * rowsPerBand + r}").cast("string")): _*))
-      struct(lit(b).as("band"), sig.as("sig"))
-    }
-    val bands = per.select(col("doc_id"), col("source"),
-        explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("source"),
-        col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // same bucket-cap-as-window + identical-subplan self-join hygiene as
-    // minhashLshPairs (both sides read the one cached frame)
-    val capWindow = Window.partitionBy("band", "sig", "source")
-    val capped = bands.withColumn("__bn", count(lit(1)).over(capWindow))
-      .filter(col("__bn") <= bucketCap).drop("__bn")
-    val a = capped.as("a"); val b = capped.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
     val jac = pairs
-      .join(per.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
-      .join(per.select(col("doc_id").as("d2"), col("toks").as("t2"), col("n").as("n2")), "d2")
+      .join(tokSets.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
+      .join(tokSets.select(col("doc_id").as("d2"), col("toks").as("t2"), col("n").as("n2")), "d2")
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select("d1", "d2")
-      .localCheckpoint() // eager: runs block+verify ONCE, truncates plan
-    per.unpersist()
+      .localCheckpoint() // eager: runs the verify join ONCE, truncates plan
+    tokSets.unpersist()
     // count partners in both directions so the metric is per-doc symmetric
     jac.select(col("d1").as("doc_id")).unionAll(jac.select(col("d2").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))

@@ -123,13 +123,18 @@ object Multimodal {
   def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
+    if (iis == null) return None // stripped SPI registry: no stream provider
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
       else {
         val r = readers.next()
+        // NonFatal, not just IOException: JDK readers throw
+        // IllegalArgumentException / ArrayIndexOutOfBounds on payloads
+        // whose magic matches but whose header is garbage — a malformed
+        // crawl payload must yield None, never a task failure
         try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
         finally r.dispose()
       }
     } finally iis.close()

@@ -67,11 +67,15 @@ object Sampling {
       return withTok.withColumn("shard", lit(0L)).limit(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val nBuckets = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val span = hi - lo + 1
-    // ceil-div slice width so ids map onto exactly [0, nBuckets)
-    val width = (span + nBuckets - 1) / nBuckets
+    // BigInt + decimal(38,0) arithmetic: `hi - lo + 1` overflows Long when
+    // ids are hash-derived (e.g. lo near MinValue, hi near MaxValue),
+    // which would make the slice width zero/negative and the bucket
+    // mapping null or non-monotone. pid = (doc_id - lo) * nBuckets div
+    // span is exact, monotone in doc_id, and lands in [0, nBuckets).
+    val span = BigInt(hi) - BigInt(lo) + 1
     val bucketed = withTok
-      .withColumn("__pid", expr(s"cast((doc_id - $lo) div $width as int)"))
+      .withColumn("__pid", expr(
+        s"cast(((cast(doc_id as decimal(38,0)) - $lo) * $nBuckets) div $span as int)"))
     // per-bucket totals -> exclusive offsets, in bucket (= id range) order;
     // deterministic because __pid is a pure function of doc_id
     val partTotals = bucketed.groupBy("__pid").agg(sum("n_tokens").as("t"))

@@ -171,4 +171,31 @@ object TextOps {
     docs.select(
       col("doc_id"),
       md5(concat_ws(" ", array_sort(distinctTokens(col("text"))))).as("fp"))
+
+  /** Corpus-wide LINE-level exact dedup — the C4/CCNet boilerplate-removal
+    * primitive: a line of >= `minLen` chars survives only at its FIRST
+    * corpus occurrence (smallest (doc_id, position)); shorter lines (menu
+    * separators, blanks) pass through everywhere. Returns the rebuilt
+    * documents as (doc_id, text, n_kept); documents whose every line was
+    * removed disappear.
+    *
+    * Plan at 100 TB: one posexplode (narrow), one shuffle on the 128-bit
+    * line hash for the first-occurrence window (rank-1 selection — no
+    * accumulation, so a boilerplate line shared by a billion pages costs
+    * one partition's sort, not a skewed aggregation), one groupBy doc_id
+    * to reassemble. No all-pairs comparison anywhere. */
+  def lineDedup(docs: DataFrame, minLen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val w = Window.partitionBy(md5(col("line"))).orderBy("doc_id", "idx")
+    lines.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 || length(col("line")) < minLen)
+      .groupBy("doc_id")
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x("line"))).as("text"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -370,7 +370,7 @@ object WebKg {
     * the oracle must run the same number of rounds. */
   def pageRank(edges: DataFrame, iterations: Int = 3,
                scale: Long = 1000000000000L,
-               checkpointInterval: Int = 2): DataFrame = {
+               checkpointInterval: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.persist()
     val nodes = e.select(col("src").as("node"))
@@ -385,6 +385,10 @@ object WebKg {
     // plan grows LINEARLY per round — checkpoint every `checkpointInterval`
     // rounds to bound lineage depth and scheduler/codegen cost while
     // skipping the per-round materialization cost between checkpoints.
+    // The default (4) deliberately exceeds the default 3 iterations: short
+    // runs pay ZERO mid-run checkpoints (linear 3-deep lineage is cheap —
+    // a measured mid-run checkpoint cost ~1s at sf0.1) and rely on the
+    // FINAL checkpoint below; long runs truncate every 4 rounds.
     var sinceCheckpoint = 0
     for (_ <- 1 to iterations) {
       // `div` (IntegralDivide), NOT `/`: Column./ on longs is double

@@ -491,6 +491,11 @@ class GraphsSpec extends AnyFunSuite {
     assert(Graphs.graph(out3, Term.iri(ex + "g2")).collect()
       .map(_.getStruct(0).getString(1)).toSeq == Seq(ex + "x"))
     assert(Graphs.graph(out3, Term.iri(ex + "g1")).count() == 2) // untouched
+    // destination + EMPTY input still replaces (= deletes) that graph:
+    // put_graph with :graph puts a possibly-empty graph under the name
+    val out4 = Graphs.putGraph(quadStore, input.limit(0),
+      destination = Some(Term.iri(ex + "g1")))
+    assert(Graphs.graph(out4, Term.iri(ex + "g1")).isEmpty && out4.count() == 2)
   }
 
   test("deleteGraph drops graphs by name; null names the default graph") {
