@@ -976,6 +976,29 @@ object Queries {
              |UNION ALL SELECT 'http://graft.dev/vocab#nstat', count(*), 1
              |  FROM documents""".stripMargin)),
 
+    // re-crawl snapshot selection: two crawl generations (docs % 3 == 0
+    // re-crawled a day later with updated content); latestSnapshot keeps
+    // exactly the newest version of every url
+    "kg_latest_crawl" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def gen(tsOffsetDays: Int, txt: org.apache.spark.sql.Column,
+                flt: org.apache.spark.sql.Column) =
+          docs.filter(flt).select(
+            concat(lit("https://"), col("source"), lit(".example.org/doc/"),
+              col("doc_id")).as("url"),
+            expr(s"TIMESTAMP '2025-01-01 00:00:00' + make_interval(0,0,0,$tsOffsetDays,0,0,doc_id)")
+              .as("warc_ts"),
+            txt.cast("binary").as("html"), txt.as("text"), col("lang"))
+        val v1 = gen(0, col("text"), lit(true))
+        val v2 = gen(1, concat(col("text"), lit(" updated")), col("doc_id") % 3 === 0)
+        WebKg.latestSnapshot(v1.unionAll(v2))
+          .select(col("url"), md5(col("text")).as("h"))
+      },
+      Some("""SELECT 'https://'||source||'.example.org/doc/'||doc_id AS url,
+             |  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' updated' ELSE text END) AS h
+             |FROM documents""".stripMargin)),
+
     // quad-level graph-keyed mutations end-to-end (dataset.ex put_graph /
     // delete_graph / update_all_graphs): replace one named graph
     // wholesale, drop another plus the default graph, then add a

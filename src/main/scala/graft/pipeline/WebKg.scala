@@ -169,6 +169,21 @@ object WebKg {
     * full triple key (AQE handles skewed predicates). */
   def dedupTriples(triples: DataFrame): DataFrame = triples.dropDuplicates()
 
+  /** RE-CRAWL snapshot selection: keep the NEWEST crawl of every url —
+    * the first thing a pipeline over a continuously re-crawled web table
+    * runs before extraction (the north star's 10% re-crawl duplicates).
+    * One rank-1 window on the url key (ties broken by the larger html
+    * payload, then deterministic): no aggregation state, no all-pairs —
+    * with url-bucketed storage this is a partition-local sort. Output:
+    * the input schema, one row per url. */
+  def latestSnapshot(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("url")
+      .orderBy(col("warc_ts").desc, length(col("html")).desc, col("html").desc)
+    pages.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Entity linking, stage 2 (score & resolve): mention tokens broadcast-
     * joined against an entity dictionary. Stage-1 candidate blocking at
     * corpus scale is Dedup.minhashLshCandidates on surface forms. Output:
