@@ -209,12 +209,16 @@ object Bgp {
       // join keys — projecting first would silently turn the equi-join
       // into a cross product
       val (staticRaw, solvedStatic) = executeAll(staticTriples, Pattern(rest))
-      // materialize the static solution ONCE (eager localCheckpoint):
-      // the stream-static join re-evaluates its static side every
-      // micro-batch, so an unmaterialized plan would replay the full
-      // static BGP join chain per batch — after checkpointing, each batch
-      // probes a scanned in-memory/local-disk relation instead
-      val staticSol = staticRaw.localCheckpoint()
+      // persist the static solution: the stream-static join re-evaluates
+      // its static side every micro-batch, so an unpersisted plan would
+      // replay the full static BGP join chain per batch. persist
+      // (MEMORY_AND_DISK), NOT localCheckpoint: checkpoint blocks are
+      // executor-local with truncated lineage, so one executor loss hours
+      // into the stream would kill the query unrecoverably, while cached
+      // partitions recompute. The cache lives as long as the streaming
+      // query needs it (first batch materializes it).
+      val staticSol = staticRaw.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shared = pStream.vars.distinct.filter(solvedStatic)
       val joined =
         if (shared.nonEmpty) streamSc.join(staticSol, shared, "inner")

@@ -242,14 +242,17 @@ object Graphs {
       // the removal rather than the input's row-derived name set
       val g = if (name == null) lit(null).cast(quads.schema("g").dataType)
               else Terms.constTerm(name)
+      // dedup only the INPUT side: the delete/anti-join guarantees the
+      // store side is disjoint from the replaced graphs, so a store-wide
+      // dropDuplicates would shuffle the whole dataset per mutation
       deleteGraph(quads, Seq(name))
-        .unionByName(input.select(col("s"), col("p"), col("o"), g.as("g")))
-        .dropDuplicates()
+        .unionByName(input.select(col("s"), col("p"), col("o"), g.as("g"))
+          .dropDuplicates())
     case None =>
       val in0 = input.select(col("s"), col("p"), col("o"), col("g"))
       val names = in0.select(col("g").as("__g")).distinct()
       quads.join(broadcast(names), col("g") <=> col("__g"), "left_anti")
-        .unionByName(in0).dropDuplicates()
+        .unionByName(in0.dropDuplicates())
   }
 
   /** RDF.Dataset.delete_graph (dataset.ex:478-486): drop whole graphs by
@@ -283,12 +286,13 @@ object Graphs {
     def regraph(df: DataFrame): DataFrame =
       df.select(col("s"), col("p"), col("o")).withColumn("g", gCol)
     val current = graph(quads, name)
+    // input-side-only dedup, same reasoning as putGraph
     if (current.isEmpty) initial match {
-      case Some(init) => quads.unionByName(regraph(init)).dropDuplicates()
+      case Some(init) => quads.unionByName(regraph(init).dropDuplicates())
       case None => quads
     } else
-      deleteGraph(quads, Seq(name)).unionByName(regraph(f(current)))
-        .dropDuplicates()
+      deleteGraph(quads, Seq(name))
+        .unionByName(regraph(f(current)).dropDuplicates())
   }
 
   /** RDF.Dataset.update_all_graphs (dataset.ex:412-417): apply `f` to

@@ -121,23 +121,26 @@ object Multimodal {
     * crawl pipeline runs before any expensive decode. None for
     * undecodable payloads. */
   def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    if (iis == null) return None // stripped SPI registry: no stream provider
+    if (payload == null || payload.isEmpty) return None // failed fetch
+    // NonFatal everywhere, not just around the reader calls: JDK readers
+    // throw IllegalArgumentException / ArrayIndexOutOfBounds (not only
+    // IOException) on payloads whose magic matches but whose header is
+    // garbage, and the reader PROBE can throw too — a malformed crawl
+    // payload must yield None, never a task failure
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        // NonFatal, not just IOException: JDK readers throw
-        // IllegalArgumentException / ArrayIndexOutOfBounds on payloads
-        // whose magic matches but whose header is garbage — a malformed
-        // crawl payload must yield None, never a task failure
-        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
-        catch { case scala.util.control.NonFatal(_) => None }
-        finally r.dispose()
-      }
-    } finally iis.close()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (iis == null) return None // stripped SPI registry: no provider
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Real-image variant of [[synthesize]]: image-kind rows carry an ACTUAL

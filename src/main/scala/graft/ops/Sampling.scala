@@ -54,9 +54,17 @@ object Sampling {
     * would then be applied to a DIFFERENT partitioning in the final job,
     * silently corrupting the cumulative sums. Value-derived buckets make
     * both actions agree with no persist/checkpoint of the corpus-scale
-    * frame; dense doc_ids (the synthesis contract, and the norm for
-    * ingest-assigned ids) keep the buckets balanced.
-    * Output: (doc_id, n_tokens, shard). */
+    * frame.
+    *
+    * CONTRACT: balance relies on doc_ids spreading roughly evenly over
+    * their [min, max] range — true for dense ingest-assigned ids (the
+    * norm, and the synthesis contract) and for uniformly hash-derived
+    * ids, NOT for clustered ids with extreme outliers (one id near 2^62
+    * next to a dense block collapses most rows into one bucket). The
+    * per-bucket totals are already on the driver, so imbalance is
+    * DETECTED there and logged loudly rather than silently stalling the
+    * per-bucket cumsum on one straggler task; correctness is unaffected
+    * either way. Output: (doc_id, n_tokens, shard). */
   def packShards(docs: DataFrame, budgetTokens: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -78,9 +86,23 @@ object Sampling {
         s"cast(((cast(doc_id as decimal(38,0)) - $lo) * $nBuckets) div $span as int)"))
     // per-bucket totals -> exclusive offsets, in bucket (= id range) order;
     // deterministic because __pid is a pure function of doc_id
-    val partTotals = bucketed.groupBy("__pid").agg(sum("n_tokens").as("t"))
+    val partTotals = bucketed.groupBy("__pid")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("c"))
       .orderBy("__pid").collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map { case (pid, t, c) => ((pid, t), c) } match {
+        case rows =>
+          val counts = rows.map(_._2)
+          if (counts.nonEmpty) {
+            val maxC = counts.max; val avgC = counts.sum / counts.length
+            if (avgC > 0 && maxC > 8 * avgC)
+              System.err.println(
+                s"[packShards] WARN: clustered doc_ids — hottest bucket holds " +
+                  s"$maxC rows vs $avgC average; the per-bucket cumsum will " +
+                  s"straggle. Remap ids densely before packing.")
+          }
+          rows.map(_._1)
+      }
     val offsets = partTotals.scanLeft((0, 0L)) {
       case ((_, acc), (pid, t)) => (pid, acc + t)
     }.tail.zip(partTotals).map { case ((pid, cumIncl), (_, t)) =>

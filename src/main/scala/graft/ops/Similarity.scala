@@ -79,7 +79,8 @@ object Similarity {
     * than `probeHamming` bits are missed (the recall/cost trade; recall
     * vs [[cosineNearDupPairs]] is asserted in SimilaritySpec). */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
-                      nPlanes: Int = 8, probeHamming: Int = 1): DataFrame = {
+                      nPlanes: Int = 8, probeHamming: Int = 1,
+                      materialize: Boolean = true): DataFrame = {
     // only 0 (exact bucket) and 1 (single-bit probes) are implemented; a
     // larger radius silently degrading to 1 would overstate recall
     require(probeHamming >= 0 && probeHamming <= 1,
@@ -91,10 +92,11 @@ object Similarity {
     // corpus-scale bucketed frame only while the verify join materializes
     // (eager localCheckpoint of the RESULT-scale pair frame), then release
     // — one corpus pass, and the returned frame references only the small
-    // checkpoint, never the cache.
-    val c = embeddings.select(col("vec_id"), col("embedding"),
+    // checkpoint, never the cache. `materialize = false` skips both and
+    // returns the full lazy plan (the plan-inspection hook).
+    val c0 = embeddings.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes).as("b0"))
-      .persist()
+    val c = if (materialize) c0.persist() else c0
     // probe expansion on ONE side only: pairing (x in bucket b) with
     // (y in b XOR bit) covers the Hamming-1 case once per pair
     val probeCols: Seq[Column] =
@@ -105,15 +107,18 @@ object Similarity {
       explode(array(probeCols: _*)).as("bucket"))
     val right = c.select(col("vec_id").as("d2"), col("embedding").as("e2"),
       col("b0").as("bucket"))
-    val pairs = left.join(right, Seq("bucket"))
+    val pairs0 = left.join(right, Seq("bucket"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         round(cosine(col("e1"), col("e2")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .dropDuplicates("d1", "d2")
-      .localCheckpoint() // eager: runs the blocked verify ONCE
-    c.unpersist()
-    pairs
+    if (!materialize) pairs0
+    else {
+      val pairs = pairs0.localCheckpoint() // eager: runs the verify ONCE
+      c.unpersist()
+      pairs
+    }
   }
 
   /** IVF (inverted-file) approximate top-k — the second classic ANN

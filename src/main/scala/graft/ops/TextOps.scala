@@ -179,18 +179,26 @@ object TextOps {
     * documents as (doc_id, text, n_kept); documents whose every line was
     * removed disappear.
     *
-    * Plan at 100 TB: one posexplode (narrow), one shuffle on the 128-bit
-    * line hash for the first-occurrence window (rank-1 selection — no
-    * accumulation, so a boilerplate line shared by a billion pages costs
-    * one partition's sort, not a skewed aggregation), one groupBy doc_id
-    * to reassemble. No all-pairs comparison anywhere. */
+    * SKEW-FREE at 100 TB by construction: the first occurrence per line is
+    * a min(struct(doc_id, idx)) HASH AGGREGATION on the line hash —
+    * map-side partial combine collapses a billion copies of a hot footer
+    * line to one row per task before the exchange (a window
+    * row_number over the hash would instead sort ALL copies in ONE
+    * task). The winner set is then LEFT SEMI joined back on the full
+    * (h, doc_id, idx) key — unique on both sides, so the join hashes
+    * uniformly no matter how hot any single line is. Short lines never
+    * enter the shuffle at all. */
   def lineDedup(docs: DataFrame, minLen: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
-    val w = Window.partitionBy(md5(col("line"))).orderBy("doc_id", "idx")
-    lines.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 || length(col("line")) < minLen)
+    val long = lines.filter(length(col("line")) >= minLen)
+      .withColumn("h", md5(col("line")))
+    val winners = long.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("doc_id"), col("w.idx").as("idx"))
+    val keptLong = long.join(winners, Seq("h", "doc_id", "idx"), "left_semi")
+      .drop("h")
+    keptLong.unionByName(lines.filter(length(col("line")) < minLen))
       .groupBy("doc_id")
       .agg(
         concat_ws("\n",

@@ -156,12 +156,13 @@ class StreamingSpec extends AnyFunSuite {
       pat(v("doc"), iri(ex + "source"), lit("src3"))))
     val stream = spark.readStream
       .schema(spark.read.parquet(dir).schema).parquet(dir)
+    spark.catalog.clearCache()
     val inc = Bgp.executeIncremental(spark, static, stream, q, streamedIdx = 0)
     assert(inc.isStreaming)
-    // the static solution is MATERIALIZED at build time (eager
-    // localCheckpoint): micro-batches probe a LogicalRDD, never replay
-    // the static BGP join chain per batch
-    assert(inc.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    // the static solution is PERSISTED (registered with the CacheManager
+    // at build time): micro-batches probe the cached relation instead of
+    // replaying the static BGP join chain per batch
+    assert(!spark.sharedState.cacheManager.isEmpty)
     val qh = inc.writeStream.format("memory").queryName("ibgp")
       .outputMode("append").start()
     qh.processAllAvailable()

@@ -121,4 +121,20 @@ class TextOpsSpec extends AnyFunSuite {
     val df = Seq("nothing matches here").toDF("text")
     assert(df.select(TextOps.predLang(col("text"))).head().getString(0) == "en")
   }
+  test("lineDedup keeps first corpus occurrence; short lines pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique first line one\nshared boilerplate footer line\n--"),
+      (2L, "unique second line two\nshared boilerplate footer line\n--"),
+      (3L, "shared boilerplate footer line")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 keeps everything (first occurrence of the footer)
+    assert(out(1L) == (("unique first line one\nshared boilerplate footer line\n--", 3L)))
+    // doc 2 loses the footer but keeps its unique line and the short "--"
+    assert(out(2L) == (("unique second line two\n--", 2L)))
+    // doc 3 was ONLY the footer -> disappears entirely
+    assert(!out.contains(3L))
+  }
+
 }

@@ -151,4 +151,24 @@ class WebKgSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("latestSnapshot keeps exactly the newest crawl per url") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.example.org/1", "2025-01-01 00:00:00", "old content"),
+      ("https://a.example.org/1", "2025-01-02 00:00:00", "new content"),
+      ("https://a.example.org/2", "2025-01-01 00:00:00", "only version"))
+      .toDF("url", "ts", "text")
+      .select(col("url"), col("ts").cast("timestamp").as("warc_ts"),
+        col("text").cast("binary").as("html"), col("text"), lit("en").as("lang"))
+    val out = WebKg.latestSnapshot(pages).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out == Map(
+      "https://a.example.org/1" -> "new content",
+      "https://a.example.org/2" -> "only version"))
+    // identical re-crawl duplicates (same ts, same bytes) collapse to one
+    val dup = WebKg.latestSnapshot(WebKg.synthesizeWebPages(docs, withDuplicates = true))
+    assert(dup.count() == docs.count())
+    assert(dup.groupBy("url").count().filter(col("count") > 1).isEmpty)
+  }
+
 }
