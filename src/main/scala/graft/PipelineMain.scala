@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Materialize, WebKg}
+
+/** Cluster entry point for the full KG construction job — the
+  * spark-submit deployment shape of the north rule (run it at N and at 4N
+  * executors for the scaling criterion; `tools/submit.sh` wraps the
+  * invocation, and `graft.Bench`'s interleaved local[N]/local[4N] pairs
+  * are the sandbox proxy for the same comparison).
+  *
+  * Stages: read the Common-Crawl-style page table (url, warc_ts, html,
+  * text, lang) -> keep the newest crawl per url -> extract triples (one
+  * codegen pass over the html) -> set-semantic dedup -> materialize the
+  * bucketed store with per-bucket lineage. RESUMABLE: a re-run with the
+  * same --out after a mid-write failure skips buckets the lineage table
+  * already records (Materialize.materialize's anti-join), so the job
+  * continues instead of restarting.
+  *
+  * No `.master(...)` here: spark-submit supplies the cluster manager,
+  * executor count, and memory — the session only carries job-level conf.
+  * Prints ONE JSON metrics line on success.
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val pages = opts.getOrElse("--pages",
+      sys.error("required: --pages <parquet dir of (url, warc_ts, html, text, lang)>"))
+    val out = opts.getOrElse("--out", sys.error("required: --out <store root>"))
+    val buckets = opts.getOrElse("--buckets", "64").toInt
+    val batchId = opts.getOrElse("--batch-id", "batch-000001")
+    // stop only a session WE created — getOrCreate may attach to a host
+    // process's session (tests, notebooks), which is not ours to kill
+    val preExisting =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = SparkSession.builder()
+      .appName("graft-kg-construct")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val t0 = System.nanoTime()
+    val snap = WebKg.latestSnapshot(spark.read.parquet(pages))
+    val triples = WebKg.dedupTriples(WebKg.extractFlat(snap))
+    val stats = Materialize.materialize(triples, out, buckets, batchId)
+    val agg = stats.agg(
+      coalesce(sum("n_triples"), lit(0L)).as("t"),
+      count(lit(1)).as("b")).head()
+    val (total, written) = (agg.getLong(0), agg.getLong(1))
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"pages":"$pages%s","out":"$out%s","batch_id":"$batchId%s","buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}""")
+    if (preExisting.isEmpty) spark.stop()
+  }
+}

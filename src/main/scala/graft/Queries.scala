@@ -268,6 +268,10 @@ object Queries {
     // LSH bucket, emitting candidate pairs as docs arrive. On a static
     // corpus (no bucket over the cap at this SF — verified) the pair set
     // equals the batch plan's, so dedup_minhash_lsh's oracle applies.
+    // Parity holds through sf0.01 (the driver's gate); at sf0.1 some
+    // buckets exceed stateCap and the two diverge BY DESIGN (batch drops
+    // an oversized bucket wholesale, streaming cannot retract
+    // already-emitted pairs — engine/Streaming.scala scaladoc).
     "stream_dedup_lsh" -> Q(
       (s, d) => {
         val dir = s"/tmp/graft_stream_lsh_${math.abs(d.hashCode)}"
