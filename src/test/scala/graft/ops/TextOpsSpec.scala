@@ -135,6 +135,12 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L) == (("unique second line two\n--", 2L)))
     // doc 3 was ONLY the footer -> disappears entirely
     assert(!out.contains(3L))
+    // skew-free shape: first-occurrence selection is an aggregation +
+    // unique-key semi-join — NO window operator anywhere in the plan (a
+    // window partitioned by the line hash would sort every copy of a hot
+    // boilerplate line in one task)
+    val plan = TextOps.lineDedup(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
   }
 
 }
