@@ -34,11 +34,14 @@ object PipelineMain {
     // process's session (tests, notebooks), which is not ours to kill
     val preExisting =
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-kg-construct")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit owns the master in deployment; SPARK_MASTER is the
+    // documented fallback for master-less local runs (sandbox, dev box)
+    val spark = sys.env.get("SPARK_MASTER")
+      .fold(builder)(builder.master).getOrCreate()
     val t0 = System.nanoTime()
     val snap = WebKg.latestSnapshot(spark.read.parquet(pages))
     val triples = WebKg.dedupTriples(WebKg.extractFlat(snap))
