@@ -40,6 +40,10 @@ object PipeProbe {
     time("scan+snapshot+extract") {
       WebKg.extractFlat(WebKg.latestSnapshot(p)).count()
     }
+    time("scan+snap(pruned)+extract") {
+      WebKg.extractFlat(WebKg.latestSnapshot(
+        p.select("url", "warc_ts", "html", "lang"))).count()
+    }
     time("scan+snap+extract+dedup") {
       WebKg.dedupTriples(WebKg.extractFlat(WebKg.latestSnapshot(p))).count()
     }
