@@ -472,6 +472,30 @@ object Queries {
              |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
              |  count(*) AS n_kept FROM k GROUP BY 1""".stripMargin)),
 
+    // PII redaction (emails + phone-like numbers -> typed placeholders,
+    // with per-doc audit counts): PII injected deterministically since
+    // the synthetic corpus has none; the oracle shares the EXACT pattern
+    // strings with the implementation (TextOps.emailPattern/phonePattern)
+    "text_pii_redact" -> Q(
+      (s, d) => TextOps.redactPii(t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com")))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit(" call +1 555 123 4567")))
+          .otherwise(col("text")).as("text"))),
+      Some(s"""WITH d AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' || doc_id || '@example.com'
+             |       WHEN doc_id % 4 = 1 THEN text || ' call +1 555 123 4567'
+             |       ELSE text END AS text FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(text,
+             |    '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+             |    '${TextOps.phonePattern}', '<PHONE>', 'g') AS text,
+             |  CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '${TextOps.phonePattern}')) AS INT) AS n_phones
+             |FROM d""".stripMargin)),
+
     "text_fingerprint" -> Q(
       (s, d) => TextOps.fingerprints(t(s, d, "documents")),
       Some("""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(

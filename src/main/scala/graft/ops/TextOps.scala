@@ -172,6 +172,29 @@ object TextOps {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(distinctTokens(col("text"))))).as("fp"))
 
+  /** Email pattern shared by redaction and counting (kept simple enough
+    * to behave identically under Java regex and RE2-family engines). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-ish pattern: international prefix optional, 9+ digits with
+    * common separators. */
+  val phonePattern = "\\+?[0-9][0-9()\\s.-]{7,}[0-9]"
+
+  /** PII redaction — the compliance stage of a web-scale training
+    * pipeline: emails and phone-like numbers replaced by typed
+    * placeholders, with per-document match counts for audit metrics.
+    * Pure Column projections (regexp_replace / regexp_extract_all), no
+    * shuffle, fully codegen'd. Output: (doc_id, text, n_emails,
+    * n_phones). */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>").as("text"),
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phonePattern), lit(0))).as("n_phones"))
+
   /** Corpus-wide LINE-level exact dedup — the C4/CCNet boilerplate-removal
     * primitive: a line of >= `minLen` chars survives only at its FIRST
     * corpus occurrence (smallest (doc_id, position)); shorter lines (menu
