@@ -23,28 +23,9 @@ object Bench {
     "text_line_dedup", "embed_cosine_topk", "rdf_bgp", "kg_extract",
     "kg_dedup", "kg_latest_crawl", "graph_pagerank")
 
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores * 2)
-      .config("spark.sql.adaptive.enabled", "true")
-      // keep AQE from coalescing below the core count (local-mode shuffles
-      // are small; on a real cluster the 64MB advisory size is right)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cores)
-      // Tungsten off-heap: hash-agg/shuffle pages out of the GC heap — a
-      // 32-thread dedup otherwise drowns in multi-second young collections
-      .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size", "24g")
-      // shuffle on tmpfs: isolates core-count scaling from the microVM's
-      // virtio-disk writeback jitter (a real cluster has per-node NVMe)
-      .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
+  private def session(cores: Int): SparkSession =
+    BenchSession.local(cores, s"graft-bench-$cores",
+      shufflePartitions = cores * 2, minPartitionNum = Some(cores))
 
   /** The KG construction job measured for scaling: replicate corpus ->
     * synthesize (×dups) -> extract -> set-semantic dedup -> count.

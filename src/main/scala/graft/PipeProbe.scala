@@ -14,17 +14,8 @@ object PipeProbe {
   def main(args: Array[String]): Unit = {
     val pages = args.headOption.getOrElse("/tmp/stress_pages.parquet")
     val cores = args.lift(1).map(_.toInt).getOrElse(32)
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size", "24g")
-      .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = BenchSession.local(cores, s"pipeprobe-$cores",
+      shufflePartitions = cores)
     def time(name: String)(mk: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = mk
@@ -33,7 +24,7 @@ object PipeProbe {
     val p = spark.read.parquet(pages)
     time("scan(count-only)") { p.count() }
     time("scan+decode(html bytes)") {
-      p.agg(sum(length(col("html")))).head().getLong(0)
+      p.agg(coalesce(sum(length(col("html"))), lit(0L))).head().getLong(0)
     }
     time("scan+snapshot") { WebKg.latestSnapshot(p).count() }
     time("scan+extract(no snapshot)") { WebKg.extractFlat(p).count() }

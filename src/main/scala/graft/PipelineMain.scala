@@ -23,13 +23,37 @@ import graft.pipeline.{Materialize, WebKg}
   * Prints ONE JSON metrics line on success.
   */
 object PipelineMain {
+  private val knownFlags =
+    Set("--pages", "--out", "--buckets", "--batch-id")
+
+  /** STRICT parse: an unknown flag, a typo, or a dangling flag must abort
+    * the job, never silently run with defaults. */
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
+    if (args.length % 2 != 0)
+      sys.error(s"dangling argument: '${args.last}' (flags take one value)")
+    val opts = args.grouped(2).map { case Array(k, v) => k -> v }.toMap
+    val unknown = opts.keySet -- knownFlags
+    if (unknown.nonEmpty)
+      sys.error(s"unknown flag(s): ${unknown.mkString(", ")} " +
+        s"(known: ${knownFlags.toSeq.sorted.mkString(", ")})")
+    opts
+  }
+
+  private def jsonStr(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val opts = parseArgs(args)
     val pages = opts.getOrElse("--pages",
       sys.error("required: --pages <parquet dir of (url, warc_ts, html, text, lang)>"))
     val out = opts.getOrElse("--out", sys.error("required: --out <store root>"))
     val buckets = opts.getOrElse("--buckets", "64").toInt
-    val batchId = opts.getOrElse("--batch-id", "batch-000001")
+    // default batch id is unique per invocation: a crashed run resumed
+    // with the same command must NOT share the first run's id, or the
+    // returned lineage (filtered by batch id) would count the crashed
+    // run's buckets as this run's and inflate triples_per_sec
+    val batchId = opts.getOrElse("--batch-id",
+      f"batch-${System.currentTimeMillis}%013d")
     // stop only a session WE created — getOrCreate may attach to a host
     // process's session (tests, notebooks), which is not ours to kill
     val preExisting =
@@ -57,7 +81,7 @@ object PipelineMain {
       count(lit(1)).as("b")).head()
     val (total, written) = (agg.getLong(0), agg.getLong(1))
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"pages":"$pages%s","out":"$out%s","batch_id":"$batchId%s","buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}""")
+    println(f"""{"pages":"${jsonStr(pages)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}""")
     if (preExisting.isEmpty) spark.stop()
   }
 }

@@ -487,14 +487,15 @@ object Queries {
       Some(s"""WITH d AS (SELECT doc_id,
              |  CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' || doc_id || '@example.com'
              |       WHEN doc_id % 4 = 1 THEN text || ' call +1 555 123 4567'
-             |       ELSE text END AS text FROM documents)
+             |       ELSE text END AS text FROM documents),
+             |e AS (SELECT doc_id, text,
+             |  regexp_replace(text, '${TextOps.emailPattern}', '<EMAIL>', 'g') AS et
+             |  FROM d)
              |SELECT doc_id,
-             |  regexp_replace(regexp_replace(text,
-             |    '${TextOps.emailPattern}', '<EMAIL>', 'g'),
-             |    '${TextOps.phonePattern}', '<PHONE>', 'g') AS text,
+             |  regexp_replace(et, '${TextOps.phonePattern}', '<PHONE>', 'g') AS text,
              |  CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}')) AS INT) AS n_emails,
-             |  CAST(len(regexp_extract_all(text, '${TextOps.phonePattern}')) AS INT) AS n_phones
-             |FROM d""".stripMargin)),
+             |  CAST(len(regexp_extract_all(et, '${TextOps.phonePattern}')) AS INT) AS n_phones
+             |FROM e""".stripMargin)),
 
     "text_fingerprint" -> Q(
       (s, d) => TextOps.fingerprints(t(s, d, "documents")),

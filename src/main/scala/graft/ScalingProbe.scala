@@ -13,23 +13,8 @@ object ScalingProbe {
     val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATION", "512").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (cores <- coreList) {
-      val spark = SparkSession.builder()
-        .master(s"local[$cores]")
-        .appName(s"probe-$cores")
-        .config("spark.sql.shuffle.partitions", cores * 2)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cores)
-      // Tungsten off-heap: hash-agg/shuffle pages out of the GC heap — a
-      // 32-thread dedup otherwise drowns in multi-second young collections
-      .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size", "24g")
-      // shuffle on tmpfs: isolates core-count scaling from the microVM's
-      // virtio-disk writeback jitter (a real cluster has per-node NVMe)
-      .config("spark.local.dir", "/dev/shm/graft-spark")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
+      val spark = BenchSession.local(cores, s"probe-$cores",
+        shufflePartitions = cores * 2, minPartitionNum = Some(cores))
       val docs = WebKg.replicateDocs(
         spark.read.parquet(s"$sfDir/documents.parquet"), k)
       for (i <- 1 to 5) {

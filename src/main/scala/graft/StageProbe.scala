@@ -14,18 +14,8 @@ object StageProbe {
     val k = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATION", "512").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (cores <- coreList) {
-      val spark = SparkSession.builder()
-        .master(s"local[$cores]")
-        .config("spark.sql.shuffle.partitions", cores * 2)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cores)
-        .config("spark.memory.offHeap.enabled", "true")
-        .config("spark.memory.offHeap.size", "24g")
-        .config("spark.local.dir", "/dev/shm/graft-spark")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
+      val spark = BenchSession.local(cores, s"stageprobe-$cores",
+        shufflePartitions = cores * 2, minPartitionNum = Some(cores))
       val docs = WebKg.replicateDocs(
         spark.read.parquet(s"$sfDir/documents.parquet"), k)
       def time(label: String)(body: => Long): Unit = {

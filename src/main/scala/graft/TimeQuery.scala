@@ -15,17 +15,8 @@ object TimeQuery {
     val sfDir = args.lift(2).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cores = args.lift(3).map(_.toInt).getOrElse(32)
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size", "24g")
-      .config("spark.local.dir", "/dev/shm/graft-spark")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = BenchSession.local(cores, s"timequery-$cores",
+      shufflePartitions = cores)
     val fn = SparkEntry.queries(name)
     var last: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to repeats) {

@@ -183,17 +183,20 @@ object TextOps {
   /** PII redaction — the compliance stage of a web-scale training
     * pipeline: emails and phone-like numbers replaced by typed
     * placeholders, with per-document match counts for audit metrics.
-    * Pure Column projections (regexp_replace / regexp_extract_all), no
-    * shuffle, fully codegen'd. Output: (doc_id, text, n_emails,
-    * n_phones). */
-  def redactPii(docs: DataFrame): DataFrame =
+    * Counts reflect what was ACTUALLY replaced: emails counted on the
+    * raw text (they redact first), phones on the email-redacted text —
+    * digits consumed into an `<EMAIL>` placeholder never masquerade as a
+    * redacted phone in the audit numbers. Pure Column projections
+    * (regexp_replace / regexp_extract_all), no shuffle, fully codegen'd.
+    * Output: (doc_id, text, n_emails, n_phones). */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val emailRedacted = regexp_replace(col("text"), emailPattern, "<EMAIL>")
     docs.select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(col("text"), emailPattern, "<EMAIL>"),
-        phonePattern, "<PHONE>").as("text"),
+      regexp_replace(emailRedacted, phonePattern, "<PHONE>").as("text"),
       size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(phonePattern), lit(0))).as("n_phones"))
+      size(regexp_extract_all(emailRedacted, lit(phonePattern), lit(0))).as("n_phones"))
+  }
 
   /** Corpus-wide LINE-level exact dedup — the C4/CCNet boilerplate-removal
     * primitive: a line of >= `minLen` chars survives only at its FIRST

@@ -17,7 +17,11 @@ EXECUTOR_CORES="${EXECUTOR_CORES:-4}"
 EXECUTOR_MEMORY="${EXECUTOR_MEMORY:-8g}"
 
 sbt -batch package
-JAR=$(ls target/scala-2.13/rdfexspark*.jar target/scala-2.13/*_2.13*.jar 2>/dev/null | head -1)
+# newest-mtime jar, glob-safe under pipefail (an unmatched glob must not
+# kill the script, and an old version must never be submitted silently)
+JAR=$(find target/scala-2.13 -maxdepth 1 -name '*.jar' -printf '%T@ %p\n' \
+  | sort -rn | head -1 | cut -d' ' -f2-)
+[ -n "$JAR" ] || { echo "no jar found under target/scala-2.13" >&2; exit 1; }
 
 exec spark-submit \
   --class graft.PipelineMain \
