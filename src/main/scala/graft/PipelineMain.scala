@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Materialize, WebKg}
 
@@ -10,33 +10,62 @@ import graft.pipeline.{Materialize, WebKg}
   * invocation, and `graft.Bench`'s interleaved local[N]/local[4N] pairs
   * are the sandbox proxy for the same comparison).
   *
-  * Stages: read the Common-Crawl-style page table (url, warc_ts, html,
-  * text, lang) -> keep the newest crawl per url -> extract triples (one
-  * codegen pass over the html) -> set-semantic dedup -> materialize the
-  * bucketed store with per-bucket lineage. RESUMABLE: a re-run with the
-  * same --out after a mid-write failure skips buckets the lineage table
-  * already records (Materialize.materialize's anti-join), so the job
-  * continues instead of restarting.
+  * Stages (the north rule's composed pipeline): read the Common-Crawl-style
+  * page table (url, warc_ts, html, text, lang) -> keep the newest crawl per
+  * url (snapshot) -> extract triples (one codegen pass over the html) ->
+  * OPTIONAL `--canonicalize` (RDF 1.1 IRI percent-encoding normalization,
+  * narrow pass) -> OPTIONAL `--link <dict-parquet>` (two-stage fuzzy entity
+  * linking against a (surface, entity) dictionary, distribution
+  * auto-selected: broadcast for vocabulary-scale dictionaries, shuffled
+  * big-dict plan above `--link-broadcast-max` surfaces) -> set-semantic
+  * dedup -> materialize the bucketed store with per-bucket lineage.
+  * RESUMABLE: a re-run with the same --out after a mid-write failure skips
+  * buckets the lineage table already records (Materialize.materialize's
+  * anti-join), so the job continues instead of restarting.
+  *
+  * `--compact-src <root>` switches to COMPACTION mode: roll an
+  * increment-managed store (batch_id/bucket layout, written by
+  * Materialize.materializeIncrement) into a fresh snapshot-managed store at
+  * --out with global cross-batch set-semantic dedup — the operational entry
+  * for the streaming/incremental path.
   *
   * No `.master(...)` here: spark-submit supplies the cluster manager,
   * executor count, and memory — the session only carries job-level conf.
-  * Prints ONE JSON metrics line on success.
+  * Prints ONE JSON metrics line on success, with per-stage wall times in
+  * `stages` (stages without their own action fuse into the materialize
+  * action — Spark is lazy — and are reported fused; eager boundaries exist
+  * only where the plan needs them anyway: the snapshot is persisted when
+  * linking because two consumers read it, and the link stage checkpoints
+  * its result-scale mention triples).
   */
 object PipelineMain {
-  private val knownFlags =
-    Set("--pages", "--out", "--buckets", "--batch-id")
+  private val valueFlags = Set("--pages", "--out", "--buckets", "--batch-id",
+    "--link", "--link-threshold", "--link-broadcast-max", "--compact-src")
+  private val boolFlags = Set("--canonicalize")
 
-  /** STRICT parse: an unknown flag, a typo, or a dangling flag must abort
-    * the job, never silently run with defaults. */
+  /** STRICT parse: an unknown flag, a typo, a duplicated flag, a dangling
+    * flag, or a flag-like token in value position must abort the job, never
+    * silently run with defaults. */
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
-    if (args.length % 2 != 0)
-      sys.error(s"dangling argument: '${args.last}' (flags take one value)")
-    val opts = args.grouped(2).map { case Array(k, v) => k -> v }.toMap
-    val unknown = opts.keySet -- knownFlags
-    if (unknown.nonEmpty)
-      sys.error(s"unknown flag(s): ${unknown.mkString(", ")} " +
-        s"(known: ${knownFlags.toSeq.sorted.mkString(", ")})")
-    opts
+    val opts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      if (!valueFlags.contains(k) && !boolFlags.contains(k))
+        sys.error(s"unknown flag: '$k' " +
+          s"(known: ${(valueFlags ++ boolFlags).toSeq.sorted.mkString(", ")})")
+      if (opts.contains(k)) sys.error(s"duplicate flag: '$k'")
+      if (boolFlags.contains(k)) { opts(k) = "true"; i += 1 }
+      else {
+        if (i + 1 >= args.length)
+          sys.error(s"dangling flag: '$k' (takes one value)")
+        val v = args(i + 1)
+        if (v.startsWith("--"))
+          sys.error(s"flag '$k' expects a value, got flag-like token '$v'")
+        opts(k) = v; i += 2
+      }
+    }
+    opts.toMap
   }
 
   private def jsonStr(s: String): String =
@@ -44,8 +73,6 @@ object PipelineMain {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
-    val pages = opts.getOrElse("--pages",
-      sys.error("required: --pages <parquet dir of (url, warc_ts, html, text, lang)>"))
     val out = opts.getOrElse("--out", sys.error("required: --out <store root>"))
     val buckets = opts.getOrElse("--buckets", "64").toInt
     // default batch id is unique per invocation: a crashed run resumed
@@ -54,6 +81,15 @@ object PipelineMain {
     // run's buckets as this run's and inflate triples_per_sec
     val batchId = opts.getOrElse("--batch-id",
       f"batch-${System.currentTimeMillis}%013d")
+    val compactSrc = opts.get("--compact-src")
+    val pagesOpt = opts.get("--pages")
+    if (compactSrc.isEmpty && pagesOpt.isEmpty)
+      sys.error("required: --pages <parquet dir of (url, warc_ts, html, text, lang)> " +
+        "or --compact-src <increment store root>")
+    if (compactSrc.nonEmpty &&
+        (pagesOpt.nonEmpty || opts.contains("--link") || opts.contains("--canonicalize")))
+      sys.error("--compact-src is a mode of its own: " +
+        "--pages/--link/--canonicalize do not apply")
     // stop only a session WE created — getOrCreate may attach to a host
     // process's session (tests, notebooks), which is not ours to kill
     val preExisting =
@@ -66,22 +102,90 @@ object PipelineMain {
     // documented fallback for master-less local runs (sandbox, dev box)
     val spark = sys.env.get("SPARK_MASTER")
       .fold(builder)(builder.master).getOrCreate()
+
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[T](name: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      stages(name) = (System.nanoTime() - t) / 1e9; r
+    }
+
     val t0 = System.nanoTime()
-    // prune BEFORE the snapshot: extraction derives everything from the
-    // html, so the redundant pre-extracted text column must not ride
-    // through the snapshot aggregation's buffers (nested-field pruning
-    // does not reach into the max_by struct; measured 2.6x on the
-    // snapshot+extract stage — PipeProbe)
-    val snap = WebKg.latestSnapshot(
-      spark.read.parquet(pages).select("url", "warc_ts", "html", "lang"))
-    val triples = WebKg.dedupTriples(WebKg.extractFlat(snap))
-    val stats = Materialize.materialize(triples, out, buckets, batchId)
+    val stats = compactSrc match {
+      case Some(src) =>
+        timed("compact") {
+          Materialize.compact(spark, src, out, buckets, batchId)
+        }
+      case None =>
+        val pages = pagesOpt.get
+        val doLink = opts.contains("--link")
+        // prune BEFORE the snapshot: extraction derives everything from the
+        // html, so the redundant pre-extracted text column must not ride
+        // through the snapshot aggregation's buffers (nested-field pruning
+        // does not reach into the max_by struct; measured 2.6x on the
+        // snapshot+extract stage — PipeProbe)
+        val snap0 = WebKg.latestSnapshot(
+          spark.read.parquet(pages).select("url", "warc_ts", "html", "lang"))
+        // linking adds a SECOND consumer of the snapshot (extraction reads
+        // the html, linking reads the extracted text) — persist it so the
+        // page table is scanned and snapshot-aggregated once, spilling to
+        // disk rather than recomputing at 100 TB; without --link the
+        // snapshot stays fully fused into the materialize action
+        val snap = if (doLink)
+          snap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else snap0
+        try {
+          if (doLink) timed("snapshot")(snap.count())
+          val extracted0 = WebKg.extractFlat(snap)
+          // RDF 1.1 IRI canonicalization is a narrow per-row pass — it
+          // fuses into the downstream action, so it carries no own timing
+          val extracted =
+            if (opts.contains("--canonicalize")) WebKg.canonicalizeFlat(extracted0)
+            else extracted0
+          val withMentions = opts.get("--link") match {
+            case Some(dictPath) =>
+              val dict = spark.read.parquet(dictPath).select("surface", "entity")
+              val threshold = opts.getOrElse("--link-threshold", "0.5").toDouble
+              // distribution auto-select: a vocabulary-scale dictionary
+              // broadcasts (zero shuffle on the dictionary side); one that
+              // exceeds the cap streams through shuffled joins (the
+              // big-dict plan — hinted shuffle_merge so AQE can't
+              // re-broadcast it). The count is a metadata-scale action on
+              // the dictionary table only.
+              val bcastMax = opts.getOrElse("--link-broadcast-max", "200000").toLong
+              val bcast = dict.count() <= bcastMax
+              val mentions = timed("link") {
+                WebKg.entityLinkFuzzyDF(
+                  snap.select(col("url").as("doc_id"), WebKg.extractedText.as("text")),
+                  dict, threshold = threshold, broadcastDict = bcast,
+                  subjectOf = identity)
+                  .select("s", "p", "o")
+                  // eager, result-scale (one row per (page, entity)): gives
+                  // the link stage a true timing boundary and keeps the
+                  // downstream union plan lineage-free
+                  .localCheckpoint()
+              }
+              val canonMentions =
+                if (opts.contains("--canonicalize")) WebKg.canonicalizeFlat(mentions)
+                else mentions
+              extracted.unionByName(canonMentions)
+            case None => extracted
+          }
+          val triples = WebKg.dedupTriples(withMentions)
+          timed("materialize") {
+            Materialize.materialize(triples, out, buckets, batchId)
+          }
+        } finally if (doLink) snap.unpersist()
+    }
     val agg = stats.agg(
       coalesce(sum("n_triples"), lit(0L)).as("t"),
       count(lit(1)).as("b")).head()
     val (total, written) = (agg.getLong(0), agg.getLong(1))
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"pages":"${jsonStr(pages)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}""")
+    val stagesJson = stages.map { case (k, v) => f""""$k%s":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val src = compactSrc.orElse(pagesOpt).get
+    val mode = if (compactSrc.nonEmpty) "compact" else "construct"
+    println(f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}""")
     if (preExisting.isEmpty) spark.stop()
   }
 }

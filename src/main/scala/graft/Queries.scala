@@ -596,8 +596,8 @@ object Queries {
              |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
              |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT 8)),
              |ac AS (SELECT c.vec_id, c.e, cents.cell,
-             |  list_dot_product(c.e, cents.ce) /
-             |    (sqrt(list_dot_product(c.e,c.e)) * sqrt(list_dot_product(cents.ce,cents.ce))) AS cs
+             |  round(list_dot_product(c.e, cents.ce) /
+             |    (sqrt(list_dot_product(c.e,c.e)) * sqrt(list_dot_product(cents.ce,cents.ce))), 6) AS cs
              |  FROM c, cents),
              |assigned AS (SELECT vec_id, e, cell FROM
              |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
@@ -1373,7 +1373,7 @@ object Queries {
 
   /** Embedding corpus with 10% injected duplicate rows (deterministic:
     * vec_id % 10 == 0 re-appears as vec_id + 100000). */
-  private def embDupCorpus(e: DataFrame): DataFrame =
+  private[graft] def embDupCorpus(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"))
       .unionAll(e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))

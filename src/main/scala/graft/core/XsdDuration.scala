@@ -184,8 +184,13 @@ object XsdDuration {
         (BigDecimal(dDays) * 86400 + ds).signum
       }
       if (signs.forall(_ > 0)) Some(1)
+      // ma != mb here: XSD 1.1 defines duration EQUALITY componentwise
+      // (months, seconds), so two distinct values whose month difference
+      // is a whole number of 400-year cycles with compensating seconds
+      // (P400Y vs P146097D: 4800 months = 146097 days from every
+      // reference) are order-indeterminate, not equal — all-zero signs
+      // must yield None, never Some(0)
       else if (signs.forall(_ < 0)) Some(-1)
-      else if (signs.forall(_ == 0)) Some(0)
       else None
     }
   }

@@ -191,6 +191,35 @@ object Bgp {
   def executeIncremental(spark: SparkSession, staticTriples: DataFrame,
                          stream: DataFrame, bgp: Pattern,
                          streamedIdx: Int): DataFrame = {
+    val (df, release) =
+      executeIncrementalReleasable(spark, staticTriples, stream, bgp, streamedIdx)
+    // auto-release: unpersist the static-solution cache once the session's
+    // streaming activity quiesces (a termination event with no remaining
+    // active query). Conservative in multi-query sessions — an unrelated
+    // long-lived query delays release — but never unsafe: unpersist only
+    // ever costs recompute. Callers needing deterministic release use
+    // executeIncrementalReleasable directly.
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (spark.streams.active.isEmpty) {
+          release()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    df
+  }
+
+  /** [[executeIncremental]] with an explicit cache-release handle: the
+    * static solution is persisted (it is re-probed every micro-batch), and
+    * the second element unpersists it — call it after stopping the
+    * consuming streaming query. Idempotent. */
+  def executeIncrementalReleasable(spark: SparkSession, staticTriples: DataFrame,
+                                   stream: DataFrame, bgp: Pattern,
+                                   streamedIdx: Int): (DataFrame, () => Unit) = {
     require(stream.isStreaming, "stream side must be a streaming DataFrame")
     require(streamedIdx >= 0 && streamedIdx < bgp.patterns.size)
     val pStream = bgp.patterns(streamedIdx)
@@ -202,7 +231,8 @@ object Bgp {
     val streamProjected = pStream.vars.distinct.sorted.filterNot(_.startsWith("_"))
     require(streamProjected.nonEmpty,
       "streamed pattern must bind a non-hidden variable")
-    if (rest.isEmpty) streamSc.select(streamProjected.map(col): _*)
+    if (rest.isEmpty)
+      (streamSc.select(streamProjected.map(col): _*), () => ())
     else {
       // join against the UNPROJECTED static solution: hidden (_-prefixed)
       // variables shared with the streamed pattern must participate as
@@ -215,8 +245,8 @@ object Bgp {
       // (MEMORY_AND_DISK), NOT localCheckpoint: checkpoint blocks are
       // executor-local with truncated lineage, so one executor loss hours
       // into the stream would kill the query unrecoverably, while cached
-      // partitions recompute. The cache lives as long as the streaming
-      // query needs it (first batch materializes it).
+      // partitions recompute. Released via the returned handle (or the
+      // quiesce listener in executeIncremental).
       val staticSol = staticRaw.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shared = pStream.vars.distinct.filter(solvedStatic)
@@ -225,7 +255,7 @@ object Bgp {
         else streamSc.crossJoin(staticSol.drop("__exists"))
       val projected = (pStream.vars ++ solvedStatic)
         .distinct.sorted.filterNot(_.startsWith("_"))
-      joined.select(projected.map(col): _*)
+      (joined.select(projected.map(col): _*), () => { staticSol.unpersist(); () })
     }
   }
 }

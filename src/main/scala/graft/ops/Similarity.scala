@@ -140,9 +140,13 @@ object Similarity {
       .withColumn("cell", row_number().over(Window.orderBy("cent_seed")) - 1)
       .drop("cent_seed")
     def nearestCells(df: DataFrame, idCol: String, eCol: String, n: Int): DataFrame = {
+      // round the cell-ranking cosine to 6 dp: engine-level FP summation-
+      // order differences (~1e-12) near a cell-assignment tie must not be
+      // able to flip the rank-1 cell between this plan and a recomputing
+      // oracle — ties at 6 dp break deterministically on cell id
       val scored = df.crossJoin(broadcast(cents))
         .select(col(idCol), col(eCol),
-          col("cell"), cosine(col(eCol), col("ce")).as("__cs"))
+          col("cell"), round(cosine(col(eCol), col("ce")), 6).as("__cs"))
       val w = Window.partitionBy(idCol).orderBy(col("__cs").desc, col("cell"))
       scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
         .drop("__rn", "__cs")

@@ -169,6 +169,29 @@ object WebKg {
     * full triple key (AQE handles skewed predicates). */
   def dedupTriples(triples: DataFrame): DataFrame = triples.dropDuplicates()
 
+  private val pctNormUdf = udf((s: String) => Iri.normalizePercentEncoding(s))
+
+  /** The north star's RDF 1.1 canonicalization stage over FLAT string
+    * triples: percent-encoding normalization of every IRI position
+    * (pct-triplets uppercased, unreserved octets decoded — RFC 3986 §6.2.2
+    * via [[Iri.normalizePercentEncoding]]) as a narrow per-row pass, no
+    * shuffle. Codegen fast path: rows without a '%' (the overwhelming
+    * majority of web urls) never leave whole-stage codegen; only
+    * pct-bearing IRIs hit the UDF. Literal objects pass through untouched —
+    * extraction already emits canonical lexical forms (xsd:dateTime via
+    * date_format, md5 hex). Blank nodes cannot occur here: `extractFlat`
+    * emits skolemized IRI identity by construction (the north star replaces
+    * bnodes with salted 128-bit hashes); TERM graphs with bnodes
+    * canonicalize via [[graft.engine.Graphs.canonicalizeDataset]] /
+    * `canonicalizePerGroup`. */
+  def canonicalizeFlat(triples: DataFrame): DataFrame = {
+    def norm(c: Column) = when(c.contains("%"), pctNormUdf(c)).otherwise(c)
+    val oIsIri = col("p").isin(pType, pLink, pMentions)
+    triples
+      .withColumn("s", norm(col("s")))
+      .withColumn("o", when(oIsIri, norm(col("o"))).otherwise(col("o")))
+  }
+
   /** RE-CRAWL snapshot selection: keep the NEWEST crawl of every url —
     * the first thing a pipeline over a continuously re-crawled web table
     * runs before extraction (the north star's 10% re-crawl duplicates).
@@ -263,15 +286,20 @@ object WebKg {
     * grows tomorrow. */
   def entityLinkFuzzyDF(docs: DataFrame, dictionary: DataFrame,
                         threshold: Double = 0.5,
-                        broadcastDict: Boolean = true): DataFrame = {
+                        broadcastDict: Boolean = true,
+                        subjectOf: Column => Column =
+                          id => concat(lit(docNs), id)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = fuzzyScored(docs, dictionary, threshold, broadcastDict,
       materialize = true)
     val wnd = Window.partitionBy("doc_id", "w").orderBy(col("jac").desc, col("entity"))
     val resolved = scored.withColumn("rn", row_number().over(wnd)).filter(col("rn") === 1)
+    // subjectOf maps the doc key to the emitted subject IRI — the default
+    // wraps a numeric doc_id in the doc namespace; the deployment pipeline
+    // passes identity because its doc key IS the page url
     resolved.groupBy(col("doc_id"), col("entity"))
       .agg(countDistinct(col("w")).as("n_mentions"), round(max(col("jac")), 6).as("top_jac"))
-      .select(concat(lit(docNs), col("doc_id")).as("s"),
+      .select(subjectOf(col("doc_id")).as("s"),
         lit(pMentions).as("p"), col("entity").as("o"),
         col("n_mentions"), col("top_jac"))
   }

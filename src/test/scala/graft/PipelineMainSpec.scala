@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.pipeline.WebKg
+import graft.pipeline.{Materialize, WebKg}
 
 class PipelineMainSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
@@ -11,15 +11,18 @@ class PipelineMainSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false").getOrCreate()
 
-  test("PipelineMain runs the full job end-to-end and is resumable") {
+  private def docsDf = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_pm").toString
-    val docs = Seq(
+    Seq(
       (0L, "alpha beta gamma", "en", "src0", 16L),
       (1L, "delta epsilon zeta", "fr", "src1", 18L),
       (2L, "eta theta iota", "de", "src0", 14L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    WebKg.synthesizeWebPages(docs, withDuplicates = true)
+  }
+
+  test("PipelineMain runs the full job end-to-end and is resumable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm").toString
+    WebKg.synthesizeWebPages(docsDf, withDuplicates = true)
       .write.mode("overwrite").parquet(s"$dir/pages")
     // getOrCreate inside main reuses this suite's local session
     PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
@@ -35,5 +38,93 @@ class PipelineMainSpec extends AnyFunSuite {
     PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
       "--buckets", "4", "--batch-id", "t2"))
     assert(spark.read.parquet(s"$dir/store/data").count() == data.count())
+  }
+
+  test("stage flags: --canonicalize and --link compose into the store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_stages").toString
+    WebKg.synthesizeWebPages(docsDf).write.mode("overwrite").parquet(s"$dir/pages")
+    // dictionary with an exact surface and a fuzzy variant target
+    Seq(("alpha", "http://graft.dev/entity/alpha"),
+        ("epsilon", "http://graft.dev/entity/epsilon"),
+        ("missingno", "http://graft.dev/entity/none"))
+      .toDF("surface", "entity").write.mode("overwrite").parquet(s"$dir/dict")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
+      "--buckets", "4", "--batch-id", "s1",
+      "--canonicalize", "--link", s"$dir/dict"))
+    val data = spark.read.parquet(s"$dir/store/data")
+    // extraction triples still present
+    assert(data.filter(col("p") === WebKg.pType).count() == 3)
+    // mention triples landed, keyed by the page URL (subjectOf = identity)
+    val mentions = data.filter(col("p") === WebKg.pMentions)
+      .select("s", "o").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mentions.contains(
+      ("https://src0.example.org/doc/0", "http://graft.dev/entity/alpha")))
+    assert(mentions.contains(
+      ("https://src1.example.org/doc/1", "http://graft.dev/entity/epsilon")))
+    assert(!mentions.exists(_._2 == "http://graft.dev/entity/none"))
+    // mention subjects join back to extraction subjects (one store, one KG)
+    val urls = data.filter(col("p") === WebKg.pType).select("s").distinct()
+    assert(data.filter(col("p") === WebKg.pMentions)
+      .join(urls, "s").count() == mentions.size)
+  }
+
+  test("--canonicalize percent-normalizes IRIs in the store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_canon").toString
+    // a page whose url carries a non-canonical pct-triplet (%7e = '~') and
+    // an uppercase-hex-needed one (%3f stays encoded but uppercases)
+    Seq(("https://src0.example.org/doc/a%7eb%3fc",
+         java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
+         "<html><head><title>T</title></head><body><p>x</p><a href=\"/doc/1\">n</a></body></html>"
+           .getBytes("UTF-8"),
+         "x", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/pages")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
+      "--buckets", "2", "--canonicalize"))
+    val subjects = spark.read.parquet(s"$dir/store/data")
+      .select("s").distinct().as[String].collect().toSet
+    assert(subjects == Set("https://src0.example.org/doc/a~b%3Fc"))
+  }
+
+  test("--compact-src rolls an increment store into a deduped snapshot store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_compact").toString
+    val t1 = Seq(("http://e/a", "http://e/p", "1"), ("http://e/b", "http://e/p", "2"))
+      .toDF("s", "p", "o")
+    val t2 = Seq(("http://e/a", "http://e/p", "1"), ("http://e/c", "http://e/p", "3"))
+      .toDF("s", "p", "o") // cross-batch duplicate of (a,p,1)
+    Materialize.materializeIncrement(t1, s"$dir/inc", 2, "b1")
+    Materialize.materializeIncrement(t2, s"$dir/inc", 2, "b2")
+    PipelineMain.main(Array("--compact-src", s"$dir/inc", "--out", s"$dir/snap",
+      "--buckets", "2", "--batch-id", "c1"))
+    val data = spark.read.parquet(s"$dir/snap/data")
+    assert(data.count() == 3) // global cross-batch dedup
+    // the compacted store serves point lookups (bucket-pruned)
+    val hit = Materialize.lookupSubject(spark, s"$dir/snap", "http://e/a", 2)
+    assert(hit.select("o").as[String].collect().toSeq == Seq("1"))
+    // compact mode rejects construct-mode stages
+    val e = intercept[RuntimeException](PipelineMain.main(Array(
+      "--compact-src", s"$dir/inc", "--out", s"$dir/snap2", "--canonicalize")))
+    assert(e.getMessage.contains("mode of its own"))
+  }
+
+  test("parseArgs is strict: unknown/duplicate/dangling flags and flag-like values abort") {
+    assert(PipelineMain.parseArgs(Array("--pages", "p", "--canonicalize",
+      "--out", "o"))("--canonicalize") == "true")
+    val unknown = intercept[RuntimeException](
+      PipelineMain.parseArgs(Array("--pagez", "p")))
+    assert(unknown.getMessage.contains("unknown flag"))
+    val dup = intercept[RuntimeException](
+      PipelineMain.parseArgs(Array("--pages", "a", "--pages", "b")))
+    assert(dup.getMessage.contains("duplicate flag"))
+    val dangling = intercept[RuntimeException](
+      PipelineMain.parseArgs(Array("--pages")))
+    assert(dangling.getMessage.contains("dangling flag"))
+    // a missing value must NOT silently consume the next flag as its value
+    val flagVal = intercept[RuntimeException](
+      PipelineMain.parseArgs(Array("--pages", "--out", "o")))
+    assert(flagVal.getMessage.contains("flag-like token"))
   }
 }

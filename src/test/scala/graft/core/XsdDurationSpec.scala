@@ -90,6 +90,13 @@ class XsdDurationSpec extends AnyFunSuite {
     assert(cmp("P2M", "P62D").isEmpty)  // equal starting at 1903-07-01
     assert(cmp("P2M", "P63D").contains(-1))
     assert(cmp("-P2M", "-P57D").contains(-1))
+    // DISTINCT values equal from all four references stay indeterminate,
+    // not equal: XSD 1.1 equality is componentwise (months, seconds), and
+    // P400Y vs P146097D differ componentwise even though 4800 months is
+    // exactly 146097 days from every Gregorian starting instant
+    assert(cmp("P400Y", "P146097D").isEmpty)
+    assert(cmp("P400Y", "P4800M").contains(0)) // componentwise-equal stays 0
+    assert(cmp("P800Y", "P292194D").isEmpty)   // two cycles, same rule
   }
 
   test("property: canonical form is a fixpoint and value-preserving (2000 random durations)") {
