@@ -1203,6 +1203,57 @@ object Queries {
              |  'http://graft.dev/vocab#knows,http://graft.dev/vocab#lang' AS preds
              |FROM documents""".stripMargin)),
 
+    // WHOLE-DATASET RDFC (canonicalize/2, canonicalization.ex:50-52) where
+    // bnodes are NOT pre-partitioned by document: each doc's bnode links to
+    // a HUB bnode shared by its residue class (doc_id % 50), so components
+    // span ~1/50th of the corpus and cross every document boundary. The
+    // oracle recomputes the component structure in SQL: component id = min
+    // original label ('a'||doc_id sorts under 'h'||k), label set =
+    // md5(comp).take(16)-c14n{0..ndocs}, plus byte-exact non-bnode parts.
+    // WHICH label lands on which bnode is covered by determinism/
+    // isomorphism assertions in GraphsSpec + the rdf-canon W3C suite.
+    // Per-doc literals are doc_id (all distinct) so no two bnodes in a
+    // component are automorphic — RDFC's permutation search stays linear.
+    "rdf_canonicalize_ds" -> Q(
+      (s, d) => {
+        import graft.core.TermKind
+        val docs = t(s, d, "documents")
+        val aB = Terms.bnode(concat(lit("a"), col("doc_id")))
+        val triples = docs.select(
+            aB.as("s"),
+            Terms.iri(lit(WebKg.vocab + "docid")).as("p"),
+            Terms.strLit(col("doc_id").cast("string")).as("o"))
+          .unionAll(docs.select(
+            aB.as("s"),
+            Terms.iri(lit(WebKg.vocab + "memberOf")).as("p"),
+            Terms.bnode(concat(lit("h"), pmod(col("doc_id"), lit(50)))).as("o")))
+        graft.engine.Graphs.canonicalizeDataset(triples)
+          .groupBy(split(col("s")("value"), "-").getItem(0).as("pfx"))
+          .agg(
+            concat_ws(",", sort_array(array_union(
+              collect_set(col("s")("value")),
+              collect_set(when(col("o")("kind") === lit(TermKind.BNODE),
+                col("o")("value")))))).as("labels"),
+            count(lit(1)).as("n"),
+            max(when(col("o")("kind") === lit(TermKind.LITERAL),
+              col("o")("value"))).as("max_id"),
+            concat_ws(",", sort_array(collect_set(col("p")("value")))).as("preds"))
+      },
+      Some("""WITH comp AS (
+             |  SELECT doc_id % 50 AS k,
+             |    min('a' || CAST(doc_id AS VARCHAR)) AS minlab,
+             |    count(*) AS ndocs,
+             |    max(CAST(doc_id AS VARCHAR)) AS maxid
+             |  FROM documents GROUP BY 1)
+             |SELECT substr(md5(minlab),1,16) AS pfx,
+             |  array_to_string(list_sort(list_transform(
+             |    range(0, CAST(ndocs+1 AS INT)),
+             |    i -> substr(md5(minlab),1,16) || '-c14n' || i)), ',') AS labels,
+             |  CAST(2*ndocs AS BIGINT) AS n,
+             |  maxid AS max_id,
+             |  'http://graft.dev/vocab#docid,http://graft.dev/vocab#memberOf' AS preds
+             |FROM comp""".stripMargin)),
+
     // SPARQL-ish total order over typed literal terms: rank by the
     // engine's sortable term key == numeric order in plain SQL. Scale-safe
     // plan: distributed top-k (TakeOrderedAndProject) on the Column-encoded

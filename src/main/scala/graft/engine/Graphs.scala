@@ -302,9 +302,21 @@ object Graphs {
     * over graph_names on one node). `f` receives the (possibly default =
     * null) graph name and the graph's triples; its output is re-graphed
     * under the OLD name ("added using the old graph name", dataset.ex:400)
-    * and an empty result removes the graph. Set semantics on output. */
+    * and an empty result removes the graph. Set semantics on output.
+    *
+    * CONTRACT — whole graph per task: `f`'s Seq-in/Seq-out signature is
+    * faithful to the reference's whole-graph function, which means EACH
+    * NAMED GRAPH MATERIALIZES IN ONE EXECUTOR TASK. That is the right
+    * shape for per-document named graphs (the web-KG layout: millions of
+    * small graphs), and the wrong one for a corpus-scale graph — the
+    * default graph of a whole web KG funneled through this API would OOM
+    * one executor at 100x. `maxGraphRows` (default 10M rows ~ low GBs of
+    * term structs) fails fast with a clear message instead; route big
+    * graphs through [[updateGraph]], whose `f` is DataFrame=>DataFrame and
+    * stays fully distributed. */
   def updateAllGraphs(quads: DataFrame,
-                      f: (Term, Seq[Triple]) => Seq[Triple]): DataFrame = {
+                      f: (Term, Seq[Triple]) => Seq[Triple],
+                      maxGraphRows: Long = 10000000L): DataFrame = {
     val spark = quads.sparkSession
     import spark.implicits._
     quads.select(col("s"), col("p"), col("o"), col("g")).as[Quad]
@@ -313,9 +325,23 @@ object Graphs {
       .groupByKey(q =>
         if (q.g == null) (true, "", "") else (false, q.g.kind.toString, q.g.value))
       .flatMapGroups { (_, rows) =>
-        val group = rows.toSeq
+        val group = scala.collection.mutable.ArrayBuffer.empty[Quad]
+        var over = false
+        while (rows.hasNext && !over) {
+          group += rows.next()
+          if (group.length > maxGraphRows) over = true
+        }
+        if (over) {
+          val name = Option(group.head.g).map(_.value).getOrElse("<default graph>")
+          throw new IllegalArgumentException(
+            s"updateAllGraphs: graph '$name' exceeds maxGraphRows=$maxGraphRows " +
+              "— a whole named graph materializes in ONE task under this API " +
+              "(reference semantics: f sees the full graph). Use " +
+              "Graphs.updateGraph(quads, name, f: DataFrame => DataFrame) for " +
+              "corpus-scale graphs, or raise maxGraphRows deliberately.")
+        }
         val name = group.head.g
-        f(name, group.map(_.triple)).map(t => Quad(t.s, t.p, t.o, name)).distinct
+        f(name, group.map(_.triple).toSeq).map(t => Quad(t.s, t.p, t.o, name)).distinct
       }.toDF("s", "p", "o", "g")
   }
 
@@ -520,6 +546,55 @@ object Graphs {
     * component-of-my-component), so convergence is O(log diameter).
     * Non-convergence THROWS — a silently split component would make the
     * downstream per-component RDFC canonicalization emit wrong labels. */
+  /** Whole-dataset RDFC-1.0 over a term-struct triple frame whose bnodes
+    * are NOT pre-partitioned by document — the reference's one-call
+    * `canonicalize/2` (lib/rdf/canonicalization/canonicalization.ex:50-52)
+    * for the cross-document case: (1) group bnodes into co-occurrence
+    * connected components ([[bnodeComponents]], pointer-doubled min-label
+    * propagation, O(log diameter) rounds), (2) join component ids back to
+    * the statements that mention a bnode (one shuffled equi-join on the
+    * bnode label), (3) run the sequential RDFC-1.0 spec algorithm per
+    * component inside flatMapGroups ([[canonicalizePerGroup]]). Ground
+    * statements (no bnode in any position) bypass all three steps
+    * untouched — RDFC labels depend only on statements mentioning a bnode,
+    * so at web scale the (dominant) ground fraction of the KG never
+    * shuffles.
+    *
+    * Label-scope divergence from the reference, documented: the reference
+    * issues ONE global `c14n0..N` sequence over the whole dataset, an
+    * inherently sequential order a distributed engine cannot reproduce
+    * without funnelling every component through one process. Labels here
+    * are `<md5(component).take(16)>-c14nK` with K the component-local RDFC
+    * issue order — deterministic, isomorphism-invariant (the component id
+    * is the component's min ORIGINAL label only through [[bnodeComponents]];
+    * see note below), and globally unique.
+    *
+    * NOTE isomorphism caveat: the component id (and so the label prefix)
+    * derives from input bnode labels, so byte-identical output under bnode
+    * RENAMING holds per component content, not prefix — two datasets that
+    * differ only in bnode names canonicalize to isomorphic (same shape,
+    * different prefixes) output. Within a fixed ingest (skolemized or
+    * parser-assigned labels, the north-star path) output is byte-stable
+    * across partitionings, retries, and cluster sizes, which is the
+    * property the pipeline needs. For reference-exact single-graph labels
+    * use [[graft.core.Rdfc10.canonicalize]] on a collected graph. */
+  def canonicalizeDataset(g: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bn = TermKind.BNODE
+    val comp = bnodeComponents(g, maxIter)
+    // a statement's component is its first bnode's (s, else o): a triple
+    // carrying bnodes in both positions has them in ONE component by
+    // construction (co-occurrence is an edge)
+    val bl = when(col("s")("kind") === bn, col("s")("value"))
+      .when(col("o")("kind") === bn, col("o")("value"))
+    val keyed = g.select(col("s"), col("p"), col("o"), bl.as("__bl"))
+    val ground = keyed.filter(col("__bl").isNull).select("s", "p", "o")
+    val withComp = keyed.filter(col("__bl").isNotNull)
+      .join(comp, col("__bl") === col("label"))
+      .select(col("component"), col("s"), col("p"), col("o"))
+    ground.unionByName(
+      canonicalizePerGroup(withComp, "component").select("s", "p", "o"))
+  }
+
   def bnodeComponents(g: DataFrame, maxIter: Int = 20): DataFrame = {
     val bn = TermKind.BNODE
     // vertex set

@@ -137,6 +137,51 @@ class GraphsSpec extends AnyFunSuite {
     assert(Set(comp("c00"), comp("m"), comp("z")).size == 3)
   }
 
+  test("canonicalizeDataset: cross-document shared bnodes canonicalize as one component") {
+    import spark.implicits._
+    // two "documents" whose bnodes share a hub bnode — the case
+    // canonicalizePerGroup (pre-partitioned by doc) cannot handle — plus a
+    // ground triple that must bypass canonicalization untouched
+    def dataset(a1: String, a2: String, hub: String) = Seq(
+      Triple(Term.bnode(a1), Term.iri(ex + "id"), Term.str("1")),
+      Triple(Term.bnode(a1), Term.iri(ex + "memberOf"), Term.bnode(hub)),
+      Triple(Term.bnode(a2), Term.iri(ex + "id"), Term.str("2")),
+      Triple(Term.bnode(a2), Term.iri(ex + "memberOf"), Term.bnode(hub)),
+      Triple(Term.iri(ex + "g"), Term.iri(ex + "p"), Term.str("ground"))).toDF()
+    def term(row: org.apache.spark.sql.Row): Term =
+      Term(row.getByte(0), row.getString(1), row.getString(2), row.getString(3))
+    val out = Graphs.canonicalizeDataset(dataset("a1", "a2", "h")).collect()
+    assert(out.length == 5)
+    val rows = out.map(r => (term(r.getStruct(0)),
+      term(r.getStruct(1)), term(r.getStruct(2))))
+    // ground triple untouched
+    assert(rows.exists { case (s, _, o) =>
+      s.value == ex + "g" && o.value == "ground" })
+    // ONE component: every bnode label shares one md5-derived prefix and
+    // the three labels are exactly prefix-c14n{0,1,2}
+    val labels = rows.flatMap { case (s, _, o) =>
+      Seq(s, o).filter(t => t != null && t.isBnode).map(_.value) }.distinct
+    val prefixes = labels.map(_.split("-")(0)).distinct
+    assert(prefixes.length == 1)
+    assert(labels.map(_.split("-")(1)).sorted.toSeq == Seq("c14n0", "c14n1", "c14n2"))
+    // the hub stays the shared object of both memberOf triples
+    val hubLabels = rows.collect {
+      case (_, p, o) if p.value == ex + "memberOf" => o.value }
+    assert(hubLabels.length == 2 && hubLabels.distinct.length == 1)
+    // deterministic + isomorphism-invariant SHAPE: renaming input bnodes
+    // changes only the component prefix, never the structure or the
+    // component-local labels
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      Graphs.canonicalizeDataset(df).collect().map { r =>
+        def strip(t: org.apache.spark.sql.Row) = {
+          val tt = term(t)
+          if (tt.isBnode) tt.value.split("-")(1) else tt.value
+        }
+        (strip(r.getStruct(0)), strip(r.getStruct(1)), strip(r.getStruct(2)))
+      }.sorted.toSeq
+    assert(shape(dataset("a1", "a2", "h")) == shape(dataset("x9", "q7", "w")))
+  }
+
   test("bnodeComponents: pointer doubling converges a 60-chain in <=20 rounds") {
     import spark.implicits._
     // diameter 59 >> maxIter 20: plain min-label propagation needs ~59
@@ -546,6 +591,18 @@ class GraphsSpec extends AnyFunSuite {
     val names = out.select(col("g")("value")).distinct().collect()
       .map(r => Option(r.getString(0)).getOrElse("null")).toSet
     assert(names == Set(ex + "g1", "null"))
+  }
+
+  test("updateAllGraphs fails fast when a graph exceeds maxGraphRows") {
+    // g1 holds 2 quads: a bound of 1 must trip the whole-graph-per-task
+    // guard with a message routing the caller to updateGraph
+    val err = intercept[org.apache.spark.SparkException] {
+      Graphs.updateAllGraphs(quadStore, (_, ts) => ts, maxGraphRows = 1L).count()
+    }
+    val msg = Option(err.getCause).map(_.getMessage).getOrElse(err.getMessage)
+    assert(msg.contains("exceeds maxGraphRows") && msg.contains("updateGraph"))
+    // at the default bound the same store passes untouched
+    assert(Graphs.updateAllGraphs(quadStore, (_, ts) => ts).count() == 4)
   }
 
   test("valuesWithContext renders mapped predicates as PropertyMap terms") {
