@@ -415,11 +415,20 @@ object WebKg {
     * Spark and oracle computation identically).
     *
     * Scale shape: the edge table is cached once; each of the `iterations`
-    * rounds is ONE shuffled equi-join plus ONE hash aggregation on dst,
-    * with `localCheckpoint` truncating lineage per round (the
-    * `reachable`-proven pattern, so round t never replays rounds 1..t-1).
-    * Iteration count is fixed (deterministic), not convergence-tested:
-    * the oracle must run the same number of rounds. */
+    * rounds is ONE shuffled equi-join plus ONE hash aggregation on dst.
+    * Dangling-IN nodes (no incoming edge) are NOT recovered by a second
+    * outer join against the node set — the cached node set is unioned into
+    * the aggregation input as zero contributions, so one exchange carries
+    * both the transpose and the node-completion (measured: the outer-join
+    * round shape cost ~0.43s/round at sf0.1 vs ~0.29s fused; at cluster
+    * scale it removes a whole N-row join per round). Round 1 never joins
+    * at all: the initial rank is the uniform scale/N constant, so its
+    * contribution is `(scale/N) div deg` computed directly on the cached
+    * degree-edge frame. `localCheckpoint` truncates lineage every
+    * `checkpointInterval` rounds (the `reachable`-proven pattern, so round
+    * t never replays rounds 1..t-1). Iteration count is fixed
+    * (deterministic), not convergence-tested: the oracle must run the
+    * same number of rounds. */
   def pageRank(edges: DataFrame, iterations: Int = 3,
                scale: Long = 1000000000000L,
                checkpointInterval: Int = 4): DataFrame = {
@@ -431,27 +440,42 @@ object WebKg {
     val withDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .join(e, "src").select(col("src"), col("dst"), col("deg")).persist()
     val base = (15L * scale) / (100L * n)
-    var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint()
-    // ranks is referenced ONCE per round (the contribution join; the outer
-    // join's other inputs are the cached nodes/mass), so the unmaterialized
-    // plan grows LINEARLY per round — checkpoint every `checkpointInterval`
-    // rounds to bound lineage depth and scheduler/codegen cost while
-    // skipping the per-round materialization cost between checkpoints.
-    // The default (4) deliberately exceeds the default 3 iterations: short
-    // runs pay ZERO mid-run checkpoints (linear 3-deep lineage is cheap —
-    // a measured mid-run checkpoint cost ~1s at sf0.1) and rely on the
-    // FINAL checkpoint below; long runs truncate every 4 rounds.
-    var sinceCheckpoint = 0
-    for (_ <- 1 to iterations) {
-      // `div` (IntegralDivide), NOT `/`: Column./ on longs is double
-      // division, and double floor can disagree with exact integer floor
-      // when the fraction 1/deg approaches the double ulp
-      val mass = withDeg.join(ranks, col("src") === col("node"))
+    // zero contribution per node: unioned into every round's aggregation
+    // input so nodes with no incoming edge keep a rank row without a
+    // second (outer) join — the one exchange per round carries both the
+    // edge transpose and the node-completion
+    val zeros = nodes.select(col("node").as("dst"), lit(0L).as("c"))
+    def step(contribs: DataFrame): DataFrame =
+      contribs.unionAll(zeros)
+        .groupBy(col("dst").as("node"))
+        .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("r"))
+    // ranks is referenced ONCE per round (the contribution join), so the
+    // unmaterialized plan grows LINEARLY per round — checkpoint every
+    // `checkpointInterval` rounds to bound lineage depth and
+    // scheduler/codegen cost while skipping the per-round materialization
+    // cost between checkpoints. The default (4) deliberately exceeds the
+    // default 3 iterations: short runs pay ZERO mid-run checkpoints
+    // (linear 3-deep lineage is cheap — a measured mid-run checkpoint cost
+    // ~1s at sf0.1) and rely on the FINAL checkpoint below; long runs
+    // truncate every 4 rounds.
+    // `div` (IntegralDivide), NOT `/`: Column./ on longs is double
+    // division, and double floor can disagree with exact integer floor
+    // when the fraction 1/deg approaches the double ulp.
+    // Round 1's rank is the uniform scale/N for EVERY node, so its
+    // contribution join against the init frame collapses to a constant
+    // expression over the cached degree-edge frame — no join at all.
+    var ranks =
+      if (iterations == 0) nodes.withColumn("r", lit(scale / n))
+      else step(withDeg.select(col("dst"),
+        expr(s"cast(${scale / n} as bigint) div deg").as("c")))
+    var sinceCheckpoint = 1
+    if (sinceCheckpoint >= checkpointInterval && iterations > 0) {
+      ranks = ranks.localCheckpoint(); sinceCheckpoint = 0
+    }
+    for (_ <- 2 to iterations) {
+      val contribs = withDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("mass"))
-      ranks = nodes.join(mass, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(mass, cast(0 as bigint))) div 100")).as("r"))
+      ranks = step(contribs)
       sinceCheckpoint += 1
       if (sinceCheckpoint >= checkpointInterval) {
         ranks = ranks.localCheckpoint()
