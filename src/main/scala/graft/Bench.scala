@@ -149,12 +149,28 @@ object Bench {
       }
     }
     val allBy = runsBy.map { case (c, b) => c -> b.result() }
-    def pair(lo: Int, hi: Int): (Double, Double, Double, Double, Double) = {
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    // min = closest observable to the machine-limited cost (the published
+    // headline); median = phase-robust central tendency, published
+    // ALONGSIDE so a degraded host phase is visible in the artifact
+    // itself (r4 watch item: the DRAM-exposed 2->8 pair ranged 0.59-0.86
+    // with phase while the min stayed stable)
+    case class PairStats(secLo: Double, secHi: Double, tpLo: Double,
+                         tpHi: Double, eff: Double,
+                         medLo: Double, medHi: Double, medEff: Double)
+    def pair(lo: Int, hi: Int): PairStats = {
       val secLo = allBy(lo).min; val secHi = allBy(hi).min
       val tpLo = triples / secLo; val tpHi = triples / secHi
-      (secLo, secHi, tpLo, tpHi, (tpHi / tpLo) / (hi.toDouble / lo))
+      val mLo = median(allBy(lo)); val mHi = median(allBy(hi))
+      PairStats(secLo, secHi, tpLo, tpHi, (tpHi / tpLo) / (hi.toDouble / lo),
+        mLo, mHi, ((triples / mHi) / (triples / mLo)) / (hi.toDouble / lo))
     }
-    val (secN, sec4N, tpN, tp4N, eff) = pair(nCores, n4Cores)
+    val p1 = pair(nCores, n4Cores)
+    val (secN, sec4N, tpN, tp4N, eff) = (p1.secLo, p1.secHi, p1.tpLo, p1.tpHi, p1.eff)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qsCold = resultsCold.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -162,19 +178,21 @@ object Bench {
     def arr(xs: Array[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val sec2 = if (secondary) {
       val lo = nCores * 2; val hi = nCores * 8
-      val (sL, sH, tL, tH, e2) = pair(lo, hi)
+      val p2 = pair(lo, hi)
       f""","secondary_pair":{"cores_n":$lo,"cores_4n":$hi,""" +
-        f""""sec_ncore":$sL%.3f,"sec_4ncore":$sH%.3f,""" +
+        f""""sec_ncore":${p2.secLo}%.3f,"sec_4ncore":${p2.secHi}%.3f,""" +
+        f""""median_sec_ncore":${p2.medLo}%.3f,"median_sec_4ncore":${p2.medHi}%.3f,""" +
         f""""runs_ncore":${arr(allBy(lo))},"runs_4ncore":${arr(allBy(hi))},""" +
-        f""""triples_per_sec_ncore":${tL.toLong}%d,"triples_per_sec_4ncore":${tH.toLong}%d,""" +
-        f""""scaling_efficiency":$e2%.3f}"""
+        f""""triples_per_sec_ncore":${p2.tpLo.toLong}%d,"triples_per_sec_4ncore":${p2.tpHi.toLong}%d,""" +
+        f""""scaling_efficiency":${p2.eff}%.3f,"median_scaling_efficiency":${p2.medEff}%.3f}"""
     } else ""
     val kg = f"""{"triples":$triples,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
       f""""rounds":$rounds,"interleaved":true,""" +
       f""""sec_ncore":$secN%.3f,"sec_4ncore":$sec4N%.3f,""" +
+      f""""median_sec_ncore":${p1.medLo}%.3f,"median_sec_4ncore":${p1.medHi}%.3f,""" +
       f""""runs_ncore":${arr(allBy(nCores))},"runs_4ncore":${arr(allBy(n4Cores))},""" +
       f""""triples_per_sec_ncore":${tpN.toLong}%d,"triples_per_sec_4ncore":${tp4N.toLong}%d,""" +
-      f""""scaling_efficiency":$eff%.3f$sec2%s}"""
+      f""""scaling_efficiency":$eff%.3f,"median_scaling_efficiency":${p1.medEff}%.3f$sec2%s}"""
     val bigdict =
       f"""{"surfaces":$bigDictSurfaces,"cold":$bigCold%.3f,"warm":$bigWarm%.3f}"""
     println(

@@ -177,6 +177,45 @@ object Graphs {
       .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("predications"))
   }
 
+  /** RDF.Dataset.values/2 (dataset.ex:1008-1014; dataset_test.exs
+    * values/1 + values/2 cases) at the quad level: the reference returns
+    * a nested map graph_name -> subject -> predicate -> [objects]; the
+    * relational shape is one row per (graph_name, subject) carrying the
+    * predicate->objects map, graph_name null = the default graph. Same
+    * PropertyMap `:context` contract as [[valuesWithContext]]; the same
+    * two-level aggregation plan, with graph_name simply joining the
+    * grouping key — no extra shuffle over the triple-level projection. */
+  def datasetValues(quads: DataFrame,
+                    context: Map[String, String] = Map.empty): DataFrame = {
+    val keyed =
+      if (context.isEmpty) col("p")("value")
+      else {
+        val m = map(context.flatMap { case (iri, term) =>
+          Seq(lit(iri), lit(term)) }.toSeq: _*)
+        coalesce(element_at(m, col("p")("value")), col("p")("value"))
+      }
+    quads.groupBy(col("g")("value").as("graph_name"),
+        col("s")("value").as("subject"), keyed.as("k"))
+      .agg(collect_list(col("o")("value")).as("v"))
+      .groupBy("graph_name", "subject")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("predications"))
+  }
+
+  /** RDF.Dataset.map/2 (dataset.ex:1055-1060; dataset_test.exs map/2
+    * case): the quad-level custom per-position mapping — every position
+    * INCLUDING graph_name runs through `f` (via [[mapStatements]], which
+    * already applies f at the "graph_name" position) and the mapped quads
+    * project to the same per-(graph, subject) nested shape as
+    * [[datasetValues]]. The reference's nil-fn-result contract follows
+    * mapStatements' documented divergence (row dropped, not nil). */
+  def datasetMap(quads: DataFrame, f: (String, Term) => String): DataFrame =
+    mapStatements(quads, f)
+      .groupBy(col("g").as("graph_name"), col("s").as("subject"),
+        col("p").as("k"))
+      .agg(collect_list(col("o")).as("v"))
+      .groupBy("graph_name", "subject")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("predications"))
+
   /** Statement.map/2 lifted graph-wide (statement.ex:208-244, triple.ex /
     * quad.ex map): a CUSTOM per-position mapping fn `(position, term) ->
     * value` where position is "subject" | "predicate" | "object" (and

@@ -618,6 +618,40 @@ class GraphsSpec extends AnyFunSuite {
     assert(plain(ex + "a").keySet == Set(ex + "p", ex + "q"))
   }
 
+  test("datasetValues: per-graph nested projection mirrors dataset_test values/1+2") {
+    // dataset_test.exs values/1: one entry per graph name, default graph
+    // under nil (null graph_name row here)
+    val out = Graphs.datasetValues(quadStore).collect()
+      .map(r => (Option(r.getString(0)).getOrElse("null"), r.getString(1),
+        r.getMap[String, collection.Seq[String]](2))).toList
+    val byKey = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byKey.keySet == Set((ex + "g1", ex + "a"), (ex + "g2", ex + "b"),
+      ("null", ex + "c")))
+    assert(byKey((ex + "g1", ex + "a")).keySet == Set(ex + "p", ex + "q"))
+    assert(byKey((ex + "g2", ex + "b"))(ex + "p").toSeq == Seq("3"))
+    assert(byKey(("null", ex + "c"))(ex + "p").toSeq == Seq("4"))
+    // values/2 with PropertyMap context: mapped predicate under term key
+    val ctx = Graphs.datasetValues(quadStore, Map(ex + "p" -> "p")).collect()
+      .map(r => (Option(r.getString(0)).getOrElse("null"), r.getString(1),
+        r.getMap[String, collection.Seq[String]](2)))
+    val g1a = ctx.find(t => t._1 == ex + "g1" && t._2 == ex + "a").get._3
+    assert(g1a.keySet == Set("p", ex + "q"))
+  }
+
+  test("datasetMap: custom per-position fn incl. graph_name, nested shape") {
+    // dataset_test.exs map/2: predicate mapped to its local name, graph
+    // name passed through, object values verbatim
+    val out = Graphs.datasetMap(quadStore, (pos, term) =>
+      if (pos == "predicate") term.value.substring(term.value.lastIndexOf('/') + 1)
+      else term.value).collect()
+      .map(r => (Option(r.getString(0)).getOrElse("null"), r.getString(1),
+        r.getMap[String, collection.Seq[String]](2)))
+    assert(out.length == 3)
+    val g1a = out.find(t => t._1 == ex + "g1" && t._2 == ex + "a").get._3
+    assert(g1a.keySet == Set("p", "q") && g1a("q").toSeq == Seq("2"))
+    assert(out.find(t => t._1 == "null").get._3("p").toSeq == Seq("4"))
+  }
+
   test("mapStatements applies the custom per-position fn; null result drops the row") {
     val out = Graphs.mapStatements(g1, (pos, term) =>
       if (pos == "predicate") term.value.substring(term.value.lastIndexOf('/') + 1)
