@@ -40,7 +40,8 @@ import graft.pipeline.{Materialize, WebKg}
   */
 object PipelineMain {
   private val valueFlags = Set("--pages", "--out", "--buckets", "--batch-id",
-    "--link", "--link-threshold", "--link-broadcast-max", "--compact-src")
+    "--link", "--link-threshold", "--link-broadcast-max", "--link-mode",
+    "--compact-src")
   private val boolFlags = Set("--canonicalize")
 
   /** STRICT parse: an unknown flag, a typo, a duplicated flag, a dangling
@@ -118,6 +119,10 @@ object PipelineMain {
       case None =>
         val pages = pagesOpt.get
         val doLink = opts.contains("--link")
+        if (!doLink && (opts.contains("--link-mode") ||
+            opts.contains("--link-threshold") || opts.contains("--link-broadcast-max")))
+          sys.error("--link-mode/--link-threshold/--link-broadcast-max " +
+            "require --link <dict-parquet>")
         // prune BEFORE the snapshot: extraction derives everything from the
         // html, so the redundant pre-extracted text column must not ride
         // through the snapshot aggregation's buffers (nested-field pruning
@@ -153,11 +158,24 @@ object PipelineMain {
               // the dictionary table only.
               val bcastMax = opts.getOrElse("--link-broadcast-max", "200000").toLong
               val bcast = dict.count() <= bcastMax
+              // `exact` = the full-corpus production tier (one equi-join +
+              // two hash aggs, no shingle/minhash machinery); `fuzzy`
+              // (default) additionally links misspelled/variant mentions
+              // whose shingle Jaccard clears --link-threshold. Measured on
+              // the 2.56M-page table (BENCH.md): the fuzzy residual is
+              // roughly half the link-stage cost.
+              val linkMode = opts.getOrElse("--link-mode", "fuzzy")
+              val linkDocs =
+                snap.select(col("url").as("doc_id"), WebKg.extractedText.as("text"))
               val mentions = timed("link") {
-                WebKg.entityLinkFuzzyDF(
-                  snap.select(col("url").as("doc_id"), WebKg.extractedText.as("text")),
-                  dict, threshold = threshold, broadcastDict = bcast,
-                  subjectOf = identity)
+                (linkMode match {
+                  case "fuzzy" => WebKg.entityLinkFuzzyDF(linkDocs, dict,
+                    threshold = threshold, broadcastDict = bcast,
+                    subjectOf = identity)
+                  case "exact" => WebKg.entityLinkExactDF(linkDocs, dict,
+                    broadcastDict = bcast, subjectOf = identity)
+                  case m => sys.error(s"--link-mode must be fuzzy|exact, got '$m'")
+                })
                   .select("s", "p", "o")
                   // eager, result-scale (one row per (page, entity)): gives
                   // the link stage a true timing boundary and keeps the

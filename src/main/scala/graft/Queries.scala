@@ -38,8 +38,12 @@ object Queries {
       |tok AS (SELECT DISTINCT doc_id, w FROM
       |  (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w FROM documents)
       |  WHERE length(w) >= 3),
+      |exact AS (SELECT t.doc_id, t.w, d.entity, CAST(1 AS DOUBLE) AS jac
+      |  FROM tok t JOIN dict d ON t.w = d.surface),
+      |tokr AS (SELECT t.doc_id, t.w FROM tok t WHERE NOT EXISTS
+      |  (SELECT 1 FROM dict d WHERE d.surface = t.w)),
       |sh AS (SELECT doc_id, w, unnest(list_distinct(list_transform(
-      |  range(1, length(w)-1), i -> substr(w, i, 3)))) AS g FROM tok),
+      |  range(1, length(w)-1), i -> substr(w, i, 3)))) AS g FROM tokr),
       |mh AS (SELECT doc_id, w,
       |  min(md5('0:'||g)) AS s0, min(md5('1:'||g)) AS s1,
       |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM sh GROUP BY 1,2),
@@ -60,13 +64,15 @@ object Queries {
       |  FROM cand c JOIN sh a ON a.doc_id=c.doc_id AND a.w=c.w
       |  JOIN dsh b ON b.surface=c.surface AND b.g=a.g GROUP BY 1,2,3,4),
       |scored AS (SELECT i.doc_id, i.w, i.entity,
-      |    i.i * 1.0 / (wn.na + dn.nb - i.i) AS jac
+      |    CAST(i.i AS DOUBLE) / (wn.na + dn.nb - i.i) AS jac
       |  FROM inter i JOIN wn ON i.doc_id=wn.doc_id AND i.w=wn.w
       |  JOIN dn ON i.surface=dn.surface
-      |  WHERE i.i * 1.0 / (wn.na + dn.nb - i.i) >= 0.5),
+      |  WHERE CAST(i.i AS DOUBLE) / (wn.na + dn.nb - i.i) >= 0.5),
+      |allscored AS (SELECT doc_id, w, entity, jac FROM exact
+      |  UNION ALL SELECT doc_id, w, entity, jac FROM scored),
       |resolved AS (SELECT doc_id, w, entity, jac,
       |    row_number() OVER (PARTITION BY doc_id, w
-      |      ORDER BY jac DESC, entity) AS rn FROM scored)
+      |      ORDER BY jac DESC, entity) AS rn FROM allscored)
       |SELECT 'http://graft.dev/doc/'||doc_id AS s,
       |  'http://graft.dev/vocab#mentions' AS p, entity AS o,
       |  count(DISTINCT w) AS n_mentions, round(max(jac), 6) AS top_jac
@@ -1372,6 +1378,35 @@ object Queries {
           broadcastDict = false)
       },
       Some(fuzzyLinkSql)),
+
+    // EXACT-only linking mode (PipelineMain --link-mode exact): the
+    // full-corpus production tier — equi-join + min-entity resolution +
+    // per-(doc, entity) mention counts, none of the fuzzy machinery.
+    // Exercised through the big-dict (shuffled) distribution so both
+    // plan shapes of the mode stay covered.
+    "kg_entity_link_exact" -> Q(
+      (s, d) => {
+        import s.implicits._
+        WebKg.entityLinkExactDF(t(s, d, "documents"),
+          WebKg.defaultDictionary.toDF("surface", "entity"),
+          broadcastDict = false)
+      },
+      Some("""WITH dict(surface, entity) AS (VALUES
+             |  ('customer','http://graft.dev/entity/customer'),
+             |  ('part','http://graft.dev/entity/part'),
+             |  ('order','http://graft.dev/entity/order'),
+             |  ('supplier','http://graft.dev/entity/supplier'),
+             |  ('spark','http://graft.dev/entity/spark'),
+             |  ('vector','http://graft.dev/entity/vector')),
+             |tok AS (SELECT DISTINCT doc_id, w FROM
+             |  (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w FROM documents)
+             |  WHERE length(w) >= 3),
+             |resolved AS (SELECT t.doc_id, t.w, min(d.entity) AS entity
+             |  FROM tok t JOIN dict d ON t.w = d.surface GROUP BY 1, 2)
+             |SELECT 'http://graft.dev/doc/'||doc_id AS s,
+             |  'http://graft.dev/vocab#mentions' AS p, entity AS o,
+             |  count(w) AS n_mentions, CAST(1 AS DOUBLE) AS top_jac
+             |FROM resolved GROUP BY 1, 2, 3""".stripMargin)),
 
     // entity linking: mention detection + broadcast-join resolve
     "kg_entity_link" -> Q(

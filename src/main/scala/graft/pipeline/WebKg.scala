@@ -290,42 +290,162 @@ object WebKg {
                         subjectOf: Column => Column =
                           id => concat(lit(docNs), id)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = fuzzyScored(docs, dictionary, threshold, broadcastDict,
+    val tiers = fuzzyScoredTiers(docs, dictionary, threshold, broadcastDict,
       materialize = true)
+    // TIERED resolution: the exact tier leaves fuzzyScoredTiers ALREADY
+    // resolved (duplicate surfaces collapsed dictionary-side to min
+    // entity — the rank-1-by-(jac=1, entity) rule — so the join emits one
+    // row per (doc_id, w) with no corpus-scale aggregation). Only the
+    // residual fuzzy tier, whose candidates carry distinct jac scores,
+    // pays the row_number window — and that tier is small by
+    // construction.
+    val exactResolved = tiers.exact
     val wnd = Window.partitionBy("doc_id", "w").orderBy(col("jac").desc, col("entity"))
-    val resolved = scored.withColumn("rn", row_number().over(wnd)).filter(col("rn") === 1)
+    val fuzzyResolved = tiers.fuzzy.withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") === 1).select("doc_id", "w", "entity", "jac")
+    val resolved = exactResolved.unionByName(fuzzyResolved)
+      .localCheckpoint() // eager, rank-1-scale: releases the caches below
+    tiers.release()
     // subjectOf maps the doc key to the emitted subject IRI — the default
     // wraps a numeric doc_id in the doc namespace; the deployment pipeline
     // passes identity because its doc key IS the page url
+    // count, NOT countDistinct: resolved is rank-1 per (doc_id, w), so w
+    // is unique within every (doc_id, entity) group by construction — the
+    // distinct-aggregate expansion would re-derive a fact the resolve
+    // step already established
     resolved.groupBy(col("doc_id"), col("entity"))
-      .agg(countDistinct(col("w")).as("n_mentions"), round(max(col("jac")), 6).as("top_jac"))
+      .agg(count(col("w")).as("n_mentions"), round(max(col("jac")), 6).as("top_jac"))
       .select(subjectOf(col("doc_id")).as("s"),
         lit(pMentions).as("p"), col("entity").as("o"),
         col("n_mentions"), col("top_jac"))
   }
 
-  /** The scored-candidate stage of [[entityLinkFuzzyDF]]. With
-    * `materialize = true` (the production path) the corpus/dictionary
-    * shingle relations are persisted for their two consumers each and the
-    * result is eagerly checkpointed (one pass, no cache leak). With
+  /** EXACT-surface-only entity linking — the full-corpus tier of a
+    * production linking pipeline, without the fuzzy residual machinery
+    * (shingles, minhash bands, Jaccard verify): token string-equals
+    * surface, resolved to min(entity) per token (identical to
+    * [[entityLinkFuzzyDF]]'s exact tier), aggregated to one mention row
+    * per (document, entity). Tokens with no exact surface simply do not
+    * link. Same output schema as the fuzzy path (top_jac = 1 by
+    * definition), so the two modes are drop-in interchangeable; the
+    * deployment entry exposes the choice as `--link-mode`. Plan: one
+    * equi-join + two hash aggregations, nothing else — at 100 TB this is
+    * the mode that runs over every page, with the fuzzy path reserved for
+    * the (bounded) residual vocabulary. */
+  def entityLinkExactDF(docs: DataFrame, dictionary: DataFrame,
+                        broadcastDict: Boolean = true,
+                        subjectOf: Column => Column =
+                          id => concat(lit(docNs), id)): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 3).distinct()
+    // resolve duplicate surfaces on the DICTIONARY side (min entity per
+    // surface — the rank-1-by-(jac=1, entity) rule), BEFORE the
+    // corpus-scale join: each token then matches at most one dictionary
+    // row, so no post-join (doc_id, w) resolution aggregation exists at
+    // all — one mention-scale exchange removed vs resolving after the
+    // join (measured: link stage 240s -> see BENCH.md on the 2.56M-page
+    // table). The dictionary agg is dictionary-scale, not corpus-scale.
+    val dictResolved = dictionary.select(col("surface"), col("entity"))
+      .filter(length(col("surface")) >= 3)
+      .groupBy("surface").agg(min(col("entity")).as("entity"))
+    val side =
+      if (broadcastDict) broadcast(dictResolved)
+      else dictResolved.hint("shuffle_merge")
+    // tok is distinct per (doc_id, w) and the dictionary side is unique
+    // per surface, so count(w) counts distinct mention tokens exactly
+    tok.join(side, col("w") === col("surface"))
+      .groupBy(col("doc_id"), col("entity"))
+      .agg(count(col("w")).as("n_mentions"))
+      .select(subjectOf(col("doc_id")).as("s"),
+        lit(pMentions).as("p"), col("entity").as("o"),
+        col("n_mentions"), lit(1.0).as("top_jac"))
+  }
+
+  /** The two scored candidate tiers plus a cache-release hook — see
+    * [[entityLinkFuzzyDF]] (tiered resolution) and [[fuzzyScored]] (the
+    * flat union, the spec/Explain plan hook). */
+  private[graft] final case class ScoredTiers(exact: DataFrame,
+                                              fuzzy: DataFrame,
+                                              release: () => Unit)
+
+  /** The scored-candidate stage of [[entityLinkFuzzyDF]] as a flat union
+    * of the exact and fuzzy tiers. With `materialize = true` the result is
+    * eagerly checkpointed and the internal caches released. With
     * `materialize = false` the full UNcheckpointed plan is returned — the
     * spec hook for asserting the join strategy (broadcast vs shuffled
     * dictionary) on the complete physical plan. */
   private[graft] def fuzzyScored(docs: DataFrame, dictionary: DataFrame,
                                  threshold: Double, broadcastDict: Boolean,
                                  materialize: Boolean): DataFrame = {
-    // stage 0: distinct mention tokens (>= 3 chars, shingleable)
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+    val tiers = fuzzyScoredTiers(docs, dictionary, threshold, broadcastDict,
+      materialize)
+    val all0 = tiers.exact.unionByName(tiers.fuzzy)
+    if (!materialize) all0
+    else {
+      val all = all0.localCheckpoint()
+      tiers.release()
+      all
+    }
+  }
+
+  /** The scored-candidate tiers of [[entityLinkFuzzyDF]]: `exact` holds
+    * (doc_id, w, entity, jac=1) rows from the exact-surface equi-join —
+    * ALREADY RESOLVED, one row per (doc_id, w), because duplicate
+    * surfaces collapse dictionary-side to min(entity) before the join;
+    * `fuzzy` the blocked+verified residual candidates (unresolved). With
+    * `materialize = true` (the production path) the token and shingle
+    * relations are persisted for their multiple consumers; the caller
+    * MUST invoke `release()` after materializing whatever it derives from
+    * the tiers. */
+  private[graft] def fuzzyScoredTiers(docs: DataFrame, dictionary: DataFrame,
+                                      threshold: Double, broadcastDict: Boolean,
+                                      materialize: Boolean): ScoredTiers = {
+    // stage 0: distinct mention tokens (>= 3 chars, shingleable); consumed
+    // twice (exact join + residual anti-join) — persisted across the two
+    // passes when materializing
+    val tok0 = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) >= 3).distinct()
+    val tok = if (materialize) tok0.persist() else tok0
+    val dict = dictionary.select(col("surface"), col("entity"))
+      .filter(length(col("surface")) >= 3)
+    // EXACT-FIRST short-circuit: a token string-equal to a surface has
+    // shingle Jaccard exactly 1 (identical strings => identical shingle
+    // sets), so it resolves through a plain equi-join with NO shingling,
+    // minhash, or set intersection; only the RESIDUAL tokens (no exact
+    // surface match anywhere in the dictionary) enter the blocked fuzzy
+    // path. Web-scale mentions are overwhelmingly exact dictionary hits,
+    // so the expensive fuzzy machinery becomes a tail-only cost (measured
+    // on the 2.56M-page deployment table, 300k-surface shuffled dict:
+    // link stage 564s -> see BENCH.md). Documented divergence from the
+    // pre-r5 all-fuzzy rank: a token with an exact match no longer sees
+    // candidates from OTHER surfaces whose 3-gram SET coincides with its
+    // own (a jac=1 tie, e.g. anagram-like forms): the exact surface's
+    // entity now wins outright where the old (jac desc, entity) order
+    // could prefer the coincidental entity when it sorted lower. Exact
+    // string identity beating shingle-set coincidence is the expected
+    // linking behavior; the DuckDB oracle mirrors the same rule.
+    // duplicate surfaces resolve on the DICTIONARY side (min entity per
+    // surface = the rank-1-by-(jac=1, entity) rule) so the exact tier
+    // comes out of the join ALREADY resolved — one row per (doc_id, w),
+    // no corpus-scale resolution aggregation downstream
+    val dictResolved = dict.groupBy("surface").agg(min(col("entity")).as("entity"))
+    val dictExact =
+      if (broadcastDict) broadcast(dictResolved)
+      else dictResolved.hint("shuffle_merge")
+    val exact = tok.join(dictExact, col("w") === col("surface"))
+      .select(col("doc_id"), col("w"), col("entity"),
+        lit(1.0).as("jac"))
+    val surfaces = dict.select("surface").distinct()
+    val surfSide =
+      if (broadcastDict) broadcast(surfaces) else surfaces.hint("shuffle_merge")
+    val tokR = tok.join(surfSide, col("w") === col("surface"), "left_anti")
     // the shingle relation feeds the minhash-band blocking AND the
     // exact-Jaccard verify sets — persisted so the corpus tokenization
     // runs once, RELEASED as soon as the scored candidates materialize
     // (so the method leaks no corpus-scale cache into the session)
-    val sh0 = tok.select(col("doc_id"), col("w"), explode(shingles("w")).as("g"))
+    val sh0 = tokR.select(col("doc_id"), col("w"), explode(shingles("w")).as("g"))
     val sh = if (materialize) sh0.persist() else sh0
     val mentionBands = bandRows(minhash4(sh, Seq("doc_id", "w")), Seq("doc_id", "w"))
-    val dict = dictionary.select(col("surface"), col("entity"))
-      .filter(length(col("surface")) >= 3)
     val dsh0 = dict.select(col("surface"), col("entity"), explode(shingles("surface")).as("g"))
     // big-dict mode reuses the dictionary shingle relation on both join
     // sides without broadcast — persist it for the two passes, released
@@ -348,14 +468,14 @@ object WebKg {
       .withColumn("jac",
         col("inter") / (size(col("wg")) + size(col("sg")) - col("inter")))
       .filter(col("jac") >= threshold)
-    if (!materialize) scored0
-    else {
-      val scored = scored0
-        .localCheckpoint() // eager: result-scale; lets sh release right here
-      sh.unpersist()
+      // prune to the resolve-stage columns here: the shingle-set arrays
+      // must not ride into any downstream materialization
+      .select(col("doc_id"), col("w"), col("entity"), col("jac"))
+    ScoredTiers(exact, scored0, () => {
+      sh.unpersist(); tok.unpersist()
       if (!broadcastDict) dsh.unpersist()
-      scored
-    }
+      ()
+    })
   }
 
   /** BFS reachability (graph.ex reachability semantics): iterative frontier

@@ -69,6 +69,37 @@ class PipelineMainSpec extends AnyFunSuite {
       .join(urls, "s").count() == mentions.size)
   }
 
+  test("--link-mode exact links exact surfaces only; flags require --link") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_exact").toString
+    WebKg.synthesizeWebPages(docsDf).write.mode("overwrite").parquet(s"$dir/pages")
+    Seq(("alpha", "http://graft.dev/entity/alpha"),
+        ("alpha", "http://graft.dev/entity/aaa"), // duplicate surface: min wins
+        ("epsilom", "http://graft.dev/entity/epsilom")) // fuzzy-only variant
+      .toDF("surface", "entity").write.mode("overwrite").parquet(s"$dir/dict")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
+      "--buckets", "4", "--batch-id", "x1",
+      "--link", s"$dir/dict", "--link-mode", "exact"))
+    val mentions = spark.read.parquet(s"$dir/store/data")
+      .filter(col("p") === WebKg.pMentions)
+      .select("s", "o").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // exact surface linked, duplicate surface resolved to min(entity)
+    assert(mentions ==
+      Set(("https://src0.example.org/doc/0", "http://graft.dev/entity/aaa")))
+    // 'epsilom' (a fuzzy near-miss of the text's 'epsilon') must NOT link
+    // in exact mode — the fuzzy machinery is off
+    assert(!mentions.exists(_._2.endsWith("epsilom")))
+    // link flags without --link abort
+    val e = intercept[RuntimeException](PipelineMain.main(Array(
+      "--pages", s"$dir/pages", "--out", s"$dir/s2", "--link-mode", "exact")))
+    assert(e.getMessage.contains("require --link"))
+    // an unknown mode aborts
+    val e2 = intercept[RuntimeException](PipelineMain.main(Array(
+      "--pages", s"$dir/pages", "--out", s"$dir/s3",
+      "--link", s"$dir/dict", "--link-mode", "typo")))
+    assert(e2.getMessage.contains("fuzzy|exact"))
+  }
+
   test("--canonicalize percent-normalizes IRIs in the store") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pm_canon").toString
