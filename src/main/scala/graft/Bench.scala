@@ -127,6 +127,20 @@ object Bench {
     // interleaved rounds so the DRAM-saturation decay curve the pair
     // choice rests on is visible in every driver run, not only in BENCH.md
     // prose: each round samples all four configs back-to-back.
+    // SPARK_GRAFT_SCALE_SKIP=1 publishes "kg_pipeline":null — for ad-hoc
+    // headline sweeps at other scale factors (the sf1 stress run) where
+    // re-measuring the scaling pairs would multiply the run by the
+    // replication factor for no new information. The driver never sets it.
+    if (sys.env.get("SPARK_GRAFT_SCALE_SKIP").contains("1")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val qs0Cold = resultsCold.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val total0 = results.map(_._2).sum
+      val bigdict0 =
+        f"""{"surfaces":$bigDictSurfaces,"cold":$bigCold%.3f,"warm":$bigWarm%.3f}"""
+      println(
+        f"""{"metric":"total","value":$total0%.3f,"unit":"sec","queries":$qs0%s,"queries_cold":$qs0Cold%s,"sf":"$sfDir%s","bigdict_link":$bigdict0%s,"kg_pipeline":null}""")
+      return
+    }
     val nCores = args.headOption.map(_.toInt)
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt)
     val n4Cores = nCores * 4

@@ -61,13 +61,41 @@ object Materialize {
       case None => bucketed
     }
 
-    // ONE file per bucket, subjects SORTED within it: repartition(bucket)
-    // collapses the (writer tasks × buckets) small-file explosion into a
-    // file per bucket, and the sort makes every parquet row group carry a
-    // tight s-min/max — `lookupSubject` then prunes row groups inside the
-    // bucket, not just the bucket directory. The stats groupBy("bucket")
-    // reuses the same hash exchange, so this costs no extra shuffle.
-    val cached = remaining.repartition(col("bucket"))
+    // ONE sorted file per bucket in the common case, MULTIPLE for a hot
+    // bucket: REBALANCE(bucket) — not repartition(bucket) — collapses the
+    // (writer tasks × buckets) small-file explosion like a plain hash
+    // repartition, but lets AQE split an oversized bucket's shuffle
+    // partition across several writer tasks (several sorted files in that
+    // bucket's directory) instead of serializing the whole job behind one
+    // straggler. Subject-hash bucketing makes a hot bucket possible only
+    // when a SINGLE subject carries a disproportionate share of all
+    // triples (a hub page with millions of statements); measured with 25%
+    // of 20M triples on one subject (SkewProbe, BENCH.md round 5): the
+    // repartition shape serializes the write behind the hot task (9.4s),
+    // rebalance splits it into 4 sorted files and finishes in 3.9s. The
+    // split threshold is `spark.sql.adaptive.advisoryPartitionSizeInBytes`
+    // (default 64 MB of compressed shuffle data — deployment-scale hot
+    // buckets cross it; the probe had to lower it to observe the split).
+    // The within-partition sort still makes every parquet row group carry
+    // a tight s-min/max — `lookupSubject` prunes row groups inside the
+    // bucket; split files have overlapping s-ranges only in the hot
+    // bucket, costing footer reads there, nothing elsewhere. Trade:
+    // a split bucket's rows span partitions, so the stats groupBy below
+    // adds a partial-aggregate-scale exchange instead of reusing the
+    // write's (it stays metadata-cheap: partials collapse per partition
+    // before moving).
+    //
+    // canChangeCachedPlanOutputPartitioning: cached plans otherwise PIN
+    // their output partitioning (so cache reuse sees a stable layout),
+    // which silently disables exactly the AQE rebalance skew-split this
+    // shape exists for. The flag binds when the cache's physical plan is
+    // built (first materialization = the write below), so it is restored
+    // only AFTER both cache consumers ran; both (the write and the stats
+    // agg) are partitioning-agnostic.
+    val prevCachedPart = spark.conf
+      .get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    val cached = remaining.hint("rebalance", col("bucket"))
       .sortWithinPartitions(col("bucket"), col("s")).persist()
     try {
       cached.write.mode(SaveMode.Overwrite).partitionBy("bucket")
@@ -77,7 +105,10 @@ object Materialize {
         .agg(count(lit(1)).as("n_triples"), countDistinct(col("s")).as("n_subjects"))
         .withColumn("batch_id", lit(batchId))
       stats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
-    } finally cached.unpersist()
+    } finally {
+      cached.unpersist()
+      spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", prevCachedPart)
+    }
     readLineage(spark, root).get.filter(col("batch_id") === batchId)
   }
 
@@ -102,8 +133,12 @@ object Materialize {
             .select("bucket").distinct()), Seq("bucket"), "left_anti")
       case None => bucketed
     }
-    // same sorted one-file-per-(batch,bucket) layout as `materialize`
-    val cached = remaining.repartition(col("bucket"))
+    // same sorted skew-splitting layout as `materialize` (see the
+    // REBALANCE + canChangeCachedPlanOutputPartitioning comments there)
+    val prevCachedPart = spark.conf
+      .get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    val cached = remaining.hint("rebalance", col("bucket"))
       .sortWithinPartitions(col("bucket"), col("s")).persist()
     try {
       cached.write.mode(SaveMode.Overwrite).partitionBy("batch_id", "bucket")
@@ -112,7 +147,10 @@ object Materialize {
         .agg(count(lit(1)).as("n_triples"), countDistinct(col("s")).as("n_subjects"))
         .withColumn("batch_id", lit(batchId))
       stats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
-    } finally cached.unpersist()
+    } finally {
+      cached.unpersist()
+      spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", prevCachedPart)
+    }
     readLineage(spark, root).get.filter(col("batch_id") === batchId)
   }
 

@@ -215,6 +215,37 @@ class GraphsSpec extends AnyFunSuite {
     assert(Materialize.readGraph(spark, root).count() == 100) // idempotent overwrite
   }
 
+  test("materialize splits a hot bucket into multiple sorted files") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    // one hub subject carries ~94% of all triples — the only way a hot
+    // bucket can arise under subject-hash bucketing. Objects are hash
+    // strings so the hot partition's COMPRESSED shuffle size (what the
+    // advisory threshold compares against) stays well above the lowered
+    // advisory.
+    def h(i: Int) = java.lang.Long.toHexString(i * 0x9e3779b97f4a7c15L)
+    val hot = (0 until 60000).map(i => ("http://hub.ex.org/page", ex + "p", s"${h(i)}${h(i + 1)}"))
+    val cold = (0 until 4000).map(i => (s"http://cold.ex.org/s$i", ex + "p", s"o$i"))
+    val prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      val triples = (hot ++ cold).toDF("s", "p", "o").repartition(4)
+      Materialize.materialize(triples, root, numBuckets = 4, batchId = "b1")
+      val filesPerBucket = new java.io.File(s"$root/data").listFiles()
+        .filter(_.isDirectory)
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+      assert(filesPerBucket.max > 1, s"hot bucket did not split: ${filesPerBucket.toSeq}")
+      // layout change is invisible to readers: full count, per-subject
+      // lookup, and lineage stats all match
+      assert(Materialize.readGraph(spark, root).count() == 64000)
+      assert(Materialize.lookupSubject(spark, root, "http://hub.ex.org/page", 4)
+        .count() == 60000)
+      val lin = Materialize.readLineage(spark, root).get
+      assert(lin.agg(sum("n_triples")).head().getLong(0) == 64000)
+      assert(lin.agg(sum("n_subjects")).head().getLong(0) == 4001)
+    } finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+  }
+
   test("quad-level dataset API: graphCount, whoDescribes, graph") {
     import spark.implicits._
     val quads = Seq(
