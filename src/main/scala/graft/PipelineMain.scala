@@ -203,7 +203,18 @@ object PipelineMain {
       .mkString("{", ",", "}")
     val src = compactSrc.orElse(pagesOpt).get
     val mode = if (compactSrc.nonEmpty) "compact" else "construct"
-    println(f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}""")
+    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
+    println(metricsJson)
+    // persist the run record next to the store: per-bucket counts live in
+    // the lineage table; this is the RUN-level lineage (stage wall times,
+    // stage flags, totals) a resumed or audited job reads back. One tiny
+    // driver-side file per batch — append-only, never overwritten, so a
+    // resume run's record sits beside the crashed run's.
+    val metricsDir = java.nio.file.Paths.get(out, "metrics")
+    java.nio.file.Files.createDirectories(metricsDir)
+    java.nio.file.Files.write(
+      metricsDir.resolve(s"run-$batchId-${System.currentTimeMillis()}.json"),
+      (metricsJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (preExisting.isEmpty) spark.stop()
   }
 }

@@ -38,6 +38,16 @@ class PipelineMainSpec extends AnyFunSuite {
     PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
       "--buckets", "4", "--batch-id", "t2"))
     assert(spark.read.parquet(s"$dir/store/data").count() == data.count())
+    // run-level metrics: one append-only record per batch, valid JSON the
+    // driver's own println also emitted
+    val runs = new java.io.File(s"$dir/store/metrics").listFiles()
+      .map(_.getName).sorted
+    assert(runs.count(_.startsWith("run-t1-")) == 1)
+    assert(runs.count(_.startsWith("run-t2-")) == 1)
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/store/metrics").listFiles()
+        .filter(_.getName.startsWith("run-t1-")).head.toPath))
+    assert(rec.contains("\"batch_id\":\"t1\"") && rec.contains("\"stages\":{"))
   }
 
   test("stage flags: --canonicalize and --link compose into the store") {
