@@ -315,6 +315,25 @@ object Queries {
           |  (SELECT d1 AS doc_id FROM jac UNION ALL SELECT d2 FROM jac)
           |GROUP BY 1""".stripMargin)),
 
+    // CLUSTER RESOLUTION over the LSH pair graph: near-duplication is
+    // transitive in practice, so the actionable dedup output is one cluster
+    // id + keep/drop per doc (pointer-doubled connected components, min-id
+    // representative), not raw pairs. Oracle: the identical pair CTE +
+    // a recursive reachability closure (cluster = min reachable doc_id;
+    // pair-free docs are singletons via the base case)
+    "dedup_clusters" -> Q(
+      (s, d) => Dedup.nearDupClusters(t(s, d, "documents")),
+      Some(lshCandSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (SELECT d1 AS a, d2 AS b FROM cand
+          |  UNION ALL SELECT d2, d1 FROM cand),
+          |reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+          |SELECT id AS doc_id, min(r) AS cluster,
+          |  CAST(min(r) = id AS INTEGER) AS keep
+          |FROM reach GROUP BY id""".stripMargin)),
+
     "dedup_simhash" -> Q(
       (s, d) => Dedup.simhash16(t(s, d, "documents")),
       Some {
@@ -429,6 +448,18 @@ object Queries {
              |  AS cum FROM t)
              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
              |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard FROM c""".stripMargin)),
+
+    // deterministic stratified sample: exactly min(n, |stratum|) docs per
+    // language in hash-uniform order — the rank filter compiles to
+    // WindowGroupLimit (per-partition group limit BEFORE the exchange),
+    // so a dominant stratum never sorts in one task
+    "sample_stratified" -> Q(
+      (s, d) => Sampling.stratifiedSample(t(s, d, "documents"), "lang", 20),
+      Some("""SELECT lang, doc_id, CAST(pick_rank AS INTEGER) AS pick_rank FROM (
+             |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5('graft-strat-v1:'||CAST(doc_id AS VARCHAR)), doc_id)
+             |    AS pick_rank
+             |  FROM documents) WHERE pick_rank <= 20""".stripMargin)),
 
     // benchmark decontamination: docs sharing any word 3-gram with the
     // "benchmark" slice (doc_id % 97 == 0) get flagged; benchmark side

@@ -162,6 +162,36 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
   }
 
+  /** Near-dup CLUSTER RESOLUTION — the production shape of near-dedup.
+    * Candidate PAIRS are not actionable on their own: near-duplication is
+    * transitive in practice (A~B, B~C with A,C never sharing a bucket), so
+    * dropping "the second doc of each pair" either over-drops (both
+    * directions hit) or under-drops (chains). The actionable output is one
+    * CLUSTER id per document plus a deterministic keep/drop decision:
+    * LSH candidate pairs ([[minhashLshPairs]]) -> connected components over
+    * the pair graph ([[GraphAlgos.connectedComponents]], pointer-doubled
+    * min-label propagation, O(log diameter) rounds) -> representative =
+    * the cluster's minimum doc_id. Docs in no pair are their own singleton
+    * cluster via the left join + coalesce (no shuffle of the corpus beyond
+    * the one join on doc_id).
+    *
+    * Output: (doc_id, cluster, keep) — `keep` (1/0; int, the cross-engine
+    * hash-stable encoding) marks exactly one doc per cluster;
+    * `filter(col("keep") === 1)` IS the deduped corpus. Deterministic
+    * end-to-end (hash-derived signatures, min-id representatives), so a
+    * re-run, a retry, or another engine drops the same rows. */
+  def nearDupClusters(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+                      bucketCap: Int = 64): DataFrame = {
+    val pairs = minhashLshPairs(docs, numHashes, rowsPerBand, bucketCap)
+    val comp = GraphAlgos.connectedComponents(
+      pairs.select(col("d1").as("a"), col("d2").as("b")))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("keep", (col("cluster") === col("doc_id")).cast("int"))
+  }
+
   private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   /** 16-bit SimHash from the per-token md5 hex digits: bit j is the sign of

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic distributed graph algorithms over long-id edge frames.
+  *
+  * The engine already runs min-label propagation over STRING-labeled bnode
+  * co-occurrence edges (`engine.Graphs.bnodeComponents`, the RDFC grouping
+  * step); this is the same pointer-doubled shape over arbitrary long-id
+  * edges — the primitive behind near-dup cluster resolution
+  * ([[Dedup.nearDupClusters]]) and link-graph componentization.
+  */
+object GraphAlgos {
+
+  /** Connected components via iterative min-label propagation with POINTER
+    * DOUBLING over an undirected edge frame.
+    *
+    * Input: `edges` with two long columns `a`, `b` (one row per edge, either
+    * direction; both directions or duplicates are fine — the symmetrized
+    * edge set is deduped once). Output: `(id, component)` for every vertex
+    * appearing in an edge, where `component` is the MINIMUM vertex id of the
+    * component — a deterministic, engine-independent representative.
+    * Isolated vertices never appear in an edge frame; callers that need
+    * singleton clusters coalesce them back (see [[Dedup.nearDupClusters]]).
+    *
+    * Scale shape (the [[graft.engine.Graphs.bnodeComponents]] recipe): the
+    * symmetrized edge set is cached once; each round is one shuffled
+    * equi-join + one min-aggregation (neighbor minimum) followed by the
+    * pointer-doubling shortcut join (adopt the component of my component),
+    * so labels chase 2^i-hop representatives and a chain of diameter D
+    * converges in O(log D) rounds — `maxIter`=20 covers diameters to ~2^20.
+    * Every round's label frame is `localCheckpoint`ed: round i is one join
+    * over materialized labels, not a replay of rounds 1..i-1, and the
+    * convergence probe reads the materialized frame. Non-convergence
+    * THROWS — a silently split component would merge/drop the wrong
+    * downstream rows (e.g. keep two representatives of one dup cluster). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val und = sym.unionAll(sym.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct().persist()
+    var comp = und.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = und
+        .join(comp.select(col("id").as("b_id"), col("component").as("b_c")),
+          col("b") === col("b_id"))
+        .groupBy(col("a").as("id")).agg(min(col("b_c")).as("nc"))
+      val hop = comp.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("component"),
+          when(col("nc").isNotNull, least(col("component"), col("nc")))
+            .otherwise(col("component")).as("newComp"))
+        .localCheckpoint()
+      val reps = hop.select(col("id").as("r_id"), col("newComp").as("r_c"))
+      val next = hop.join(reps, hop("newComp") === reps("r_id"), "left")
+        .select(hop("id").as("id"), hop("component").as("component"),
+          when(col("r_c").isNotNull, least(hop("newComp"), col("r_c")))
+            .otherwise(hop("newComp")).as("newComp"))
+        .localCheckpoint()
+      converged = next.filter(col("newComp") =!= col("component")).isEmpty
+      comp = next.select(col("id"), col("newComp").as("component"))
+      i += 1
+    }
+    und.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds — " +
+          "with pointer doubling that is a component diameter beyond " +
+          "~2^maxIter, i.e. a pathological input; raise maxIter if truly needed")
+    comp
+  }
+}

@@ -116,4 +116,29 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(__cum - n_tokens) div $budgetTokens").as("shard"))
   }
+
+  /** Deterministic STRATIFIED sample: exactly `min(n, |stratum|)` rows per
+    * stratum (e.g. per language), chosen by the hash-uniform order — the
+    * "balanced eval set" / "cap the dominant language" stage of a corpus
+    * pipeline. No RNG: the per-stratum order is md5("salt:doc_id") with
+    * doc_id as the tiebreaker, so re-runs, retries, and other engines pick
+    * the same rows, and a stratum's picks only change where corpus growth
+    * actually inserts ahead of the cutoff.
+    *
+    * Scale shape: the rank filter compiles to Spark's WindowGroupLimit —
+    * each input partition keeps at most `n` rows per stratum BEFORE the
+    * exchange (asserted in SamplingSpec), so the shuffle moves
+    * O(partitions * strata * n) rows, not the corpus, and a
+    * billion-row dominant stratum never sorts in one task. Output: the
+    * stratum column + (doc_id, pick_rank), pick_rank in [1, n]. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, n: Int,
+                       salt: String = "graft-strat-v1"): DataFrame = {
+    require(n > 0, "stratifiedSample: n must be positive")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    docs.select(col(stratumCol), col("doc_id"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= n)
+  }
 }

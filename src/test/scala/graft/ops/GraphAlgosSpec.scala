@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphAlgosSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphAlgos.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, star, cycle, and disjoint components resolve to the min id") {
+    // chain 1-2-3-4-5 | star 10-{11,12,13} | cycle 20-21-22-20 | pair 30-31
+    val got = cc(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      10L -> 11L, 10L -> 12L, 10L -> 13L,
+      20L -> 21L, 21L -> 22L, 22L -> 20L,
+      30L -> 31L))
+    assert((1L to 5L).forall(got(_) == 1L), got)
+    assert((10L to 13L).forall(got(_) == 10L), got)
+    assert((20L to 22L).forall(got(_) == 20L), got)
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got.size == 14) // every vertex appearing in an edge, nothing else
+  }
+
+  test("direction, duplicate edges, and self-loops do not matter") {
+    val got = cc(Seq(5L -> 1L, 1L -> 5L, 5L -> 1L, 7L -> 7L, 5L -> 9L))
+    assert(got(1L) == 1L && got(5L) == 1L && got(9L) == 1L)
+    assert(got(7L) == 7L) // self-loop = isolated vertex with an edge row
+  }
+
+  test("long chain converges within the pointer-doubled round budget") {
+    // diameter 300 chain: plain propagation needs 300 rounds; pointer
+    // doubling must land it well inside maxIter=20 (2^20 >> 300)
+    val chain = (0L until 300L).map(i => i -> (i + 1))
+    val got = cc(chain)
+    assert((0L to 300L).forall(got(_) == 0L))
+  }
+
+  test("nearDupClusters: transitive chains collapse, singletons survive") {
+    import spark.implicits._
+    // three near-identical docs (A~B~C chain through shared shingles), one
+    // exact-ish pair, and unrelated singleton docs
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "s1", base + " one"),
+      (2L, "s1", base + " two"),
+      (3L, "s1", base + " three"),
+      (50L, "s1", "totally different words here nothing shared qq ww ee rr tt"),
+      (51L, "s1", "totally different words here nothing shared qq ww ee rr uu"),
+      (90L, "s1", "lone wolf document unique vocabulary entirely"),
+      (91L, "s1", "another unrelated text with its own tokens completely")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.nearDupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val byId = got.map(r => r._1 -> r).toMap
+    // every input doc gets exactly one row
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 50L, 51L, 90L, 91L))
+    // the near-dup family is ONE cluster rooted at the min id, keep only 1
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3) == Seq(1, 0, 0))
+    // the pair clusters at 50, singletons keep themselves
+    assert(byId(50L)._2 == byId(51L)._2)
+    assert(byId(90L) == ((90L, 90L, 1)) && byId(91L) == ((91L, 91L, 1)))
+    // exactly one keeper per cluster
+    val keepers = got.groupBy(_._2).map { case (_, rs) => rs.count(_._3 == 1) }
+    assert(keepers.forall(_ == 1))
+  }
+
+  test("nearDupClusters keep=1 rows equal one representative per component") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      // 4 dup groups of 5 (ids 0-4, 5-9, ...) + 20 unique docs
+      val text = if (i < 20) s"shared shingle body group${i / 5} " * 6 + s"tail$i"
+      else s"unique document number $i with disjoint vocabulary ${i * 7}"
+      (i, "s", text)
+    }.toDF("doc_id", "source", "text")
+    val res = Dedup.nearDupClusters(docs)
+    assert(res.count() == 40)
+    val kept = res.filter(col("keep") === 1).count()
+    val clusters = res.select("cluster").distinct().count()
+    assert(kept == clusters)
+  }
+}

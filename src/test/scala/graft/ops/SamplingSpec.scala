@@ -71,4 +71,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.toSeq == exp.toSeq) // equals sequential greedy packing
     assert(Sampling.packShards(sparse.limit(0), 64).collect().isEmpty)
   }
+
+  test("stratifiedSample: exact per-stratum counts, small strata whole, " +
+    "deterministic, map-side group limit in the plan") {
+    import spark.implicits._
+    val d = (0 until 1000).map { i =>
+      val lang = if (i < 7) "tiny" else if (i % 10 == 0) "rare" else "common"
+      (i.toLong, lang)
+    }.toDF("doc_id", "lang")
+    val res = Sampling.stratifiedSample(d, "lang", 30)
+    val counts = res.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("common") == 30 && counts("rare") == 30, counts)
+    assert(counts("tiny") == 7) // stratum smaller than n survives whole
+    // ranks are 1..k contiguous per stratum
+    val ranks = res.collect().map(r => (r.getString(0), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(ranks("tiny") == (1 to 7))
+    assert(ranks("common") == (1 to 30) && ranks("rare") == (1 to 30))
+    // deterministic across runs
+    val again = Sampling.stratifiedSample(d, "lang", 30)
+    assert(res.collect().toSet == again.collect().toSet)
+    // scale shape: the rank<=n filter must compile to WindowGroupLimit so
+    // each partition keeps <= n rows per stratum BEFORE the exchange — a
+    // dominant stratum must never sort whole in one task
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
