@@ -21,7 +21,8 @@ object Bench {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "text_tokens", "text_fingerprint", "text_curation", "text_vocab",
     "text_line_dedup", "embed_cosine_topk", "rdf_bgp", "kg_extract",
-    "kg_dedup", "kg_latest_crawl", "graph_pagerank")
+    "kg_dedup", "kg_latest_crawl", "graph_pagerank", "dedup_clusters",
+    "sample_stratified")
 
   private def session(cores: Int): SparkSession =
     BenchSession.local(cores, s"graft-bench-$cores",
