@@ -12,7 +12,10 @@ import graft.pipeline.{Materialize, WebKg}
   *
   * Stages (the north rule's composed pipeline): read the Common-Crawl-style
   * page table (url, warc_ts, html, text, lang) -> keep the newest crawl per
-  * url (snapshot) -> extract triples (one codegen pass over the html) ->
+  * url (snapshot) -> OPTIONAL `--near-dedup` (drop near-duplicate pages
+  * ACROSS urls — mirrors/boilerplate — keeping each LSH cluster's
+  * representative; result-scale drop set, anti-join) -> extract triples
+  * (one codegen pass over the html) ->
   * OPTIONAL `--canonicalize` (RDF 1.1 IRI percent-encoding normalization,
   * narrow pass) -> OPTIONAL `--link <dict-parquet>` (two-stage fuzzy entity
   * linking against a (surface, entity) dictionary, distribution
@@ -42,7 +45,7 @@ object PipelineMain {
   private val valueFlags = Set("--pages", "--out", "--buckets", "--batch-id",
     "--link", "--link-threshold", "--link-broadcast-max", "--link-mode",
     "--compact-src")
-  private val boolFlags = Set("--canonicalize")
+  private val boolFlags = Set("--canonicalize", "--near-dedup")
 
   /** STRICT parse: an unknown flag, a typo, a duplicated flag, a dangling
     * flag, or a flag-like token in value position must abort the job, never
@@ -88,9 +91,10 @@ object PipelineMain {
       sys.error("required: --pages <parquet dir of (url, warc_ts, html, text, lang)> " +
         "or --compact-src <increment store root>")
     if (compactSrc.nonEmpty &&
-        (pagesOpt.nonEmpty || opts.contains("--link") || opts.contains("--canonicalize")))
+        (pagesOpt.nonEmpty || opts.contains("--link") ||
+          opts.contains("--canonicalize") || opts.contains("--near-dedup")))
       sys.error("--compact-src is a mode of its own: " +
-        "--pages/--link/--canonicalize do not apply")
+        "--pages/--link/--canonicalize/--near-dedup do not apply")
     // stop only a session WE created — getOrCreate may attach to a host
     // process's session (tests, notebooks), which is not ours to kill
     val preExisting =
@@ -130,17 +134,37 @@ object PipelineMain {
         // snapshot+extract stage — PipeProbe)
         val snap0 = WebKg.latestSnapshot(
           spark.read.parquet(pages).select("url", "warc_ts", "html", "lang"))
-        // linking adds a SECOND consumer of the snapshot (extraction reads
-        // the html, linking reads the extracted text) — persist it so the
-        // page table is scanned and snapshot-aggregated once, spilling to
-        // disk rather than recomputing at 100 TB; without --link the
-        // snapshot stays fully fused into the materialize action
-        val snap = if (doLink)
+        val nearDedup = opts.contains("--near-dedup")
+        // linking and near-dedup each add consumers of the snapshot beyond
+        // extraction (linking reads the extracted text; near-dedup runs
+        // eager clustering actions over it) — persist it so the page table
+        // is scanned and snapshot-aggregated once, spilling to disk rather
+        // than recomputing at 100 TB; with neither flag the snapshot stays
+        // fully fused into the materialize action
+        val snap = if (doLink || nearDedup)
           snap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else snap0
         try {
-          if (doLink) timed("snapshot")(snap.count())
-          val extracted0 = WebKg.extractFlat(snap)
+          if (doLink || nearDedup) timed("snapshot")(snap.count())
+          // OPTIONAL page-level near-dedup BEFORE extraction: mirror /
+          // boilerplate pages across urls (the snapshot only collapses
+          // re-crawls of ONE url) waste every downstream stage, so drop
+          // all but each near-dup cluster's representative here. The drop
+          // set is RESULT-scale (one id per dropped page — Dedup
+          // .nearDupDropIds), localCheckpoint'ed inside the stage timing
+          // (the clustering rounds run eagerly), then anti-joined against
+          // the snapshot — AQE broadcasts it when the dup fraction is
+          // small. Page identity is xxhash64(url) (seeded, deterministic
+          // across runs/engines); a 64-bit collision merges two unrelated
+          // pages into one cluster and drops one — ~n^2/2^65 odds, accepted
+          // for a lossy-by-design dedup stage.
+          val pagesIn = if (nearDedup) timed("near_dedup") {
+            val pd = snap.select(xxhash64(col("url")).as("doc_id"),
+              lit("web").as("source"), WebKg.extractedText.as("text"))
+            val drop = graft.ops.Dedup.nearDupDropIds(pd).localCheckpoint()
+            snap.join(drop, xxhash64(snap("url")) === drop("doc_id"), "left_anti")
+          } else snap
+          val extracted0 = WebKg.extractFlat(pagesIn)
           // RDF 1.1 IRI canonicalization is a narrow per-row pass — it
           // fuses into the downstream action, so it carries no own timing
           val extracted =
@@ -166,7 +190,7 @@ object PipelineMain {
               // roughly half the link-stage cost.
               val linkMode = opts.getOrElse("--link-mode", "fuzzy")
               val linkDocs =
-                snap.select(col("url").as("doc_id"), WebKg.extractedText.as("text"))
+                pagesIn.select(col("url").as("doc_id"), WebKg.extractedText.as("text"))
               val mentions = timed("link") {
                 (linkMode match {
                   case "fuzzy" => WebKg.entityLinkFuzzyDF(linkDocs, dict,
@@ -192,7 +216,7 @@ object PipelineMain {
           timed("materialize") {
             Materialize.materialize(triples, out, buckets, batchId)
           }
-        } finally if (doLink) snap.unpersist()
+        } finally if (doLink || nearDedup) snap.unpersist()
     }
     val agg = stats.agg(
       coalesce(sum("n_triples"), lit(0L)).as("t"),
@@ -203,7 +227,7 @@ object PipelineMain {
       .mkString("{", ",", "}")
     val src = compactSrc.orElse(pagesOpt).get
     val mode = if (compactSrc.nonEmpty) "compact" else "construct"
-    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
+    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
     println(metricsJson)
     // persist the run record next to the store: per-bucket counts live in
     // the lineage table; this is the RUN-level lineage (stage wall times,

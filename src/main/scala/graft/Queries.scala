@@ -302,30 +302,24 @@ object Queries {
     // common token at corpus scale)
     "dedup_ngram_jaccard" -> Q(
       (s, d) => Dedup.ngramJaccardNearDups(t(s, d, "documents")),
-      Some(lshCandSql +
-        """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
-          |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
-          |  JOIN tok a ON a.doc_id = c.d1
-          |  JOIN tok b ON b.doc_id = c.d2 AND b.w = a.w
-          |  GROUP BY 1,2),
-          |jac AS (SELECT i.d1, i.d2 FROM inter i
-          |  JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
-          |  WHERE i.i * 1.0 / (s1.n + s2.n - i.i) >= 0.8)
-          |SELECT doc_id, count(*) AS n_near FROM
+      Some(ngramJacSql +
+        """SELECT doc_id, count(*) AS n_near FROM
           |  (SELECT d1 AS doc_id FROM jac UNION ALL SELECT d2 FROM jac)
           |GROUP BY 1""".stripMargin)),
 
-    // CLUSTER RESOLUTION over the LSH pair graph: near-duplication is
-    // transitive in practice, so the actionable dedup output is one cluster
-    // id + keep/drop per doc (pointer-doubled connected components, min-id
-    // representative), not raw pairs. Oracle: the identical pair CTE +
-    // a recursive reachability closure (cluster = min reachable doc_id;
+    // CLUSTER RESOLUTION over the VERIFIED near-dup pair graph:
+    // near-duplication is transitive in practice, so the actionable dedup
+    // output is one cluster id + keep/drop per doc (pointer-doubled
+    // connected components over block->verify pairs — raw LSH candidates
+    // would let one false-positive bucket edge merge whole clusters —
+    // min-id representative). Oracle: the identical verified-pair CTE + a
+    // recursive reachability closure (cluster = min reachable doc_id;
     // pair-free docs are singletons via the base case)
     "dedup_clusters" -> Q(
       (s, d) => Dedup.nearDupClusters(t(s, d, "documents")),
-      Some(lshCandSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, edges AS (SELECT d1 AS a, d2 AS b FROM cand
-          |  UNION ALL SELECT d2, d1 FROM cand),
+      Some(ngramJacSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (SELECT d1 AS a, d2 AS b FROM jac
+          |  UNION ALL SELECT d2, d1 FROM jac),
           |reach(id, r) AS (
           |  SELECT doc_id, doc_id FROM documents
           |  UNION
@@ -1459,6 +1453,20 @@ object Queries {
     * tokens -> 8 minhashes -> 4 bands -> bucket-cap 64 -> candidate pairs.
     * Ends after the `cand` CTE so callers append either the count
     * projection or further verify-stage CTEs. */
+  /** lshCandSql + exact-Jaccard verification: `jac` = the verified near-dup
+    * pair set (threshold 0.8), the DuckDB twin of `Dedup.ngramJaccardPairs`.
+    * Shared by `dedup_ngram_jaccard` and `dedup_clusters`. */
+  private lazy val ngramJacSql: String = lshCandSql +
+    """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+      |  JOIN tok a ON a.doc_id = c.d1
+      |  JOIN tok b ON b.doc_id = c.d2 AND b.w = a.w
+      |  GROUP BY 1,2),
+      |jac AS (SELECT i.d1, i.d2 FROM inter i
+      |  JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+      |  WHERE i.i * 1.0 / (s1.n + s2.n - i.i) >= 0.8)
+      |""".stripMargin
+
   private lazy val lshCandSql: String =
     """WITH tok AS (SELECT doc_id, source,
       |    unnest(list_distinct(string_split_regex(text,'\s+'))) AS w FROM documents),

@@ -130,6 +130,17 @@ object Dedup {
     * Output: (doc_id, n_near) — near-dup partner count per doc over both
     * pair directions. */
   def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val jac = ngramJaccardPairs(docs, threshold)
+    // count partners in both directions so the metric is per-doc symmetric
+    jac.select(col("d1").as("doc_id")).unionAll(jac.select(col("d2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+  }
+
+  /** The VERIFIED near-dup pair set (d1 < d2): LSH candidate blocking ->
+    * exact token-Jaccard >= `threshold` over only the candidate pairs.
+    * RESULT-scale and eagerly checkpointed — the shared primitive behind
+    * [[ngramJaccardNearDups]] and [[nearDupClusters]]. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLshPairs(docs)
     // tokSets joins against BOTH pair sides; jac feeds BOTH direction
     // unions. Cache lifecycle: the CORPUS-scale token-set frame is
@@ -157,9 +168,7 @@ object Dedup {
       .select("d1", "d2")
       .localCheckpoint() // eager: runs the verify join ONCE, truncates plan
     tokSets.unpersist()
-    // count partners in both directions so the metric is per-doc symmetric
-    jac.select(col("d1").as("doc_id")).unionAll(jac.select(col("d2").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    jac
   }
 
   /** Near-dup CLUSTER RESOLUTION — the production shape of near-dedup.
@@ -168,8 +177,11 @@ object Dedup {
     * dropping "the second doc of each pair" either over-drops (both
     * directions hit) or under-drops (chains). The actionable output is one
     * CLUSTER id per document plus a deterministic keep/drop decision:
-    * LSH candidate pairs ([[minhashLshPairs]]) -> connected components over
-    * the pair graph ([[GraphAlgos.connectedComponents]], pointer-doubled
+    * LSH blocking -> exact-Jaccard VERIFY ([[ngramJaccardPairs]] — raw
+    * candidates would transitively merge unrelated clusters through
+    * false-positive bucket collisions, and CC amplifies every false edge
+    * into a whole-cluster merge) -> connected components over the verified
+    * pair graph ([[GraphAlgos.connectedComponents]], pointer-doubled
     * min-label propagation, O(log diameter) rounds) -> representative =
     * the cluster's minimum doc_id. Docs in no pair are their own singleton
     * cluster via the left join + coalesce (no shuffle of the corpus beyond
@@ -180,9 +192,8 @@ object Dedup {
     * `filter(col("keep") === 1)` IS the deduped corpus. Deterministic
     * end-to-end (hash-derived signatures, min-id representatives), so a
     * re-run, a retry, or another engine drops the same rows. */
-  def nearDupClusters(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
-                      bucketCap: Int = 64): DataFrame = {
-    val pairs = minhashLshPairs(docs, numHashes, rowsPerBand, bucketCap)
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, threshold)
     val comp = GraphAlgos.connectedComponents(
       pairs.select(col("d1").as("a"), col("d2").as("b")))
     docs.select(col("doc_id").cast("long").as("doc_id"))
@@ -190,6 +201,21 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster"))
       .withColumn("keep", (col("cluster") === col("doc_id")).cast("int"))
+  }
+
+  /** The DROP side of [[nearDupClusters]], for pipelines that only need to
+    * FILTER a corpus: doc ids of every non-representative cluster member
+    * (`component != id`). RESULT-scale — one row per dropped duplicate,
+    * never per corpus row — so the caller anti-joins it against the corpus
+    * and AQE broadcasts it whenever the duplicate fraction is small (the
+    * common case), where the full cluster frame would force a corpus-wide
+    * join. Output: (doc_id). */
+  def nearDupDropIds(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, threshold)
+    GraphAlgos.connectedComponents(
+      pairs.select(col("d1").as("a"), col("d2").as("b")))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
   }
 
   private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")

@@ -129,6 +129,43 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(subjects == Set("https://src0.example.org/doc/a~b%3Fc"))
   }
 
+  test("--near-dedup drops cross-url near-duplicate pages before extraction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_nd").toString
+    // two urls carry the SAME content (a mirror — the snapshot stage only
+    // collapses re-crawls of one url, never cross-url copies), one unique
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "src0", 30L),
+      (1L, "alpha beta gamma delta epsilon", "en", "src1", 30L),
+      (2L, "unrelated totally different words entirely", "de", "src0", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    WebKg.synthesizeWebPages(docs).write.mode("overwrite").parquet(s"$dir/pages")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
+      "--buckets", "4", "--batch-id", "nd1", "--near-dedup"))
+    val data = spark.read.parquet(s"$dir/store/data")
+    val typed = data.filter(col("p") === WebKg.pType)
+      .select("s").as[String].collect().toSet
+    val mirror = Seq("https://src0.example.org/doc/0",
+      "https://src1.example.org/doc/1")
+    // exactly one page of the mirror pair survives — the min-xxhash64(url)
+    // representative, predicted here with the same expression
+    val keeper = mirror.toDF("u").select(col("u"), xxhash64(col("u")).as("h"))
+      .collect().minBy(_.getLong(1)).getString(0)
+    assert(typed == Set(keeper, "https://src0.example.org/doc/2"), typed)
+    // run record carries the flag and the stage timings
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/store/metrics").listFiles()
+        .filter(_.getName.startsWith("run-nd1-")).head.toPath))
+    assert(rec.contains("\"near_dedup\":true"))
+    assert(rec.contains("\"near_dedup\":") && rec.contains("\"snapshot\":"))
+    // without the flag both mirror pages land in the store
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store2",
+      "--buckets", "4", "--batch-id", "nd2"))
+    val all = spark.read.parquet(s"$dir/store2/data")
+      .filter(col("p") === WebKg.pType).count()
+    assert(all == 3)
+  }
+
   test("--compact-src rolls an increment store into a deduped snapshot store") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pm_compact").toString

@@ -75,8 +75,13 @@ class GraphAlgosSpec extends AnyFunSuite {
   test("nearDupClusters keep=1 rows equal one representative per component") {
     import spark.implicits._
     val docs = (0L until 40L).map { i =>
-      // 4 dup groups of 5 (ids 0-4, 5-9, ...) + 20 unique docs
-      val text = if (i < 20) s"shared shingle body group${i / 5} " * 6 + s"tail$i"
+      // 4 dup groups of 5 (ids 0-4, 5-9, ...): 12 shared tokens + 1 group
+      // token + 1 member token -> within-group Jaccard 12/14 = 0.857 (>=
+      // 0.8, verified near-dup), cross-group 11/15 = 0.73 (< 0.8, the
+      // verify stage rejects any LSH candidate) — plus 20 unique docs
+      val text = if (i < 20)
+        s"group${i / 5} common words alpha beta gamma delta epsilon zeta " +
+          s"eta theta iota member$i"
       else s"unique document number $i with disjoint vocabulary ${i * 7}"
       (i, "s", text)
     }.toDF("doc_id", "source", "text")
@@ -85,5 +90,11 @@ class GraphAlgosSpec extends AnyFunSuite {
     val kept = res.filter(col("keep") === 1).count()
     val clusters = res.select("cluster").distinct().count()
     assert(kept == clusters)
+    assert(clusters == 24, s"4 groups + 20 singletons, got $clusters")
+    // nearDupDropIds is exactly the complement of the keepers
+    val dropped = Dedup.nearDupDropIds(docs).collect().map(_.getLong(0)).toSet
+    assert(dropped == res.filter(col("keep") === 0)
+      .collect().map(_.getLong(0)).toSet)
+    assert(dropped.size == 16) // 4 per group
   }
 }
