@@ -132,14 +132,17 @@ object Bench {
     // headline sweeps at other scale factors (the sf1 stress run) where
     // re-measuring the scaling pairs would multiply the run by the
     // replication factor for no new information. The driver never sets it.
+    // ONE encoding of the headline blocks, shared by the skip path and the
+    // full path — a schema change can never silently diverge between the
+    // two artifacts
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qsCold = resultsCold.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val bigdict =
+      f"""{"surfaces":$bigDictSurfaces,"cold":$bigCold%.3f,"warm":$bigWarm%.3f}"""
     if (sys.env.get("SPARK_GRAFT_SCALE_SKIP").contains("1")) {
-      val qs0 = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-      val qs0Cold = resultsCold.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-      val total0 = results.map(_._2).sum
-      val bigdict0 =
-        f"""{"surfaces":$bigDictSurfaces,"cold":$bigCold%.3f,"warm":$bigWarm%.3f}"""
       println(
-        f"""{"metric":"total","value":$total0%.3f,"unit":"sec","queries":$qs0%s,"queries_cold":$qs0Cold%s,"sf":"$sfDir%s","bigdict_link":$bigdict0%s,"kg_pipeline":null}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s","bigdict_link":$bigdict%s,"kg_pipeline":null}""")
       return
     }
     val nCores = args.headOption.map(_.toInt)
@@ -187,9 +190,6 @@ object Bench {
     val p1 = pair(nCores, n4Cores)
     val (secN, sec4N, tpN, tp4N, eff) = (p1.secLo, p1.secHi, p1.tpLo, p1.tpHi, p1.eff)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val qsCold = resultsCold.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     def arr(xs: Array[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val sec2 = if (secondary) {
       val lo = nCores * 2; val hi = nCores * 8
@@ -208,8 +208,6 @@ object Bench {
       f""""runs_ncore":${arr(allBy(nCores))},"runs_4ncore":${arr(allBy(n4Cores))},""" +
       f""""triples_per_sec_ncore":${tpN.toLong}%d,"triples_per_sec_4ncore":${tp4N.toLong}%d,""" +
       f""""scaling_efficiency":$eff%.3f,"median_scaling_efficiency":${p1.medEff}%.3f$sec2%s}"""
-    val bigdict =
-      f"""{"surfaces":$bigDictSurfaces,"cold":$bigCold%.3f,"warm":$bigWarm%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s","bigdict_link":$bigdict%s,"kg_pipeline":$kg%s}""")
     ()

@@ -90,11 +90,19 @@ object PipelineMain {
     if (compactSrc.isEmpty && pagesOpt.isEmpty)
       sys.error("required: --pages <parquet dir of (url, warc_ts, html, text, lang)> " +
         "or --compact-src <increment store root>")
+    val constructOnly = Seq("--link", "--link-mode", "--link-threshold",
+      "--link-broadcast-max", "--canonicalize", "--near-dedup")
     if (compactSrc.nonEmpty &&
-        (pagesOpt.nonEmpty || opts.contains("--link") ||
-          opts.contains("--canonicalize") || opts.contains("--near-dedup")))
-      sys.error("--compact-src is a mode of its own: " +
-        "--pages/--link/--canonicalize/--near-dedup do not apply")
+        (pagesOpt.nonEmpty || constructOnly.exists(opts.contains)))
+      sys.error("--compact-src is a mode of its own: --pages and " +
+        constructOnly.mkString("/") + " do not apply")
+    // pre-flight value validation: a typo'd --link-mode must abort BEFORE
+    // the snapshot stage (the most expensive prefix of the job at
+    // deployment scale), not inside the link stage after it
+    opts.get("--link-mode").foreach { m =>
+      if (m != "fuzzy" && m != "exact")
+        sys.error(s"--link-mode must be fuzzy|exact, got '$m'")
+    }
     // stop only a session WE created — getOrCreate may attach to a host
     // process's session (tests, notebooks), which is not ours to kill
     val preExisting =
@@ -247,11 +255,17 @@ object PipelineMain {
     // stage flags, totals) a resumed or audited job reads back. One tiny
     // driver-side file per batch — append-only, never overwritten, so a
     // resume run's record sits beside the crashed run's.
-    val metricsDir = java.nio.file.Paths.get(out, "metrics")
-    java.nio.file.Files.createDirectories(metricsDir)
-    java.nio.file.Files.write(
-      metricsDir.resolve(s"run-$batchId-${System.currentTimeMillis()}.json"),
-      (metricsJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Hadoop FileSystem, NOT java.nio: --out is a store URI (hdfs://,
+    // s3a://, file:/...) in deployment — Paths.get would silently write
+    // the record to a bogus LOCAL 'hdfs:' directory next to the driver.
+    // The same resolution the store data/lineage writes use.
+    val metricsPath = new org.apache.hadoop.fs.Path(out,
+      s"metrics/run-$batchId-${System.currentTimeMillis()}.json")
+    val fs = metricsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(metricsPath, /* overwrite = */ false)
+    try os.write((metricsJson + "\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
     if (preExisting.isEmpty) spark.stop()
   }
 }

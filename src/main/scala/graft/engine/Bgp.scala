@@ -195,16 +195,24 @@ object Bgp {
       executeIncrementalReleasable(spark, staticTriples, stream, bgp, streamedIdx)
     // auto-release: unpersist the static-solution cache once the session's
     // streaming activity quiesces (a termination event with no remaining
-    // active query). Conservative in multi-query sessions — an unrelated
-    // long-lived query delays release — but never unsafe: unpersist only
-    // ever costs recompute. Callers needing deterministic release use
+    // active query). The listener ARMS only after it has observed a query
+    // START — without that, a previously-running query terminating between
+    // this plan's construction and its own query's start would release the
+    // cache before it was ever probed (the consuming query would then
+    // recompute the static join chain every micro-batch for its whole
+    // lifetime, silently). Still conservative in multi-query sessions — an
+    // unrelated query's start arms it, and an unrelated long-lived query
+    // delays release — but never unsafe beyond recompute. Callers needing
+    // deterministic release (or who may never start the query: the armed
+    // listener is only removed on release) use
     // executeIncrementalReleasable directly.
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      @volatile private var armed = false
+      override def onQueryStarted(e: QueryStartedEvent): Unit = armed = true
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (spark.streams.active.isEmpty) {
+        if (armed && spark.streams.active.isEmpty) {
           release()
           spark.streams.removeListener(this)
         }

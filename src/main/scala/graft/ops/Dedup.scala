@@ -193,6 +193,7 @@ object Dedup {
     * end-to-end (hash-derived signatures, min-id representatives), so a
     * re-run, a retry, or another engine drops the same rows. */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    requireLongDocIds(docs)
     val pairs = ngramJaccardPairs(docs, threshold)
     val comp = GraphAlgos.connectedComponents(
       pairs.select(col("d1").as("a"), col("d2").as("b")))
@@ -203,6 +204,18 @@ object Dedup {
       .withColumn("keep", (col("cluster") === col("doc_id")).cast("int"))
   }
 
+  /** Cluster resolution needs integral doc ids (min-id representatives,
+    * long-id connected components): a string-keyed corpus (e.g. urls)
+    * would null-cast and silently cluster NOTHING — reject at plan-build
+    * time and point the caller at the hash mapping PipelineMain uses. */
+  private def requireLongDocIds(docs: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = docs.schema("doc_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"nearDupClusters/nearDupDropIds: doc_id must be an integral type " +
+        s"(got $dt) — map string keys to longs first (e.g. xxhash64(url))")
+  }
+
   /** The DROP side of [[nearDupClusters]], for pipelines that only need to
     * FILTER a corpus: doc ids of every non-representative cluster member
     * (`component != id`). RESULT-scale — one row per dropped duplicate,
@@ -211,6 +224,7 @@ object Dedup {
     * common case), where the full cluster frame would force a corpus-wide
     * join. Output: (doc_id). */
   def nearDupDropIds(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    requireLongDocIds(docs)
     val pairs = ngramJaccardPairs(docs, threshold)
     GraphAlgos.connectedComponents(
       pairs.select(col("d1").as("a"), col("d2").as("b")))

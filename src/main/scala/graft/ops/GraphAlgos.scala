@@ -36,6 +36,16 @@ object GraphAlgos {
     * THROWS — a silently split component would merge/drop the wrong
     * downstream rows (e.g. keep two representatives of one dup cluster). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // vertex ids must already be integral: a string id would cast("long")
+    // to null and be FILTERED — every edge silently dropped, an empty
+    // (not wrong-looking) component frame. Reject at plan-build time.
+    for (c <- Seq("a", "b")) {
+      import org.apache.spark.sql.types._
+      val dt = edges.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents: edge column '$c' must be an integral type " +
+          s"(got $dt) — map string ids to longs first (e.g. xxhash64)")
+    }
     val sym = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val und = sym.unionAll(sym.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a").isNotNull && col("b").isNotNull)

@@ -336,21 +336,12 @@ object WebKg {
                         broadcastDict: Boolean = true,
                         subjectOf: Column => Column =
                           id => concat(lit(docNs), id)): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
-      .filter(length(col("w")) >= 3).distinct()
-    // resolve duplicate surfaces on the DICTIONARY side (min entity per
-    // surface — the rank-1-by-(jac=1, entity) rule), BEFORE the
-    // corpus-scale join: each token then matches at most one dictionary
-    // row, so no post-join (doc_id, w) resolution aggregation exists at
-    // all — one mention-scale exchange removed vs resolving after the
-    // join (measured: link stage 240s -> see BENCH.md on the 2.56M-page
-    // table). The dictionary agg is dictionary-scale, not corpus-scale.
-    val dictResolved = dictionary.select(col("surface"), col("entity"))
-      .filter(length(col("surface")) >= 3)
-      .groupBy("surface").agg(min(col("entity")).as("entity"))
-    val side =
-      if (broadcastDict) broadcast(dictResolved)
-      else dictResolved.hint("shuffle_merge")
+    // the SAME token/dictionary builders as fuzzyScoredTiers' exact tier
+    // (shared helpers, not copies): the two modes must resolve an exact
+    // token to the same entity or --link-mode exact and the fuzzy path
+    // would silently disagree
+    val tok = mentionTokens(docs)
+    val side = resolvedDictSide(dictionary, broadcastDict)
     // tok is distinct per (doc_id, w) and the dictionary side is unique
     // per surface, so count(w) counts distinct mention tokens exactly
     tok.join(side, col("w") === col("surface"))
@@ -359,6 +350,30 @@ object WebKg {
       .select(subjectOf(col("doc_id")).as("s"),
         lit(pMentions).as("p"), col("entity").as("o"),
         col("n_mentions"), lit(1.0).as("top_jac"))
+  }
+
+  /** Distinct (doc_id, w) mention tokens, >= 3 chars (the shingleable
+    * minimum) — the stage-0 relation shared by BOTH link modes. */
+  private def mentionTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 3).distinct()
+
+  /** The exact-tier dictionary side shared by BOTH link modes: duplicate
+    * surfaces resolve to min(entity) per surface (the rank-1-by-(jac=1,
+    * entity) rule) at DICTIONARY scale, BEFORE any corpus join — each
+    * token then matches at most one dictionary row, so no post-join
+    * (doc_id, w) resolution aggregation exists at all (one mention-scale
+    * exchange removed; measured on the 2.56M-page table, BENCH.md).
+    * Distribution-hinted: broadcast for vocabulary-scale dictionaries,
+    * pinned shuffle_merge for big dictionaries so AQE cannot re-broadcast
+    * a growing one. */
+  private def resolvedDictSide(dictionary: DataFrame,
+                               broadcastDict: Boolean): DataFrame = {
+    val dictResolved = dictionary.select(col("surface"), col("entity"))
+      .filter(length(col("surface")) >= 3)
+      .groupBy("surface").agg(min(col("entity")).as("entity"))
+    if (broadcastDict) broadcast(dictResolved)
+    else dictResolved.hint("shuffle_merge")
   }
 
   /** The two scored candidate tiers plus a cache-release hook — see
@@ -400,12 +415,11 @@ object WebKg {
   private[graft] def fuzzyScoredTiers(docs: DataFrame, dictionary: DataFrame,
                                       threshold: Double, broadcastDict: Boolean,
                                       materialize: Boolean): ScoredTiers = {
-    // stage 0: distinct mention tokens (>= 3 chars, shingleable); consumed
-    // twice (exact join + residual anti-join) — persisted across the two
-    // passes when materializing
-    val tok0 = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
-      .filter(length(col("w")) >= 3).distinct()
-    val tok = if (materialize) tok0.persist() else tok0
+    // stage 0: distinct mention tokens (mentionTokens, the builder shared
+    // with entityLinkExactDF); consumed twice (exact join + residual
+    // anti-join) — persisted across the two passes when materializing
+    val tok = if (materialize) mentionTokens(docs).persist()
+    else mentionTokens(docs)
     val dict = dictionary.select(col("surface"), col("entity"))
       .filter(length(col("surface")) >= 3)
     // EXACT-FIRST short-circuit: a token string-equal to a surface has
@@ -424,14 +438,11 @@ object WebKg {
     // could prefer the coincidental entity when it sorted lower. Exact
     // string identity beating shingle-set coincidence is the expected
     // linking behavior; the DuckDB oracle mirrors the same rule.
-    // duplicate surfaces resolve on the DICTIONARY side (min entity per
-    // surface = the rank-1-by-(jac=1, entity) rule) so the exact tier
-    // comes out of the join ALREADY resolved — one row per (doc_id, w),
-    // no corpus-scale resolution aggregation downstream
-    val dictResolved = dict.groupBy("surface").agg(min(col("entity")).as("entity"))
-    val dictExact =
-      if (broadcastDict) broadcast(dictResolved)
-      else dictResolved.hint("shuffle_merge")
+    // duplicate surfaces resolve on the DICTIONARY side (resolvedDictSide,
+    // the builder shared with entityLinkExactDF) so the exact tier comes
+    // out of the join ALREADY resolved — one row per (doc_id, w), no
+    // corpus-scale resolution aggregation downstream
+    val dictExact = resolvedDictSide(dictionary, broadcastDict)
     val exact = tok.join(dictExact, col("w") === col("surface"))
       .select(col("doc_id"), col("w"), col("entity"),
         lit(1.0).as("jac"))
