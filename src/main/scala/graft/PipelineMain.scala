@@ -179,6 +179,12 @@ object PipelineMain {
           // across runs/engines); a 64-bit collision merges two unrelated
           // pages into one cluster and drops one — ~n^2/2^65 odds, accepted
           // for a lossy-by-design dedup stage.
+          // With --link also on, pagesIn has TWO consumers (extraction +
+          // linkDocs): each re-runs only the anti-join over the CACHED
+          // snapshot and the checkpointed drop set — a broadcast filter in
+          // the common small-drop-fraction case, one shuffled anti-join
+          // per consumer in the dup-dense worst case. The clustering
+          // itself never re-runs (drop is checkpointed).
           val pagesIn = if (nearDedup) timed("near_dedup") {
             val pd = snap.select(xxhash64(col("url")).as("doc_id"),
               lit("web").as("source"), WebKg.extractedText.as("text"))
