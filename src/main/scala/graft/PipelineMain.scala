@@ -32,6 +32,14 @@ import graft.pipeline.{Materialize, WebKg}
   * --out with global cross-batch set-semantic dedup — the operational entry
   * for the streaming/incremental path.
   *
+  * `--stream-pages <dir>` switches to STREAMING ingest mode: a Structured
+  * Streaming file source watches the directory, each micro-batch runs
+  * extract -> dedup -> increment-store write with per-bucket lineage
+  * (exactly-once per file via the checkpoint; idempotent per-bucket
+  * replay). `--stream-once` = Trigger.AvailableNow (drain then exit — the
+  * backfill/cron shape); without it the query runs until stopped. The
+  * increment store is rolled into a queryable snapshot with --compact-src.
+  *
   * No `.master(...)` here: spark-submit supplies the cluster manager,
   * executor count, and memory — the session only carries job-level conf.
   * Prints ONE JSON metrics line on success, with per-stage wall times in
@@ -44,8 +52,8 @@ import graft.pipeline.{Materialize, WebKg}
 object PipelineMain {
   private val valueFlags = Set("--pages", "--out", "--buckets", "--batch-id",
     "--link", "--link-threshold", "--link-broadcast-max", "--link-mode",
-    "--compact-src")
-  private val boolFlags = Set("--canonicalize", "--near-dedup")
+    "--compact-src", "--stream-pages")
+  private val boolFlags = Set("--canonicalize", "--near-dedup", "--stream-once")
 
   /** STRICT parse: an unknown flag, a typo, a duplicated flag, a dangling
     * flag, or a flag-like token in value position must abort the job, never
@@ -86,16 +94,26 @@ object PipelineMain {
     val batchId = opts.getOrElse("--batch-id",
       f"batch-${System.currentTimeMillis}%013d")
     val compactSrc = opts.get("--compact-src")
+    val streamSrc = opts.get("--stream-pages")
     val pagesOpt = opts.get("--pages")
-    if (compactSrc.isEmpty && pagesOpt.isEmpty)
-      sys.error("required: --pages <parquet dir of (url, warc_ts, html, text, lang)> " +
+    if (Seq(compactSrc, streamSrc, pagesOpt).flatten.isEmpty)
+      sys.error("required: --pages <parquet dir of (url, warc_ts, html, text, lang)>, " +
+        "--stream-pages <watched parquet dir>, " +
         "or --compact-src <increment store root>")
+    if (Seq(compactSrc, streamSrc, pagesOpt).count(_.nonEmpty) > 1)
+      sys.error("--pages, --stream-pages, and --compact-src are mutually " +
+        "exclusive modes")
     val constructOnly = Seq("--link", "--link-mode", "--link-threshold",
       "--link-broadcast-max", "--canonicalize", "--near-dedup")
-    if (compactSrc.nonEmpty &&
-        (pagesOpt.nonEmpty || constructOnly.exists(opts.contains)))
-      sys.error("--compact-src is a mode of its own: --pages and " +
+    if (compactSrc.nonEmpty && constructOnly.exists(opts.contains))
+      sys.error("--compact-src is a mode of its own: " +
         constructOnly.mkString("/") + " do not apply")
+    if (streamSrc.nonEmpty && constructOnly.exists(opts.contains))
+      sys.error("--stream-pages runs extract+dedup in-stream: " +
+        constructOnly.mkString("/") + " do not apply (run --compact-src " +
+        "then a batch pass for those stages)")
+    if (opts.contains("--stream-once") && streamSrc.isEmpty)
+      sys.error("--stream-once requires --stream-pages")
     // pre-flight value validation: a typo'd --link-mode must abort BEFORE
     // the snapshot stage (the most expensive prefix of the job at
     // deployment scale), not inside the link stage after it
@@ -136,12 +154,37 @@ object PipelineMain {
     }
 
     val t0 = System.nanoTime()
-    val stats = compactSrc match {
-      case Some(src) =>
+    val stats = (compactSrc, streamSrc) match {
+      case (Some(src), _) =>
         timed("compact") {
           Materialize.compact(spark, src, out, buckets, batchId)
         }
-      case None =>
+      case (None, Some(watched)) =>
+        // STREAMING ingest mode: watch a directory of page parquet files,
+        // run the extract -> dedup -> increment-store pipeline per
+        // micro-batch (Structured Streaming checkpoint = exactly-once per
+        // file; per-bucket lineage = idempotent replay). `--stream-once`
+        // uses Trigger.AvailableNow: drain what is currently in the
+        // directory, then exit with metrics — the backfill/cron shape.
+        // Without it the query runs until externally stopped (the
+        // long-running deployment shape; metrics print on termination).
+        // Roll increments into a queryable snapshot store afterwards with
+        // --compact-src.
+        timed("stream") {
+          val schema = spark.read.parquet(watched).schema
+          val q = graft.engine.Streaming.incrementalMaterialize(
+            spark, watched, schema, out, buckets,
+            availableNow = opts.contains("--stream-once"))
+          q.awaitTermination()
+          // totals over ALL stream increments in the store (a resumed
+          // checkpoint continues the same store; per-run deltas live in
+          // the per-batch lineage rows)
+          Materialize.readLineage(spark, out)
+            .map(_.filter(col("batch_id").startsWith("stream-")))
+            .getOrElse(spark.emptyDataFrame
+              .select(lit(0L).as("n_triples")).limit(0))
+        }
+      case (None, None) =>
         val pages = pagesOpt.get
         val doLink = opts.contains("--link")
         if (!doLink && (opts.contains("--link-mode") ||
@@ -252,8 +295,11 @@ object PipelineMain {
     val sec = (System.nanoTime() - t0) / 1e9
     val stagesJson = stages.map { case (k, v) => f""""$k%s":$v%.3f""" }
       .mkString("{", ",", "}")
-    val src = compactSrc.orElse(pagesOpt).get
-    val mode = if (compactSrc.nonEmpty) "compact" else "construct"
+    val src = compactSrc.orElse(streamSrc).orElse(pagesOpt).get
+    val mode =
+      if (compactSrc.nonEmpty) "compact"
+      else if (streamSrc.nonEmpty) "stream"
+      else "construct"
     val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
     println(metricsJson)
     // persist the run record next to the store: per-bucket counts live in

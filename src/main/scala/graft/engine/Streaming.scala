@@ -143,12 +143,22 @@ object Streaming {
   def incrementalMaterialize(spark: SparkSession, pagesDir: String,
                              schema: StructType, root: String,
                              numBuckets: Int = 16,
-                             checkpoint: Option[String] = None)
+                             checkpoint: Option[String] = None,
+                             availableNow: Boolean = false)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     val triples = streamingExtraction(spark, pagesDir, schema)
-    triples.writeStream
+    val writer = triples.writeStream
       .option("checkpointLocation",
         checkpoint.getOrElse(s"$root/_checkpoint"))
+    // AvailableNow: drain everything currently in the directory across
+    // normal-sized micro-batches, then STOP — the bounded "catch-up run"
+    // trigger (backfills, tests, cron-style ingest); default is the
+    // continuous file-watching stream
+    val triggered =
+      if (availableNow) writer.trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else writer
+    triggered
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val deduped = WebKg.dedupTriples(batch.toDF())
         graft.pipeline.Materialize.materializeIncrement(

@@ -188,6 +188,50 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mode of its own"))
   }
 
+  test("--stream-pages ingests incrementally (exactly-once per file); " +
+    "--compact-src rolls the increments into a snapshot store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_stream").toString
+    WebKg.synthesizeWebPages(docsDf)
+      .write.mode("overwrite").parquet(s"$dir/pages")
+    PipelineMain.main(Array("--stream-pages", s"$dir/pages", "--out", s"$dir/inc",
+      "--buckets", "2", "--batch-id", "st1", "--stream-once"))
+    val inc = spark.read.parquet(s"$dir/inc/data")
+    assert(inc.filter(col("p") === WebKg.pType).count() == 3)
+    // wave 2: one NEW page file appended to the watched directory; the
+    // checkpoint must skip the already-processed files (exactly-once),
+    // so exactly one page's triples are added
+    WebKg.synthesizeWebPages(
+        Seq((7L, "new wave text", "en", "src0", 13L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("append").parquet(s"$dir/pages")
+    PipelineMain.main(Array("--stream-pages", s"$dir/pages", "--out", s"$dir/inc",
+      "--buckets", "2", "--batch-id", "st2", "--stream-once"))
+    assert(spark.read.parquet(s"$dir/inc/data")
+      .filter(col("p") === WebKg.pType).count() == 4)
+    // run record carries the stream mode
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/inc/metrics").listFiles()
+        .filter(_.getName.startsWith("run-st2-")).head.toPath))
+    assert(rec.contains("\"mode\":\"stream\""))
+    // roll the increment store into a queryable snapshot
+    PipelineMain.main(Array("--compact-src", s"$dir/inc", "--out", s"$dir/snap",
+      "--buckets", "2", "--batch-id", "c1"))
+    assert(spark.read.parquet(s"$dir/snap/data")
+      .filter(col("p") === WebKg.pType).count() == 4)
+    // mode guards: batch-only stages and mixed modes abort
+    val e = intercept[RuntimeException](PipelineMain.main(Array(
+      "--stream-pages", s"$dir/pages", "--out", s"$dir/x", "--canonicalize")))
+    assert(e.getMessage.contains("do not apply"))
+    val e2 = intercept[RuntimeException](PipelineMain.main(Array(
+      "--pages", s"$dir/pages", "--stream-pages", s"$dir/pages",
+      "--out", s"$dir/y")))
+    assert(e2.getMessage.contains("mutually exclusive"))
+    val e3 = intercept[RuntimeException](PipelineMain.main(Array(
+      "--pages", s"$dir/pages", "--out", s"$dir/z", "--stream-once")))
+    assert(e3.getMessage.contains("requires --stream-pages"))
+  }
+
   test("parseArgs is strict: unknown/duplicate/dangling flags and flag-like values abort") {
     assert(PipelineMain.parseArgs(Array("--pages", "p", "--canonicalize",
       "--out", "o"))("--canonicalize") == "true")
