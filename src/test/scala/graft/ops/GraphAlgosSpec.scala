@@ -34,6 +34,19 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got(7L) == 7L) // self-loop = isolated vertex with an edge row
   }
 
+  test("non-integral ids are rejected at plan build, never silently dropped") {
+    import spark.implicits._
+    val strEdges = Seq(("u1", "u2")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](
+      GraphAlgos.connectedComponents(strEdges))
+    assert(e.getMessage.contains("integral"))
+    val strDocs = Seq(("url-a", "s", "text here")).toDF("doc_id", "source", "text")
+    val e2 = intercept[IllegalArgumentException](Dedup.nearDupClusters(strDocs))
+    assert(e2.getMessage.contains("integral"))
+    val e3 = intercept[IllegalArgumentException](Dedup.nearDupDropIds(strDocs))
+    assert(e3.getMessage.contains("integral"))
+  }
+
   test("long chain converges within the pointer-doubled round budget") {
     // diameter 300 chain: plain propagation needs 300 rounds; pointer
     // doubling must land it well inside maxIter=20 (2^20 >> 300)
