@@ -834,6 +834,71 @@ object Queries {
              |  END AS ym_canon
              |FROM documents""".stripMargin)),
 
+    // Remaining XSD tree leaves (gMonthDay/gDay/gMonth + the
+    // normalizedString token/language/NMTOKEN/Name/NCName family —
+    // datatypes the REFERENCE leaves unimplemented, xsd/datatype.ex:34-56):
+    // lexicals constructed deterministically from doc_id on both sides, so
+    // the oracle recomputes the identical canonical forms and validity
+    // flags. Same disclosed kernel-verification UDF pattern as
+    // rdf_xsd_registry — off the hot path by design.
+    "rdf_xsd_gfamily" -> Q(
+      (s, d) => {
+        import graft.core.{Xsd, XsdExtra}
+        XsdExtra.register()
+        val canonMd = udf((lex: String) =>
+          Xsd.canonicalLexical(lex, XsdExtra.xsdGMonthDay).orNull)
+        val canonGd = udf((lex: String) =>
+          Xsd.canonicalLexical(lex, XsdExtra.xsdGDay).orNull)
+        val canonGm = udf((lex: String) =>
+          Xsd.canonicalLexical(lex, XsdExtra.xsdGMonth).orNull)
+        val validTok = udf((lex: String) => Xsd.valid(lex, XsdExtra.xsdToken))
+        val validLang = udf((lex: String) => Xsd.valid(lex, XsdExtra.xsdLanguage))
+        val validNm = udf((lex: String) => Xsd.valid(lex, XsdExtra.xsdNmtoken))
+        val validName = udf((lex: String) => Xsd.valid(lex, XsdExtra.xsdName))
+        val validNc = udf((lex: String) => Xsd.valid(lex, XsdExtra.xsdNcName))
+        val mm = lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0")
+        val dd = lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")
+        val tz = when(col("doc_id") % 3 === 0, lit(""))
+          .when(col("doc_id") % 3 === 1, lit("Z")).otherwise(lit("+00:00"))
+        val tok = when(col("doc_id") % 4 === 0, lit("a b"))
+          .when(col("doc_id") % 4 === 1, lit(" a"))
+          .when(col("doc_id") % 4 === 2, lit("a  b"))
+          .otherwise(lit("a\tb"))
+        val nm = when(col("doc_id") % 4 === 0, lit("1.0-beta"))
+          .when(col("doc_id") % 4 === 1, lit("a b"))
+          .when(col("doc_id") % 4 === 2, lit("_x:y"))
+          .otherwise(lit("abc"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("--"), mm, lit("-"), dd, tz).as("md"),
+            concat(lit("---"), dd, tz).as("gd"),
+            concat(lit("--"), mm, tz).as("gm"),
+            tok.as("tok"), col("lang"), nm.as("nm"))
+          .select(col("doc_id"),
+            canonMd(col("md")).as("md_canon"),
+            canonGd(col("gd")).as("gday_canon"),
+            canonGm(col("gm")).as("gmonth_canon"),
+            validTok(col("tok")).as("tok_valid"),
+            validLang(col("lang")).as("lang_valid"),
+            validNm(col("nm")).as("nm_valid"),
+            validName(col("nm")).as("name_valid"),
+            validNc(col("nm")).as("nc_valid"))
+      },
+      Some("""SELECT doc_id,
+             |'--' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+             |  lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Z' END) AS md_canon,
+             |'---' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Z' END) AS gday_canon,
+             |'--' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+             |  (CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Z' END) AS gmonth_canon,
+             |(doc_id % 4 = 0) AS tok_valid,
+             |regexp_matches(lang, '^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$') AS lang_valid,
+             |(doc_id % 4 != 1) AS nm_valid,
+             |(doc_id % 4 = 2 OR doc_id % 4 = 3) AS name_valid,
+             |(doc_id % 4 = 3) AS nc_valid
+             |FROM documents""".stripMargin)),
+
     // RFC 4122 name-based UUIDv3 resource generation (the reference's
     // IRI.UUID.Generator value-based mode, urn/default/hex formats) as a
     // pure Column expression: md5 over namespace-bytes ++ name with the

@@ -38,8 +38,9 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("all queries run on sf0.001 without error; plans stay UDF-free") {
     // UDFs allowed ONLY where a documented design decision puts one:
-    // - rdf_xsd_bounded / rdf_xsd_registry: kernel-semantics verification
-    //   (registry/cast/EBV through the JVM kernel, off the hot path)
+    // - rdf_xsd_bounded / rdf_xsd_registry / rdf_xsd_gfamily:
+    //   kernel-semantics verification (registry/cast/EBV through the JVM
+    //   kernel, off the hot path)
     // - kg_extract / kg_dedup: the RFC 3986 §5.2 resolution UDF sits in
     //   the `otherwise` branch behind the codegen fast path that handles
     //   absolute + root-relative hrefs (WebKg.resolveHref)
@@ -49,7 +50,7 @@ class SparkEntrySpec extends AnyFunSuite {
     //   parser/encoder is per-document lambda-shaped by nature
     // Anything NOT in this list growing a UDF is a hot-path regression.
     val udfAllowlist = Set("rdf_xsd_bounded", "rdf_xsd_registry",
-      "kg_extract", "kg_dedup", "rdf_star_bgp",
+      "rdf_xsd_gfamily", "kg_extract", "kg_dedup", "rdf_star_bgp",
       "rdf_turtle_decode", "rdf_turtle_roundtrip")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {

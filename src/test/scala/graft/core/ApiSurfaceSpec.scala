@@ -105,6 +105,53 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(!Xsd.valid("02026-08", XsdExtra.xsdGYearMonth))
   }
 
+  test("XsdExtra: gMonthDay/gDay/gMonth complete the Gregorian tree") {
+    XsdExtra.register()
+    assert(Xsd.valid("--08-17", XsdExtra.xsdGMonthDay))
+    assert(Xsd.valid("--02-29", XsdExtra.xsdGMonthDay)) // some year has it
+    assert(!Xsd.valid("--02-30", XsdExtra.xsdGMonthDay)) // no year does
+    assert(!Xsd.valid("--13-01", XsdExtra.xsdGMonthDay))
+    assert(!Xsd.valid("--08-17T00:00", XsdExtra.xsdGMonthDay))
+    assert(Xsd.canonicalLexical("--08-17+00:00", XsdExtra.xsdGMonthDay)
+      .contains("--08-17Z"))
+    assert(Xsd.canonicalLexical("--08-17+05:00", XsdExtra.xsdGMonthDay)
+      .contains("--08-17+05:00"))
+    assert(Xsd.valid("---31", XsdExtra.xsdGDay))
+    assert(!Xsd.valid("---32", XsdExtra.xsdGDay))
+    assert(!Xsd.valid("--31", XsdExtra.xsdGDay)) // wrong prefix arity
+    assert(Xsd.canonicalLexical("---05-00:00", XsdExtra.xsdGDay)
+      .contains("---05Z"))
+    assert(Xsd.valid("--12", XsdExtra.xsdGMonth))
+    assert(!Xsd.valid("--00", XsdExtra.xsdGMonth))
+    assert(Xsd.canonicalLexical("--12Z", XsdExtra.xsdGMonth).contains("--12Z"))
+  }
+
+  test("XsdExtra: normalizedString family validates value-space membership") {
+    XsdExtra.register()
+    assert(Xsd.valid("a  b c", XsdExtra.xsdNormalizedString))
+    assert(!Xsd.valid("a\tb", XsdExtra.xsdNormalizedString))
+    assert(!Xsd.valid("a\nb", XsdExtra.xsdNormalizedString))
+    assert(Xsd.valid("a b c", XsdExtra.xsdToken))
+    assert(!Xsd.valid(" a", XsdExtra.xsdToken))
+    assert(!Xsd.valid("a ", XsdExtra.xsdToken))
+    assert(!Xsd.valid("a  b", XsdExtra.xsdToken)) // double internal space
+    assert(Xsd.valid("en-US", XsdExtra.xsdLanguage))
+    assert(Xsd.valid("zh-Hant-TW", XsdExtra.xsdLanguage))
+    assert(!Xsd.valid("toolonglang1", XsdExtra.xsdLanguage))
+    assert(!Xsd.valid("en_US", XsdExtra.xsdLanguage))
+    // NMTOKEN allows leading digits/dots; Name needs a NameStartChar
+    assert(Xsd.valid("1.0-beta", XsdExtra.xsdNmtoken))
+    assert(!Xsd.valid("a b", XsdExtra.xsdNmtoken))
+    assert(Xsd.valid("xs:name", XsdExtra.xsdName))
+    assert(!Xsd.valid("1name", XsdExtra.xsdName))
+    assert(Xsd.valid("_under", XsdExtra.xsdNcName))
+    assert(!Xsd.valid("xs:name", XsdExtra.xsdNcName)) // colon excluded
+    assert(Xsd.valid("élève", XsdExtra.xsdNcName)) // Latin-1 letters
+    // canonical mapping is identity on valid, None on invalid
+    assert(Xsd.canonicalLexical("a b", XsdExtra.xsdToken).contains("a b"))
+    assert(Xsd.canonicalLexical(" a", XsdExtra.xsdToken).isEmpty)
+  }
+
   test("JCS: \\u escape requires exactly four hex digits (RFC 8259)") {
     // NB: built by concatenation — scalac pre-processes literal \u sequences
     def js(body: String) = "\"" + body + "\""
