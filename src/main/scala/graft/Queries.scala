@@ -26,7 +26,11 @@ object Queries {
 
   // shared by kg_entity_link_fuzzy (broadcast dictionary) and
   // kg_entity_link_big (shuffled big-dictionary path): identical semantics,
-  // different physical distribution — one oracle
+  // different physical distribution — one oracle. Mirrors the Spark plan's
+  // two scale invariants exactly: the fuzzy machinery runs over DISTINCT
+  // residual tokens (vocab CTE), and (band, sig) buckets larger than 64
+  // rows on either side are dropped before the candidate join (the
+  // deterministic window-count cap — same rows on both engines).
   private val fuzzyLinkSql: String =
     """WITH dict(surface, entity) AS (VALUES
       |  ('customer','http://graft.dev/entity/customer'),
@@ -42,41 +46,49 @@ object Queries {
       |  FROM tok t JOIN dict d ON t.w = d.surface),
       |tokr AS (SELECT t.doc_id, t.w FROM tok t WHERE NOT EXISTS
       |  (SELECT 1 FROM dict d WHERE d.surface = t.w)),
-      |sh AS (SELECT doc_id, w, unnest(list_distinct(list_transform(
-      |  range(1, length(w)-1), i -> substr(w, i, 3)))) AS g FROM tokr),
-      |mh AS (SELECT doc_id, w,
+      |vocab AS (SELECT DISTINCT w FROM tokr),
+      |sh AS (SELECT w, unnest(list_distinct(list_transform(
+      |  range(1, length(w)-1), i -> substr(w, i, 3)))) AS g FROM vocab),
+      |mh AS (SELECT w,
       |  min(md5('0:'||g)) AS s0, min(md5('1:'||g)) AS s1,
-      |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM sh GROUP BY 1,2),
-      |mb AS (SELECT doc_id, w, 0 AS band, md5(s0||s1) AS sig FROM mh
-      |  UNION ALL SELECT doc_id, w, 1, md5(s2||s3) FROM mh),
+      |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM sh GROUP BY 1),
+      |mb0 AS (SELECT w, 0 AS band, md5(s0||s1) AS sig FROM mh
+      |  UNION ALL SELECT w, 1, md5(s2||s3) FROM mh),
+      |mb AS (SELECT w, band, sig FROM
+      |  (SELECT mb0.*, count(*) OVER (PARTITION BY band, sig) AS bn FROM mb0)
+      |  WHERE bn <= 64),
       |dsh AS (SELECT surface, entity, unnest(list_distinct(list_transform(
       |  range(1, length(surface)-1), i -> substr(surface, i, 3)))) AS g FROM dict),
       |dmh AS (SELECT surface, entity,
       |  min(md5('0:'||g)) AS s0, min(md5('1:'||g)) AS s1,
       |  min(md5('2:'||g)) AS s2, min(md5('3:'||g)) AS s3 FROM dsh GROUP BY 1,2),
-      |db AS (SELECT surface, entity, 0 AS band, md5(s0||s1) AS sig FROM dmh
+      |db0 AS (SELECT surface, entity, 0 AS band, md5(s0||s1) AS sig FROM dmh
       |  UNION ALL SELECT surface, entity, 1, md5(s2||s3) FROM dmh),
-      |cand AS (SELECT DISTINCT m.doc_id, m.w, d.surface, d.entity
+      |db AS (SELECT surface, entity, band, sig FROM
+      |  (SELECT db0.*, count(*) OVER (PARTITION BY band, sig) AS bn FROM db0)
+      |  WHERE bn <= 64),
+      |cand AS (SELECT DISTINCT m.w, d.surface, d.entity
       |  FROM mb m JOIN db d ON m.band=d.band AND m.sig=d.sig),
-      |wn AS (SELECT doc_id, w, count(*) AS na FROM sh GROUP BY 1,2),
+      |wn AS (SELECT w, count(*) AS na FROM sh GROUP BY 1),
       |dn AS (SELECT surface, count(*) AS nb FROM dsh GROUP BY 1),
-      |inter AS (SELECT c.doc_id, c.w, c.surface, c.entity, count(*) AS i
-      |  FROM cand c JOIN sh a ON a.doc_id=c.doc_id AND a.w=c.w
-      |  JOIN dsh b ON b.surface=c.surface AND b.g=a.g GROUP BY 1,2,3,4),
-      |scored AS (SELECT i.doc_id, i.w, i.entity,
+      |inter AS (SELECT c.w, c.surface, c.entity, count(*) AS i
+      |  FROM cand c JOIN sh a ON a.w=c.w
+      |  JOIN dsh b ON b.surface=c.surface AND b.g=a.g GROUP BY 1,2,3),
+      |scored AS (SELECT i.w, i.entity,
       |    CAST(i.i AS DOUBLE) / (wn.na + dn.nb - i.i) AS jac
-      |  FROM inter i JOIN wn ON i.doc_id=wn.doc_id AND i.w=wn.w
+      |  FROM inter i JOIN wn ON i.w=wn.w
       |  JOIN dn ON i.surface=dn.surface
       |  WHERE CAST(i.i AS DOUBLE) / (wn.na + dn.nb - i.i) >= 0.5),
-      |allscored AS (SELECT doc_id, w, entity, jac FROM exact
-      |  UNION ALL SELECT doc_id, w, entity, jac FROM scored),
-      |resolved AS (SELECT doc_id, w, entity, jac,
-      |    row_number() OVER (PARTITION BY doc_id, w
-      |      ORDER BY jac DESC, entity) AS rn FROM allscored)
+      |fres AS (SELECT w, entity, jac FROM
+      |  (SELECT scored.*, row_number() OVER (PARTITION BY w
+      |     ORDER BY jac DESC, entity) AS rn FROM scored) WHERE rn = 1),
+      |resolved AS (SELECT doc_id, w, entity, jac FROM exact
+      |  UNION ALL SELECT t.doc_id, f.w, f.entity, f.jac
+      |  FROM tokr t JOIN fres f ON t.w = f.w)
       |SELECT 'http://graft.dev/doc/'||doc_id AS s,
       |  'http://graft.dev/vocab#mentions' AS p, entity AS o,
       |  count(DISTINCT w) AS n_mentions, round(max(jac), 6) AS top_jac
-      |FROM resolved WHERE rn = 1 GROUP BY 1,2,3""".stripMargin
+      |FROM resolved GROUP BY 1,2,3""".stripMargin
 
   val all: Seq[(String, Q)] = Seq(
 

@@ -259,11 +259,12 @@ object WebKg {
     * `entityLink` (exact surface match) this links fuzzy mentions —
     * misspellings and variants whose shingle Jaccard clears `threshold`.
     *
-    * Plan shape at corpus scale: mention tokens are blocked against the
-    * (tiny, broadcast) dictionary band table — no all-pairs token×surface
-    * comparison; the verify stage joins candidate pairs to their shingle
-    * SETS (bounded by token length) and scores per pair with
-    * array_intersect. Output: (s, p, o=entity, n_mentions, top_jac). */
+    * Plan shape at corpus scale: DISTINCT residual tokens (vocabulary
+    * scale, never mentions) are blocked against the (tiny, broadcast)
+    * dictionary band table — no all-pairs token×surface comparison; the
+    * verify stage joins candidate pairs to their shingle SETS (bounded by
+    * token length) and scores per pair with array_intersect.
+    * Output: (s, p, o=entity, n_mentions, top_jac). */
   def entityLinkFuzzy(docs: DataFrame, dictionary: Seq[(String, String)],
                       threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
@@ -283,26 +284,38 @@ object WebKg {
     * the dictionary streams through the exchange like any fact table and
     * never materializes whole on one executor. Join hints pin the shape so
     * AQE cannot silently re-broadcast a "small today" dictionary that
-    * grows tomorrow. */
+    * grows tomorrow.
+    *
+    * `bucketCap` is the LSH hygiene bound on the blocked candidate join
+    * (see [[fuzzyScoredTiers]]): a (band, sig) bucket larger than the cap
+    * on either side is dropped before the join, bounding the per-bucket
+    * candidate product at cap². */
   def entityLinkFuzzyDF(docs: DataFrame, dictionary: DataFrame,
                         threshold: Double = 0.5,
                         broadcastDict: Boolean = true,
                         subjectOf: Column => Column =
-                          id => concat(lit(docNs), id)): DataFrame = {
+                          id => concat(lit(docNs), id),
+                        bucketCap: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tiers = fuzzyScoredTiers(docs, dictionary, threshold, broadcastDict,
-      materialize = true)
+      materialize = true, bucketCap = bucketCap)
     // TIERED resolution: the exact tier leaves fuzzyScoredTiers ALREADY
     // resolved (duplicate surfaces collapsed dictionary-side to min
     // entity — the rank-1-by-(jac=1, entity) rule — so the join emits one
-    // row per (doc_id, w) with no corpus-scale aggregation). Only the
-    // residual fuzzy tier, whose candidates carry distinct jac scores,
-    // pays the row_number window — and that tier is small by
-    // construction.
+    // row per (doc_id, w) with no corpus-scale aggregation). The residual
+    // fuzzy tier resolves at VOCABULARY scale — its candidates are keyed
+    // by the token alone (jac is a pure function of (w, surface)), so the
+    // rank-1 window runs over distinct residual tokens, never mentions,
+    // and the winner joins back to the (doc_id, w) mention relation.
+    // Exact and fuzzy tiers are disjoint by construction (the fuzzy tier
+    // only sees tokens with NO exact surface match), so the union needs
+    // no cross-tier re-ranking.
     val exactResolved = tiers.exact
-    val wnd = Window.partitionBy("doc_id", "w").orderBy(col("jac").desc, col("entity"))
-    val fuzzyResolved = tiers.fuzzy.withColumn("rn", row_number().over(wnd))
-      .filter(col("rn") === 1).select("doc_id", "w", "entity", "jac")
+    val wnd = Window.partitionBy("w").orderBy(col("jac").desc, col("entity"))
+    val fuzzyWinners = tiers.fuzzy.withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") === 1).select("w", "entity", "jac")
+    val fuzzyResolved = tiers.residual.join(fuzzyWinners, Seq("w"))
+      .select("doc_id", "w", "entity", "jac")
     val resolved = exactResolved.unionByName(fuzzyResolved)
       .localCheckpoint() // eager, rank-1-scale: releases the caches below
     tiers.release()
@@ -378,9 +391,15 @@ object WebKg {
 
   /** The two scored candidate tiers plus a cache-release hook — see
     * [[entityLinkFuzzyDF]] (tiered resolution) and [[fuzzyScored]] (the
-    * flat union, the spec/Explain plan hook). */
+    * flat union, the spec/Explain plan hook). `exact` is mention-scale
+    * (doc_id, w, entity, jac=1), already resolved; `fuzzy` is
+    * VOCABULARY-scale (w, entity, jac) — one row per candidate (token,
+    * surface) pair regardless of how many documents mention the token;
+    * `residual` is the (doc_id, w) mention relation of tokens with no
+    * exact match, for joining fuzzy winners back to documents. */
   private[graft] final case class ScoredTiers(exact: DataFrame,
                                               fuzzy: DataFrame,
+                                              residual: DataFrame,
                                               release: () => Unit)
 
   /** The scored-candidate stage of [[entityLinkFuzzyDF]] as a flat union
@@ -391,10 +410,13 @@ object WebKg {
     * dictionary) on the complete physical plan. */
   private[graft] def fuzzyScored(docs: DataFrame, dictionary: DataFrame,
                                  threshold: Double, broadcastDict: Boolean,
-                                 materialize: Boolean): DataFrame = {
+                                 materialize: Boolean,
+                                 bucketCap: Int = 64): DataFrame = {
     val tiers = fuzzyScoredTiers(docs, dictionary, threshold, broadcastDict,
-      materialize)
-    val all0 = tiers.exact.unionByName(tiers.fuzzy)
+      materialize, bucketCap)
+    val all0 = tiers.exact.unionByName(
+      tiers.residual.join(tiers.fuzzy, Seq("w"))
+        .select("doc_id", "w", "entity", "jac"))
     if (!materialize) all0
     else {
       val all = all0.localCheckpoint()
@@ -407,14 +429,39 @@ object WebKg {
     * (doc_id, w, entity, jac=1) rows from the exact-surface equi-join —
     * ALREADY RESOLVED, one row per (doc_id, w), because duplicate
     * surfaces collapse dictionary-side to min(entity) before the join;
-    * `fuzzy` the blocked+verified residual candidates (unresolved). With
-    * `materialize = true` (the production path) the token and shingle
-    * relations are persisted for their multiple consumers; the caller
-    * MUST invoke `release()` after materializing whatever it derives from
-    * the tiers. */
+    * `fuzzy` the blocked+verified residual candidates (unresolved,
+    * VOCABULARY-scale — see below); `residual` the (doc_id, w) mentions
+    * the fuzzy tier covers. With `materialize = true` (the production
+    * path) the token and shingle relations are persisted for their
+    * multiple consumers; the caller MUST invoke `release()` after
+    * materializing whatever it derives from the tiers.
+    *
+    * Two scale invariants of the fuzzy tier, both learned from a
+    * composed-deployment run that filled 45 GB of shuffle disk in 30
+    * minutes (a 2.56M-page synthetic corpus whose token vocabulary was
+    * structurally self-similar — `t<cluster>x<j>` — so nearly every
+    * residual token hashed into a handful of LSH buckets):
+    *
+    *  1. VOCABULARY-scale blocking: shingle Jaccard against the
+    *     dictionary is a pure function of the TOKEN, so shingling,
+    *     minhash, banding, candidate generation, and verify all run over
+    *     DISTINCT residual tokens, never (doc, token) mention pairs — at
+    *     web scale the vocabulary is orders of magnitude smaller than the
+    *     mention relation, and a token shared by a million pages is
+    *     scored once.
+    *  2. `bucketCap` (same hygiene as [[graft.ops.Dedup.minhashLshPairs]]):
+    *     a (band, sig) bucket holding more than `bucketCap` rows on
+    *     EITHER side is dropped before the candidate join — the join is
+    *     quadratic within a bucket (|vocab bucket| × |dict bucket|), and
+    *     a bucket that hot means the shingle space has degenerated and
+    *     carries no similarity signal anyway. Bounded: candidates per
+    *     bucket ≤ cap². The cap is a deterministic window count, so the
+    *     DuckDB oracle reproduces the identical drop set. */
   private[graft] def fuzzyScoredTiers(docs: DataFrame, dictionary: DataFrame,
                                       threshold: Double, broadcastDict: Boolean,
-                                      materialize: Boolean): ScoredTiers = {
+                                      materialize: Boolean,
+                                      bucketCap: Int = 64): ScoredTiers = {
+    import org.apache.spark.sql.expressions.Window
     // stage 0: distinct mention tokens (mentionTokens, the builder shared
     // with entityLinkExactDF); consumed twice (exact join + residual
     // anti-join) — persisted across the two passes when materializing
@@ -449,31 +496,46 @@ object WebKg {
     val surfaces = dict.select("surface").distinct()
     val surfSide =
       if (broadcastDict) broadcast(surfaces) else surfaces.hint("shuffle_merge")
-    val tokR = tok.join(surfSide, col("w") === col("surface"), "left_anti")
-    // the shingle relation feeds the minhash-band blocking AND the
-    // exact-Jaccard verify sets — persisted so the corpus tokenization
-    // runs once, RELEASED as soon as the scored candidates materialize
-    // (so the method leaks no corpus-scale cache into the session)
-    val sh0 = tokR.select(col("doc_id"), col("w"), explode(shingles("w")).as("g"))
+    // residual mentions have TWO consumers (the vocabulary distinct below
+    // and the caller's fuzzy-winner join-back) — persisted alongside tok
+    // when materializing so the anti-join runs once
+    val tokR0 = tok.join(surfSide, col("w") === col("surface"), "left_anti")
+    val tokR = if (materialize) tokR0.persist() else tokR0
+    // the fuzzy machinery runs at VOCABULARY scale: one row per distinct
+    // residual token. The shingle relation feeds the minhash-band
+    // blocking AND the exact-Jaccard verify sets — persisted so the
+    // vocabulary shingling runs once, RELEASED as soon as the scored
+    // candidates materialize (so the method leaks no corpus-scale cache
+    // into the session)
+    val vocab = tokR.select("w").distinct()
+    val sh0 = vocab.select(col("w"), explode(shingles("w")).as("g"))
     val sh = if (materialize) sh0.persist() else sh0
-    val mentionBands = bandRows(minhash4(sh, Seq("doc_id", "w")), Seq("doc_id", "w"))
+    def capped(bands: DataFrame): DataFrame = {
+      val w = Window.partitionBy("band", "sig")
+      bands.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= bucketCap).drop("__bn")
+    }
+    val mentionBands = capped(bandRows(minhash4(sh, Seq("w")), Seq("w")))
     val dsh0 = dict.select(col("surface"), col("entity"), explode(shingles("surface")).as("g"))
     // big-dict mode reuses the dictionary shingle relation on both join
     // sides without broadcast — persist it for the two passes, released
     // with sh below
     val dsh = if (!broadcastDict && materialize) dsh0.persist() else dsh0
-    val dictBands = bandRows(minhash4(dsh, Seq("surface", "entity")), Seq("surface", "entity"))
+    val dictBands =
+      capped(bandRows(minhash4(dsh, Seq("surface", "entity")), Seq("surface", "entity")))
     val dictBandSide =
       if (broadcastDict) broadcast(dictBands) else dictBands.hint("shuffle_merge")
-    // stage 1: blocked candidates — equi-join on (band, sig)
+    // stage 1: blocked candidates — equi-join on (band, sig), both sides
+    // bucket-capped above
     val cand = mentionBands.join(dictBandSide, Seq("band", "sig"))
-      .select("doc_id", "w", "surface", "entity").distinct()
-    // stage 2: exact Jaccard verify on shingle sets
-    val wsets = sh.groupBy("doc_id", "w").agg(collect_set(col("g")).as("wg"))
+      .select("w", "surface", "entity").distinct()
+    // stage 2: exact Jaccard verify on shingle sets (vocabulary × matched
+    // surfaces, never mentions)
+    val wsets = sh.groupBy("w").agg(collect_set(col("g")).as("wg"))
     val dsets0 = dsh.groupBy("surface", "entity").agg(collect_set(col("g")).as("sg"))
     val dsetSide =
       if (broadcastDict) broadcast(dsets0) else dsets0.hint("shuffle_merge")
-    val scored0 = cand.join(wsets, Seq("doc_id", "w"))
+    val scored0 = cand.join(wsets, Seq("w"))
       .join(dsetSide, Seq("surface", "entity"))
       .withColumn("inter", size(array_intersect(col("wg"), col("sg"))))
       .withColumn("jac",
@@ -481,9 +543,9 @@ object WebKg {
       .filter(col("jac") >= threshold)
       // prune to the resolve-stage columns here: the shingle-set arrays
       // must not ride into any downstream materialization
-      .select(col("doc_id"), col("w"), col("entity"), col("jac"))
-    ScoredTiers(exact, scored0, () => {
-      sh.unpersist(); tok.unpersist()
+      .select(col("w"), col("entity"), col("jac"))
+    ScoredTiers(exact, scored0, tokR, () => {
+      sh.unpersist(); tokR.unpersist(); tok.unpersist()
       if (!broadcastDict) dsh.unpersist()
       ()
     })

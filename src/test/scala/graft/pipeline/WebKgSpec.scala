@@ -151,6 +151,39 @@ class WebKgSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("fuzzy link bucket cap drops degenerate LSH buckets, keeps healthy ones") {
+    import spark.implicits._
+    // 70 DISTINCT tokens with the IDENTICAL shingle set {abc,bca,cab}:
+    // every prefix of (abc)* with length >= 5. Identical shingle sets =>
+    // identical minhash => one (band, sig) bucket per band holding all 70
+    // vocabulary rows — the degenerate-vocabulary shape that made a
+    // composed deployment run quadratic. Length 7 is EXCLUDED so no token
+    // string-equals the dictionary surface "abcabca" (which would resolve
+    // through the exact tier and never reach the fuzzy machinery).
+    val abc = "abc" * 30
+    val degenerate = (5 to 75).filter(_ != 7).map(abc.take)
+    assert(degenerate.size == 70 && degenerate.distinct.size == 70)
+    // doc 100 carries "xyzxyz": same shingle set as surface "xyzxyzx"
+    // ({xyz,yzx,zxy}) => guaranteed same bands, Jaccard exactly 1 — a
+    // healthy 1-token bucket that must keep linking under the cap
+    val corpus = (degenerate.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      :+ (100L, "xyzxyz")).toDF("doc_id", "text")
+    val dict = Seq(("abcabca", "http://graft.dev/entity/degen"),
+      ("xyzxyzx", "http://graft.dev/entity/ok")).toDF("surface", "entity")
+    val linked = WebKg.entityLinkFuzzyDF(corpus, dict).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    // the 70-row bucket exceeds the 64 cap on BOTH bands and is dropped:
+    // none of the degenerate tokens links (they carry no similarity
+    // signal); the healthy token still resolves through its tiny bucket
+    assert(linked == Set((WebKg.docNs + "100", "http://graft.dev/entity/ok")))
+    // raising the cap above the bucket size restores the degenerate links
+    // (jac = 1 on identical shingle sets) — the cap is what dropped them
+    val uncapped = WebKg.entityLinkFuzzyDF(corpus, dict, bucketCap = 128)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(uncapped.size == 71 &&
+      uncapped.count(_._2.endsWith("/degen")) == 70)
+  }
+
   test("latestSnapshot keeps exactly the newest crawl per url") {
     import spark.implicits._
     val pages = Seq(
