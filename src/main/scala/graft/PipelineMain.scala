@@ -37,7 +37,9 @@ import graft.pipeline.{Materialize, WebKg}
   * extract -> dedup -> increment-store write with per-bucket lineage
   * (exactly-once per file via the checkpoint; idempotent per-bucket
   * replay). `--stream-once` = Trigger.AvailableNow (drain then exit — the
-  * backfill/cron shape); without it the query runs until stopped. The
+  * backfill/cron shape); without it the query runs until stopped, and an
+  * empty watched directory is polled until the first file lands. Metrics
+  * report THIS run's lineage delta, not the store's all-time totals. The
   * increment store is rolled into a queryable snapshot with --compact-src.
   *
   * No `.master(...)` here: spark-submit supplies the cluster manager,
@@ -114,13 +116,29 @@ object PipelineMain {
         "then a batch pass for those stages)")
     if (opts.contains("--stream-once") && streamSrc.isEmpty)
       sys.error("--stream-once requires --stream-pages")
-    // pre-flight value validation: a typo'd --link-mode must abort BEFORE
-    // the snapshot stage (the most expensive prefix of the job at
-    // deployment scale), not inside the link stage after it
-    opts.get("--link-mode").foreach { m =>
-      if (m != "fuzzy" && m != "exact")
-        sys.error(s"--link-mode must be fuzzy|exact, got '$m'")
-    }
+    // pre-flight value validation: a typo'd --link-mode, a malformed
+    // --link-threshold/--link-broadcast-max, or an out-of-range threshold
+    // must abort BEFORE the snapshot stage (the most expensive prefix of
+    // the job at deployment scale), not inside the link stage after it
+    val linkMode = opts.getOrElse("--link-mode", "fuzzy")
+    if (linkMode != "fuzzy" && linkMode != "exact")
+      sys.error(s"--link-mode must be fuzzy|exact, got '$linkMode'")
+    val linkThreshold = opts.get("--link-threshold").map { v =>
+      val t = try v.toDouble catch {
+        case _: NumberFormatException =>
+          sys.error(s"--link-threshold must be a number, got '$v'")
+      }
+      if (t <= 0.0 || t > 1.0)
+        sys.error(s"--link-threshold must be in (0, 1], got '$v' " +
+          "(a shingle-Jaccard score; above 1 links nothing, 0 links noise)")
+      t
+    }.getOrElse(0.5)
+    val linkBcastMax = opts.get("--link-broadcast-max").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException =>
+          sys.error(s"--link-broadcast-max must be an integer, got '$v'")
+      }
+    }.getOrElse(200000L)
     // stop only a session WE created — getOrCreate may attach to a host
     // process's session (tests, notebooks), which is not ours to kill
     val preExisting =
@@ -171,18 +189,57 @@ object PipelineMain {
         // Roll increments into a queryable snapshot store afterwards with
         // --compact-src.
         timed("stream") {
-          val schema = spark.read.parquet(watched).schema
+          // schema comes from a batch read of whatever parquet already
+          // sits in the watched directory. The continuous shape's whole
+          // purpose is to WAIT for files, so an empty directory polls
+          // until the first file lands instead of dying at startup;
+          // --stream-once (drain what is there NOW) has nothing to drain
+          // and aborts with the reason instead.
+          def inferSchema(): Option[org.apache.spark.sql.types.StructType] =
+            try Some(spark.read.parquet(watched).schema)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition).exists(c =>
+                    c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA") ||
+                  e.getMessage.contains("Path does not exist") ||
+                  e.getMessage.contains("Unable to infer schema") => None
+            }
+          val schema = Iterator.continually(inferSchema())
+            .zipWithIndex
+            .map { case (s, i) =>
+              if (s.isEmpty) {
+                if (opts.contains("--stream-once"))
+                  sys.error(s"--stream-once: no parquet files in '$watched' " +
+                    "to drain (schema inference needs at least one file)")
+                if (i == 0) Console.err.println(
+                  s"stream: waiting for first parquet file in '$watched' ...")
+                Thread.sleep(5000)
+              }
+              s
+            }
+            .collectFirst { case Some(s) => s }.get
+          // PER-RUN delta accounting: the lineage table accumulates over
+          // the store's whole life (a resumed checkpoint continues the
+          // same store), so the (batch, bucket) rows that existed BEFORE
+          // this run are snapshotted eagerly (localCheckpoint — a lazy
+          // frame re-listing the same path after the run would see the
+          // new rows too) and anti-joined out. Without this, a catch-up
+          // run over a large store publishes all-time triples over this
+          // run's wall time — an absurd triples_per_sec in the one
+          // artifact the metrics record exists for.
+          val before = Materialize.readLineage(spark, out)
+            .map(_.filter(col("batch_id").startsWith("stream-"))
+              .select("batch_id", "bucket").localCheckpoint())
           val q = graft.engine.Streaming.incrementalMaterialize(
             spark, watched, schema, out, buckets,
             availableNow = opts.contains("--stream-once"))
           q.awaitTermination()
-          // totals over ALL stream increments in the store (a resumed
-          // checkpoint continues the same store; per-run deltas live in
-          // the per-batch lineage rows)
-          Materialize.readLineage(spark, out)
+          val after = Materialize.readLineage(spark, out)
             .map(_.filter(col("batch_id").startsWith("stream-")))
             .getOrElse(spark.emptyDataFrame
               .select(lit(0L).as("n_triples")).limit(0))
+          before.fold(after)(b =>
+            after.join(b, Seq("batch_id", "bucket"), "left_anti"))
         }
       case (None, None) =>
         val pages = pagesOpt.get
@@ -243,33 +300,30 @@ object PipelineMain {
           val withMentions = opts.get("--link") match {
             case Some(dictPath) =>
               val dict = spark.read.parquet(dictPath).select("surface", "entity")
-              val threshold = opts.getOrElse("--link-threshold", "0.5").toDouble
               // distribution auto-select: a vocabulary-scale dictionary
               // broadcasts (zero shuffle on the dictionary side); one that
               // exceeds the cap streams through shuffled joins (the
               // big-dict plan — hinted shuffle_merge so AQE can't
               // re-broadcast it). The count is a metadata-scale action on
               // the dictionary table only.
-              val bcastMax = opts.getOrElse("--link-broadcast-max", "200000").toLong
-              val bcast = dict.count() <= bcastMax
+              val bcast = dict.count() <= linkBcastMax
               // `exact` = the full-corpus production tier (one equi-join +
               // two hash aggs, no shingle/minhash machinery); `fuzzy`
               // (default) additionally links misspelled/variant mentions
               // whose shingle Jaccard clears --link-threshold. Measured on
               // the 2.56M-page table (BENCH.md): the fuzzy residual is
-              // roughly half the link-stage cost.
-              val linkMode = opts.getOrElse("--link-mode", "fuzzy")
+              // roughly half the link-stage cost. linkMode was validated
+              // pre-flight, so this dispatch is total.
               val linkDocs =
                 pagesIn.select(col("url").as("doc_id"), WebKg.extractedText.as("text"))
               val mentions = timed("link") {
-                (linkMode match {
-                  case "fuzzy" => WebKg.entityLinkFuzzyDF(linkDocs, dict,
-                    threshold = threshold, broadcastDict = bcast,
+                (if (linkMode == "fuzzy")
+                  WebKg.entityLinkFuzzyDF(linkDocs, dict,
+                    threshold = linkThreshold, broadcastDict = bcast,
                     subjectOf = identity)
-                  case "exact" => WebKg.entityLinkExactDF(linkDocs, dict,
-                    broadcastDict = bcast, subjectOf = identity)
-                  case m => sys.error(s"--link-mode must be fuzzy|exact, got '$m'")
-                })
+                else
+                  WebKg.entityLinkExactDF(linkDocs, dict,
+                    broadcastDict = bcast, subjectOf = identity))
                   .select("s", "p", "o")
                   // eager, result-scale (one row per (page, entity)): gives
                   // the link stage a true timing boundary and keeps the

@@ -176,7 +176,10 @@ object XsdDuration {
       val hi = BigDecimal(hiDays) * 86400 + ds
       if (lo > 0) Some(1)
       else if (hi < 0) Some(-1)
-      else if (lo == 0 && hi == 0) Some(0)
+      // NEVER Some(0) here: ma != mb means the values are componentwise
+      // DISTINCT (XSD 1.1 equality is per-component), so a straddling
+      // bound is indeterminate — the same rule the exact branch below
+      // applies to all-zero reference signs
       else None
     } else {
       val signs = referenceStarts.map { case (y, mo) =>

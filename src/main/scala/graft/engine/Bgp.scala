@@ -206,18 +206,23 @@ object Bgp {
     // deterministic release (or who may never start the query: the armed
     // listener is only removed on release) use
     // executeIncrementalReleasable directly.
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      @volatile private var armed = false
-      override def onQueryStarted(e: QueryStartedEvent): Unit = armed = true
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (armed && spark.streams.active.isEmpty) {
-          release()
-          spark.streams.removeListener(this)
-        }
+    // a single-pattern BGP has no static-solution cache (release is a
+    // no-op) — registering a listener for it would leak one armed
+    // listener per plan into a long-lived session for nothing
+    if (bgp.patterns.size > 1) {
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        @volatile private var armed = false
+        override def onQueryStarted(e: QueryStartedEvent): Unit = armed = true
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (armed && spark.streams.active.isEmpty) {
+            release()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
     }
-    spark.streams.addListener(listener)
     df
   }
 

@@ -207,14 +207,10 @@ object Dedup {
   /** Cluster resolution needs integral doc ids (min-id representatives,
     * long-id connected components): a string-keyed corpus (e.g. urls)
     * would null-cast and silently cluster NOTHING — reject at plan-build
-    * time and point the caller at the hash mapping PipelineMain uses. */
-  private def requireLongDocIds(docs: DataFrame): Unit = {
-    import org.apache.spark.sql.types._
-    val dt = docs.schema("doc_id").dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"nearDupClusters/nearDupDropIds: doc_id must be an integral type " +
-        s"(got $dt) — map string keys to longs first (e.g. xxhash64(url))")
-  }
+    * time via the guard shared with [[GraphAlgos.connectedComponents]]. */
+  private def requireLongDocIds(docs: DataFrame): Unit =
+    GraphAlgos.requireIntegral(docs, Seq("doc_id"),
+      "nearDupClusters/nearDupDropIds")
 
   /** The DROP side of [[nearDupClusters]], for pipelines that only need to
     * FILTER a corpus: doc ids of every non-representative cluster member

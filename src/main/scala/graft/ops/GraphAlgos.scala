@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgos {
 
+  /** Shared plan-build-time guard: the named columns must already be an
+    * integral type. A string id would `cast("long")` to null and be
+    * silently filtered/mis-grouped downstream — an empty-looking result,
+    * not an error — so every long-id entry point ([[connectedComponents]],
+    * [[Dedup.nearDupClusters]]/`nearDupDropIds`) rejects here with the
+    * same accepted-type list instead of each hand-rolling its own. */
+  private[ops] def requireIntegral(df: DataFrame, cols: Seq[String],
+                                   context: String): Unit = {
+    import org.apache.spark.sql.types._
+    for (c <- cols) {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$context: column '$c' must be an integral type (got $dt) — " +
+          "map string ids to longs first (e.g. xxhash64)")
+    }
+  }
+
   /** Connected components via iterative min-label propagation with POINTER
     * DOUBLING over an undirected edge frame.
     *
@@ -39,13 +56,7 @@ object GraphAlgos {
     // vertex ids must already be integral: a string id would cast("long")
     // to null and be FILTERED — every edge silently dropped, an empty
     // (not wrong-looking) component frame. Reject at plan-build time.
-    for (c <- Seq("a", "b")) {
-      import org.apache.spark.sql.types._
-      val dt = edges.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"connectedComponents: edge column '$c' must be an integral type " +
-          s"(got $dt) — map string ids to longs first (e.g. xxhash64)")
-    }
+    requireIntegral(edges, Seq("a", "b"), "connectedComponents")
     val sym = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val und = sym.unionAll(sym.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a").isNotNull && col("b").isNotNull)

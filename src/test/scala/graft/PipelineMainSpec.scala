@@ -249,4 +249,29 @@ class PipelineMainSpec extends AnyFunSuite {
       PipelineMain.parseArgs(Array("--pages", "--out", "o")))
     assert(flagVal.getMessage.contains("flag-like token"))
   }
+
+  test("pre-flight validation aborts before any stage runs") {
+    // malformed / out-of-range link values must abort in main's pre-flight
+    // block — BEFORE the snapshot stage — not deep inside the link stage
+    // after the expensive prefix has run. main() validates before building
+    // the session, so these raise without touching Spark.
+    def run(args: String*): RuntimeException =
+      intercept[RuntimeException](PipelineMain.main(args.toArray))
+    assert(run("--pages", "p", "--out", "o", "--link", "d",
+      "--link-threshold", "0,5").getMessage.contains("must be a number"))
+    assert(run("--pages", "p", "--out", "o", "--link", "d",
+      "--link-threshold", "2.0").getMessage.contains("(0, 1]"))
+    assert(run("--pages", "p", "--out", "o", "--link", "d",
+      "--link-broadcast-max", "200k").getMessage.contains("must be an integer"))
+    assert(run("--pages", "p", "--out", "o", "--link", "d",
+      "--link-mode", "fuzy").getMessage.contains("fuzzy|exact"))
+    // --stream-once over an empty directory has nothing to drain: abort
+    // with the reason instead of a bare schema-inference crash
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_watch")
+    try {
+      val e = run("--stream-pages", emptyDir.toString, "--out", "o",
+        "--stream-once")
+      assert(e.getMessage.contains("no parquet files"))
+    } finally java.nio.file.Files.delete(emptyDir)
+  }
 }
