@@ -515,6 +515,42 @@ object Queries {
              |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
              |  count(*) AS n_kept FROM k GROUP BY 1""".stripMargin)),
 
+    // SUBSTRING-level duplicated-content stats (block-hash variant of
+    // suffix-array substring dedup): every 7th doc gains a shared PREFIX
+    // passage — a prefix, not a suffix, because block boundaries are
+    // absolute text positions, so only position-aligned copies share
+    // block hashes (the documented boundary sensitivity of the block
+    // method). Those docs report the aligned duplicated blocks; the rest
+    // report whatever natural block collisions the corpus has.
+    "text_substring_dedup" -> Q(
+      (s, d) => TextOps.substringDupStats(
+        t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(TextOps.testPassage), col("text")))
+            .otherwise(col("text")).as("text"))),
+      Some(s"""WITH d AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 7 = 0 THEN '${TextOps.testPassage}' || text
+             |       ELSE text END AS text FROM documents),
+             |b AS (SELECT doc_id,
+             |    md5(substr(text, CAST(1 + 64*i AS INT), 64)) AS h FROM
+             |  (SELECT doc_id, text,
+             |     unnest(range(CAST(floor(length(text)/64) AS BIGINT))) AS i
+             |   FROM d)),
+             |c AS (SELECT h, count(*) AS c FROM b GROUP BY 1),
+             |p AS (SELECT doc_id, count(*) AS n_blocks,
+             |    CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS dup_blocks
+             |  FROM b JOIN c USING (h) GROUP BY 1),
+             |r AS (SELECT d.doc_id,
+             |    coalesce(p.n_blocks, 0) AS n_blocks,
+             |    coalesce(p.dup_blocks, 0) AS dup_blocks,
+             |    round(CASE WHEN coalesce(p.n_blocks, 0) = 0 THEN 0.0
+             |      ELSE coalesce(p.dup_blocks, 0) / CAST(p.n_blocks AS DOUBLE)
+             |      END, 6) AS dup_frac
+             |  FROM d LEFT JOIN p USING (doc_id))
+             |SELECT doc_id, n_blocks, dup_blocks, dup_frac,
+             |  dup_frac < 0.5 AS keep FROM r""".stripMargin)),
+
     // PII redaction (emails + phone-like numbers -> typed placeholders,
     // with per-doc audit counts): PII injected deterministically since
     // the synthetic corpus has none; the oracle shares the EXACT pattern

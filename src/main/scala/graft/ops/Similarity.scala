@@ -137,6 +137,9 @@ object Similarity {
               nLists: Int = 8, nProbe: Int = 2): DataFrame = {
     val cents = embeddings.orderBy("vec_id").limit(nLists)
       .select(col("vec_id").as("cent_seed"), col("embedding").as("ce"))
+      // global window is intentional and BOUNDED: it numbers the nLists
+      // centroid rows (codebook scale, never the corpus) — the one place
+      // the "no partition defined" warning is correct to ignore
       .withColumn("cell", row_number().over(Window.orderBy("cent_seed")) - 1)
       .drop("cent_seed")
     def nearestCells(df: DataFrame, idCol: String, eCol: String, n: Int): DataFrame = {

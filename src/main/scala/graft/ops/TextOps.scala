@@ -172,6 +172,15 @@ object TextOps {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(distinctTokens(col("text"))))).as("fp"))
 
+  /** Deterministic 192+-char ASCII passage (no quotes/regex metachars)
+    * shared by the `text_substring_dedup` query and its DuckDB oracle to
+    * inject position-aligned cross-document duplicated blocks. */
+  val testPassage: String =
+    "SYNDICATED BOILERPLATE NOTICE: this exact paragraph was copied " +
+    "verbatim onto every seventh page of the crawl so that its opening " +
+    "sixty-four character blocks align at identical absolute positions " +
+    "in each affected document and hash to shared block keys. "
+
   /** Email pattern shared by redaction and counting (kept simple enough
     * to behave identically under Java regex and RE2-family engines). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -196,6 +205,56 @@ object TextOps {
       regexp_replace(emailRedacted, phonePattern, "<PHONE>").as("text"),
       size(regexp_extract_all(col("text"), lit(emailPattern), lit(0))).as("n_emails"),
       size(regexp_extract_all(emailRedacted, lit(phonePattern), lit(0))).as("n_phones"))
+  }
+
+  /** SUBSTRING-level duplicated-content measurement — the scalable cousin
+    * of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): each text is cut into
+    * NON-OVERLAPPING `w`-char blocks, block hashes are counted corpus-wide,
+    * and each document reports what fraction of its blocked content occurs
+    * more than once in the corpus. Unlike document-level dedup (misses
+    * partial copies) or line-level dedup (misses copies that cross line
+    * boundaries), this catches bulk copied passages embedded in
+    * otherwise-unique pages — the dominant residual duplication mode in
+    * web corpora after the other two stages run.
+    *
+    * Output: (doc_id, n_blocks, dup_blocks, dup_frac, keep) for EVERY
+    * input document (docs shorter than one block get n_blocks=0,
+    * dup_frac=0.0, keep=true); keep = dup_frac < maxDupFrac.
+    *
+    * Scale shape at 100 TB: stride = w, so the exploded block table is
+    * exactly ONE copy of the corpus (overlapping shingles would be w
+    * copies); the global occurrence count is a hash aggregation with
+    * map-side combine — a million-times-copied template block collapses
+    * to one row per task BEFORE the exchange; the count join back is a
+    * shuffled equi-join whose build side is unique per key (one count row
+    * per hash), so a hot block never multiplies rows and AQE can split
+    * the probe side of a skewed partition. Both explode sides hash the
+    * same frame, so the block exchange is reused at runtime (the
+    * minhash-LSH pattern). All-ASCII-safe: Spark and DuckDB agree on
+    * length()/substr() character semantics for the BMP text this runs on.
+    */
+  def substringDupStats(docs: DataFrame, w: Int = 64,
+                        maxDupFrac: Double = 0.5): DataFrame = {
+    val nb = (length(col("text")) / w).cast("int")
+    val blocks = docs.select(col("doc_id"),
+      explode(when(nb >= 1,
+        transform(sequence(lit(0), nb - 1),
+          i => md5(col("text").substr(i * w + lit(1), lit(w)))))
+        .otherwise(array())).as("h"))
+    val counts = blocks.groupBy("h").agg(count(lit(1)).as("c"))
+    val perDoc = blocks.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_blocks"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("dup_blocks"), lit(0L)).as("dup_blocks"),
+        round(when(col("n_blocks").isNull || col("n_blocks") === 0, 0.0)
+          .otherwise(col("dup_blocks").cast("double") /
+            col("n_blocks").cast("double")), 6).as("dup_frac"))
+      .withColumn("keep", col("dup_frac") < maxDupFrac)
   }
 
   /** Corpus-wide LINE-level exact dedup — the C4/CCNet boilerplate-removal

@@ -121,6 +121,35 @@ class TextOpsSpec extends AnyFunSuite {
     val df = Seq("nothing matches here").toDF("text")
     assert(df.select(TextOps.predLang(col("text"))).head().getString(0) == "en")
   }
+  test("substringDupStats counts position-aligned duplicated blocks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "AAAAAAAABBBBBBBB"), // blocks AAAAAAAA + BBBBBBBB
+      (2L, "AAAAAAAACCCCCCCC"), // blocks AAAAAAAA + CCCCCCCC
+      (3L, "short"),            // < one block -> zero-block row survives
+      (4L, "AAAAAAAABB")        // one full block, 2-char tail dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringDupStats(docs, w = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5, false))) // keep is STRICT <
+    assert(out(2L) == ((2L, 1L, 0.5, false)))
+    assert(out(3L) == ((0L, 0L, 0.0, true)))
+    assert(out(4L) == ((1L, 1L, 1.0, false)))
+    // a constant SUFFIX does NOT create shared blocks unless prefix
+    // lengths align: block boundaries are absolute positions
+    val suffixed = Seq((1L, "X" * 3 + "S" * 8), (2L, "Y" * 5 + "S" * 8))
+      .toDF("doc_id", "text")
+    val s = TextOps.substringDupStats(suffixed, w = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(1L) == 0L && s(2L) == 0L)
+    // skew-free shape: global block counting is an aggregation, never a
+    // window over the block hash
+    val plan = TextOps.substringDupStats(docs, w = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("lineDedup keeps first corpus occurrence; short lines pass through") {
     import spark.implicits._
     val docs = Seq(
