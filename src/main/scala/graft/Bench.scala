@@ -22,8 +22,8 @@ object Bench {
     "text_tokens", "text_fingerprint", "text_curation", "text_vocab",
     "text_line_dedup", "text_substring_dedup",
     "embed_cosine_topk", "rdf_bgp", "kg_extract",
-    "kg_dedup", "kg_latest_crawl", "graph_pagerank", "dedup_clusters",
-    "sample_stratified")
+    "kg_dedup", "kg_latest_crawl", "kg_domain_stats", "graph_pagerank",
+    "dedup_clusters", "sample_stratified")
 
   private def session(cores: Int): SparkSession =
     BenchSession.local(cores, s"graft-bench-$cores",

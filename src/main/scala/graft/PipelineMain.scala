@@ -12,7 +12,10 @@ import graft.pipeline.{Materialize, WebKg}
   *
   * Stages (the north rule's composed pipeline): read the Common-Crawl-style
   * page table (url, warc_ts, html, text, lang) -> keep the newest crawl per
-  * url (snapshot) -> OPTIONAL `--near-dedup` (drop near-duplicate pages
+  * url (snapshot) -> OPTIONAL `--domain-curation` (drop WHOLE junk
+  * domains first — hosts whose pages are mostly mutual copies or
+  * title-less stubs; domain-cardinality keep set, semi-join) ->
+  * OPTIONAL `--near-dedup` (drop near-duplicate pages
   * ACROSS urls — mirrors/boilerplate — keeping each LSH cluster's
   * representative; result-scale drop set, anti-join) -> extract triples
   * (one codegen pass over the html) ->
@@ -55,7 +58,8 @@ object PipelineMain {
   private val valueFlags = Set("--pages", "--out", "--buckets", "--batch-id",
     "--link", "--link-threshold", "--link-broadcast-max", "--link-mode",
     "--compact-src", "--stream-pages")
-  private val boolFlags = Set("--canonicalize", "--near-dedup", "--stream-once")
+  private val boolFlags = Set("--canonicalize", "--near-dedup",
+    "--domain-curation", "--stream-once")
 
   /** STRICT parse: an unknown flag, a typo, a duplicated flag, a dangling
     * flag, or a flag-like token in value position must abort the job, never
@@ -106,7 +110,8 @@ object PipelineMain {
       sys.error("--pages, --stream-pages, and --compact-src are mutually " +
         "exclusive modes")
     val constructOnly = Seq("--link", "--link-mode", "--link-threshold",
-      "--link-broadcast-max", "--canonicalize", "--near-dedup")
+      "--link-broadcast-max", "--canonicalize", "--near-dedup",
+      "--domain-curation")
     if (compactSrc.nonEmpty && constructOnly.exists(opts.contains))
       sys.error("--compact-src is a mode of its own: " +
         constructOnly.mkString("/") + " do not apply")
@@ -256,17 +261,36 @@ object PipelineMain {
         val snap0 = WebKg.latestSnapshot(
           spark.read.parquet(pages).select("url", "warc_ts", "html", "lang"))
         val nearDedup = opts.contains("--near-dedup")
-        // linking and near-dedup each add consumers of the snapshot beyond
-        // extraction (linking reads the extracted text; near-dedup runs
-        // eager clustering actions over it) — persist it so the page table
-        // is scanned and snapshot-aggregated once, spilling to disk rather
-        // than recomputing at 100 TB; with neither flag the snapshot stays
-        // fully fused into the materialize action
-        val snap = if (doLink || nearDedup)
+        val domainCur = opts.contains("--domain-curation")
+        // linking, near-dedup, and domain curation each add consumers of
+        // the snapshot beyond extraction (linking reads the extracted
+        // text; near-dedup runs eager clustering actions over it; domain
+        // curation aggregates its reputation stats over it) — persist it
+        // so the page table is scanned and snapshot-aggregated once,
+        // spilling to disk rather than recomputing at 100 TB; with no
+        // flag the snapshot stays fully fused into the materialize action
+        val extraConsumers = doLink || nearDedup || domainCur
+        val snap = if (extraConsumers)
           snap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else snap0
         try {
-          if (doLink || nearDedup) timed("snapshot")(snap.count())
+          if (extraConsumers) timed("snapshot")(snap.count())
+          // OPTIONAL domain-level curation FIRST (cheapest wholesale
+          // drop): aggregate host-reputation stats over the snapshot and
+          // semi-join the pages of kept domains. The keep set is
+          // domain-cardinality (metadata scale next to the corpus),
+          // localCheckpoint'ed inside the stage timing so the stats
+          // aggregation runs exactly once — AQE broadcasts the semi-join
+          // in the common small-domain-set case.
+          val pagesDom = if (domainCur) timed("domain_curation") {
+            val keepDoms = WebKg.domainStats(
+              snap.select(col("url"), col("html"),
+                WebKg.extractedText.as("text")))
+              .filter(col("keep")).select("domain").localCheckpoint()
+            snap.join(keepDoms,
+              regexp_extract(snap("url"), "^https?://([^/]+)/", 1) ===
+                keepDoms("domain"), "left_semi")
+          } else snap
           // OPTIONAL page-level near-dedup BEFORE extraction: mirror /
           // boilerplate pages across urls (the snapshot only collapses
           // re-crawls of ONE url) waste every downstream stage, so drop
@@ -286,11 +310,12 @@ object PipelineMain {
           // per consumer in the dup-dense worst case. The clustering
           // itself never re-runs (drop is checkpointed).
           val pagesIn = if (nearDedup) timed("near_dedup") {
-            val pd = snap.select(xxhash64(col("url")).as("doc_id"),
+            val pd = pagesDom.select(xxhash64(col("url")).as("doc_id"),
               lit("web").as("source"), WebKg.extractedText.as("text"))
             val drop = graft.ops.Dedup.nearDupDropIds(pd).localCheckpoint()
-            snap.join(drop, xxhash64(snap("url")) === drop("doc_id"), "left_anti")
-          } else snap
+            pagesDom.join(drop,
+              xxhash64(pagesDom("url")) === drop("doc_id"), "left_anti")
+          } else pagesDom
           val extracted0 = WebKg.extractFlat(pagesIn)
           // RDF 1.1 IRI canonicalization is a narrow per-row pass — it
           // fuses into the downstream action, so it carries no own timing
@@ -340,7 +365,7 @@ object PipelineMain {
           timed("materialize") {
             Materialize.materialize(triples, out, buckets, batchId)
           }
-        } finally if (doLink || nearDedup) snap.unpersist()
+        } finally if (extraConsumers) snap.unpersist()
     }
     val agg = stats.agg(
       coalesce(sum("n_triples"), lit(0L)).as("t"),
@@ -354,7 +379,7 @@ object PipelineMain {
       if (compactSrc.nonEmpty) "compact"
       else if (streamSrc.nonEmpty) "stream"
       else "construct"
-    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
+    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"domain_curation":${opts.contains("--domain-curation")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
     println(metricsJson)
     // persist the run record next to the store: per-bucket counts live in
     // the lineage table; this is the RUN-level lineage (stage wall times,

@@ -1172,6 +1172,37 @@ object Queries {
              |  md5(CASE WHEN doc_id % 3 = 0 THEN text || ' updated' ELSE text END) AS h
              |FROM documents""".stripMargin)),
 
+    // DOMAIN-level curation stats (RefinedWeb/Dolma-style host
+    // reputation): pages aggregated by host into re-crawl dup rate +
+    // quality proxies + keep flag. The Spark side derives the title
+    // signal by PARSING the html (extractedTitle); the oracle derives it
+    // from the generative rule (doc_id % 10 = 9 pages are title-less) —
+    // agreement re-proves the extraction path inside an aggregation query
+    "kg_domain_stats" -> Q(
+      (s, d) => WebKg.domainStats(
+        WebKg.synthesizeWebPages(t(s, d, "documents"), withDuplicates = true)),
+      Some("""WITH pages0 AS (SELECT doc_id, text, source,
+             |  'https://'||source||'.example.org/doc/'||doc_id AS url
+             |  FROM documents),
+             |pages AS (SELECT * FROM pages0 UNION ALL
+             |  SELECT * FROM pages0 WHERE doc_id % 10 = 0),
+             |s AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+             |    md5(text) AS h,
+             |    len(string_split_regex(text, '\s+')) AS n_tokens,
+             |    CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS notitle
+             |  FROM pages),
+             |a AS (SELECT domain, count(*) AS n_pages,
+             |    count(DISTINCT h) AS n_unique,
+             |    round(avg(n_tokens), 6) AS avg_tokens,
+             |    round(avg(notitle), 6) AS notitle_rate
+             |  FROM s GROUP BY 1)
+             |SELECT domain, n_pages, n_unique,
+             |  round(1.0 - n_unique / CAST(n_pages AS DOUBLE), 6) AS dup_rate,
+             |  avg_tokens, notitle_rate,
+             |  (round(1.0 - n_unique / CAST(n_pages AS DOUBLE), 6) <= 0.25
+             |   AND avg_tokens >= 5.0 AND notitle_rate <= 0.5) AS keep
+             |FROM a""".stripMargin)),
+
     // quad-level graph-keyed mutations end-to-end (dataset.ex put_graph /
     // delete_graph / update_all_graphs): replace one named graph
     // wholesale, drop another plus the default graph, then add a

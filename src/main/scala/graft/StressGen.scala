@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.WebKg
 
@@ -45,9 +45,13 @@ object StressGen {
       case "dict" :: pagesDir :: out :: rest =>
         val n = rest.headOption.map(_.toInt).getOrElse(300000)
         write(dictionary(spark.read.parquet(pagesDir), n), out)
+      case "sf1" :: sfDir :: out :: rest =>
+        val k = rest.headOption.map(_.toInt).getOrElse(10)
+        sfReplicate(spark, sfDir, out, k)
       case other =>
         sys.error(s"usage: StressGen pages <sfDir> <out> [k] | " +
-          s"nddense <out> [clusters] | dict <pagesDir> <out> [n] — got: " +
+          s"nddense <out> [clusters] | dict <pagesDir> <out> [n] | " +
+          s"sf1 <sfDir> <out> [k] — got: " +
           other.mkString(" "))
     }
     spark.stop()
@@ -73,6 +77,42 @@ object StressGen {
         concat(lit("d"), pmod(col("cluster"), lit(1000))).as("source"))
       .withColumn("n_chars", length(col("text")))
     WebKg.synthesizeWebPages(docs)
+  }
+
+  /** The sfN stress star schema behind BENCH.md's "sf1 stress sweep":
+    * fact tables replicated k× from the source sf dir, dimensions copied
+    * unchanged. Replica keys shift by a fixed 1e8 stride (every source id
+    * is far below it), and join keys that must stay INTRA-replica
+    * (l_orderkey <-> o_orderkey) shift together, so per-replica join
+    * structure is preserved while dimension fan-in and group densities
+    * grow k×. Replica texts (documents) get a distinct ` repI` suffix
+    * token — the corpus becomes near-dup-DENSE (each doc gains k-1
+    * deliberate near-duplicates), not degenerate exact-dup; replica 0
+    * stays byte-identical to the source. Embedding vectors replicate
+    * as-is (exact-dup-dense by design for the embed family). All pure
+    * Column pipelines — byte-deterministic across runs. */
+  private[graft] def sfReplicate(spark: SparkSession, sfDir: String,
+                                 out: String, k: Int): Unit = {
+    val stride = 100000000L
+    def replicate(name: String)(shift: DataFrame => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$sfDir/$name.parquet")
+      val reps = src.crossJoin(broadcast(
+        spark.range(0, k, 1, 1).select(col("id").as("__rep"))))
+      write(shift(reps).drop("__rep"), s"$out/$name.parquet")
+    }
+    def bump(c: String): Column = col(c) + col("__rep") * stride
+    replicate("lineitem")(_.withColumn("l_orderkey", bump("l_orderkey")))
+    replicate("orders")(_.withColumn("o_orderkey", bump("o_orderkey")))
+    replicate("events")(_.withColumn("event_id", bump("event_id")))
+    replicate("documents")(_
+      .withColumn("doc_id", bump("doc_id"))
+      .withColumn("text", when(col("__rep") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" rep"), col("__rep"))))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    replicate("embeddings")(_.withColumn("vec_id", bump("vec_id")))
+    Seq("region", "nation", "customer", "supplier", "part").foreach { d =>
+      write(spark.read.parquet(s"$sfDir/$d.parquet"), s"$out/$d.parquet")
+    }
   }
 
   /** n-surface (surface, entity) dictionary from the page table's token

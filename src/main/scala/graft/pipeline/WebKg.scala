@@ -216,6 +216,48 @@ object WebKg {
       .select(cols.map(c => col(s"__w.$c").as(c)): _*)
   }
 
+  /** DOMAIN-level curation stats — the domain-reputation stage real web
+    * pipelines run between crawling and document-level filtering
+    * (RefinedWeb/Dolma-style blocklisting by host): pages are aggregated
+    * by registered host into (n_pages, n_unique content hashes, re-crawl
+    * dup_rate, avg_tokens, notitle_rate) with a keep flag — a domain
+    * whose pages are mostly mutual copies or mostly empty-titled stubs
+    * is dropped wholesale, cheaper and earlier than judging each of its
+    * pages alone. The title signal is derived from the HTML itself
+    * (`extractedTitle`), not from metadata, so the stat composes the
+    * extraction path with the aggregation path.
+    *
+    * Scale shape at 100 TB: per-page signals are pure pre-shuffle Columns
+    * (the shuffle rows are a host plus four numerics, never text or
+    * html); the aggregation is one exchange on the domain key. The
+    * count-distinct plans as Spark's two-phase distinct-aggregate expand
+    * — partials combine on (domain, hash), so even a single hot domain
+    * spreads across tasks by content hash and cannot serialize in one
+    * task. Output is domain-cardinality (metadata scale next to the
+    * corpus): feed `keep` back as a broadcast/shuffled semi-join to
+    * filter the page table. */
+  def domainStats(pages: DataFrame, maxDupRate: Double = 0.25,
+                  minAvgTokens: Double = 5.0,
+                  maxNotitleRate: Double = 0.5): DataFrame = {
+    val perPage = pages.select(
+      regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("domain"),
+      md5(col("text")).as("h"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+      (extractedTitle === "").cast("int").as("notitle"))
+    perPage.groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("h")).as("n_unique"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        round(avg(col("notitle")), 6).as("notitle_rate"))
+      .select(col("domain"), col("n_pages"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") /
+          col("n_pages").cast("double"), 6).as("dup_rate"),
+        col("avg_tokens"), col("notitle_rate"))
+      .withColumn("keep",
+        col("dup_rate") <= maxDupRate && col("avg_tokens") >= minAvgTokens &&
+          col("notitle_rate") <= maxNotitleRate)
+  }
+
   /** Entity linking, stage 2 (score & resolve): mention tokens broadcast-
     * joined against an entity dictionary. Stage-1 candidate blocking at
     * corpus scale is Dedup.minhashLshCandidates on surface forms. Output:

@@ -166,6 +166,38 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(all == 3)
   }
 
+  test("--domain-curation drops whole junk domains before extraction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_dc").toString
+    // src0: three urls, all the SAME content -> domain dup_rate 2/3 > 0.25
+    // (a mirror FARM — per-page near-dedup would keep one page; domain
+    // curation drops the whole host). src1: two good unique pages.
+    val docs = Seq(
+      (0L, "same junk text on every page", "en", "src0", 28L),
+      (2L, "same junk text on every page", "en", "src0", 28L),
+      (4L, "same junk text on every page", "en", "src0", 28L),
+      (1L, "good unique page content words alpha", "en", "src1", 36L),
+      (3L, "another good unique page content beta", "en", "src1", 37L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    WebKg.synthesizeWebPages(docs).write.mode("overwrite").parquet(s"$dir/pages")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
+      "--buckets", "4", "--batch-id", "dc1", "--domain-curation"))
+    val typed = spark.read.parquet(s"$dir/store/data")
+      .filter(col("p") === WebKg.pType).select("s").as[String].collect().toSet
+    assert(typed == Set("https://src1.example.org/doc/1",
+      "https://src1.example.org/doc/3"), typed)
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/store/metrics").listFiles()
+        .filter(_.getName.startsWith("run-dc1-")).head.toPath))
+    assert(rec.contains("\"domain_curation\":true"))
+    assert(rec.contains("\"domain_curation\":") && rec.contains("\"snapshot\":"))
+    // without the flag all five pages land in the store
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store2",
+      "--buckets", "4", "--batch-id", "dc2"))
+    assert(spark.read.parquet(s"$dir/store2/data")
+      .filter(col("p") === WebKg.pType).count() == 5)
+  }
+
   test("--compact-src rolls an increment store into a deduped snapshot store") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pm_compact").toString

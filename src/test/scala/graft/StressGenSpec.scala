@@ -32,6 +32,31 @@ class StressGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped == 42, s"expected 42 = 6 clusters x 7 dropped, got $dropped")
   }
 
+  test("sfReplicate: k-fold facts, intra-replica joins, near-dup texts") {
+    val out = java.nio.file.Files.createTempDirectory("sfrep").toString
+    StressGen.sfReplicate(spark, "/root/testdata/sf0.001", out, 3)
+    def t(n: String) = spark.read.parquet(s"$out/$n.parquet")
+    def src(n: String) = spark.read.parquet(s"/root/testdata/sf0.001/$n.parquet")
+    // facts k-fold, dimensions unchanged
+    assert(t("lineitem").count() == 3 * src("lineitem").count())
+    assert(t("documents").count() == 3 * src("documents").count())
+    assert(t("nation").count() == src("nation").count())
+    // intra-replica join structure preserved: every lineitem still finds
+    // its order, and the join cardinality is exactly k x the source's
+    val joined = t("lineitem").join(t("orders"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    val srcJoined = src("lineitem").join(src("orders"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined == 3 * srcJoined)
+    // replica 0 byte-identical; replicas 1..k-1 get distinct suffix tokens
+    val d = t("documents")
+    assert(d.filter(col("doc_id") < 100000000L).exceptAll(src("documents")).isEmpty)
+    assert(d.filter(col("doc_id") >= 100000000L)
+      .filter(!col("text").rlike(" rep[12]$")).isEmpty)
+    // n_chars recomputed for suffixed replicas
+    assert(d.filter(length(col("text")) =!= col("n_chars")).isEmpty)
+  }
+
   test("dictionary: exact size, deterministic, pads never match tokens") {
     val pages = StressGen.ndDense(spark, 4)
     // vocabulary: 4*12 shared + 32 member tokens = 80 distinct (len>=3

@@ -184,6 +184,29 @@ class WebKgSpec extends AnyFunSuite {
       uncapped.count(_._2.endsWith("/degen")) == 70)
   }
 
+  test("domainStats aggregates reputation signals per host, hand-checked") {
+    val pages = WebKg.synthesizeWebPages(docs, withDuplicates = true)
+    val out = WebKg.domainStats(pages, maxDupRate = 0.4, minAvgTokens = 4.5)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    // src0: doc 0 (6 tokens, duplicated) + doc 1 (4 tokens)
+    val s0 = out("src0.example.org")
+    assert(s0.getAs[Long]("n_pages") == 3 && s0.getAs[Long]("n_unique") == 2)
+    assert(s0.getAs[Double]("dup_rate") == 0.333333)
+    assert(s0.getAs[Double]("avg_tokens") == 5.333333)
+    assert(s0.getAs[Double]("notitle_rate") == 0.0)
+    assert(s0.getAs[Boolean]("keep")) // 0.333 <= 0.4, 5.33 >= 4.5
+    // src1: doc 9 (4 tokens, TITLE-LESS) + doc 10 (4 tokens, duplicated)
+    val s1 = out("src1.example.org")
+    assert(s1.getAs[Long]("n_pages") == 3 && s1.getAs[Long]("n_unique") == 2)
+    assert(s1.getAs[Double]("notitle_rate") == 0.333333)
+    assert(!s1.getAs[Boolean]("keep")) // avg_tokens 4.0 < 4.5
+    // scale shape: per-page signals reduce to (domain + numerics) BEFORE
+    // the exchange — no html/text column crosses the shuffle
+    val shuffleRows = WebKg.domainStats(pages).queryExecution.executedPlan
+      .toString.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!shuffleRows.contains("html"), shuffleRows)
+  }
+
   test("latestSnapshot keeps exactly the newest crawl per url") {
     import spark.implicits._
     val pages = Seq(
