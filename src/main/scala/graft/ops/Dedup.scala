@@ -197,6 +197,10 @@ object Dedup {
     val pairs = ngramJaccardPairs(docs, threshold)
     val comp = GraphAlgos.connectedComponents(
       pairs.select(col("d1").as("a"), col("d2").as("b")))
+    // the pair checkpoint fed the (eager) component rounds and nothing
+    // else — release it so repeated clustering in a long-lived session
+    // doesn't accumulate pair-scale storage
+    GraphAlgos.releaseLocalCheckpoint(pairs)
     docs.select(col("doc_id").cast("long").as("doc_id"))
       .join(comp, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
@@ -222,9 +226,10 @@ object Dedup {
   def nearDupDropIds(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     requireLongDocIds(docs)
     val pairs = ngramJaccardPairs(docs, threshold)
-    GraphAlgos.connectedComponents(
+    val comp = GraphAlgos.connectedComponents(
       pairs.select(col("d1").as("a"), col("d2").as("b")))
-      .filter(col("id") =!= col("component"))
+    GraphAlgos.releaseLocalCheckpoint(pairs) // see nearDupClusters
+    comp.filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
   }
 
