@@ -55,13 +55,18 @@ object Bench {
     // code then runs for hours; the second run is the steady-state
     // per-query cost reported as `queries`.
     var spark = session(cpus)
+    val stealHeadline0 = HostPhase.snap()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm up IO
     val timed = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // queries that persist() intermediate frames (the LSH family)
         // would otherwise leak cached blocks into later queries' storage
-        // region — clear between queries so each is measured independently
+        // region — clear between queries so each is measured independently.
+        // clearCache only drops CacheManager entries; localCheckpoint-backed
+        // results (the iterative operators) persist raw RDDs that need the
+        // explicit sweep
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         def once(): Double = {
           val t0 = System.nanoTime()
           // same sentinel as bigdict_link: a crashed query reports -1,
@@ -100,6 +105,10 @@ object Bench {
       (c, w)
     }
     spark.stop()
+    // steal share over the whole headline block (see HostPhase): a
+    // degraded host phase is visible in the artifact next to the numbers
+    // it degraded, instead of only in BENCH.md prose
+    val stealHeadline = HostPhase.stealShare(stealHeadline0, HostPhase.snap())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
@@ -143,7 +152,7 @@ object Bench {
       f"""{"surfaces":$bigDictSurfaces,"cold":$bigCold%.3f,"warm":$bigWarm%.3f}"""
     if (sys.env.get("SPARK_GRAFT_SCALE_SKIP").contains("1")) {
       println(
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s","bigdict_link":$bigdict%s,"kg_pipeline":null}""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s","steal_share_headline":$stealHeadline%.3f,"bigdict_link":$bigdict%s,"kg_pipeline":null}""")
       return
     }
     val nCores = args.headOption.map(_.toInt)
@@ -161,13 +170,21 @@ object Bench {
     // one warm-up sweep (JIT + codegen), untimed
     configs.foreach(run)
     val runsBy = configs.map(c => c -> Array.newBuilder[Double]).toMap
+    // per-run steal share, same index as runsBy: lets a reader attribute
+    // any outlier run to a stolen phase (or rule that out) from the
+    // artifact alone — the min-of-many methodology depends on at least
+    // some rounds landing in low-steal phases, and this shows whether
+    // they did
+    val stealBy = configs.map(c => c -> Array.newBuilder[Double]).toMap
     var triples = 0L
     for (_ <- 1 to rounds) {
       configs.foreach { c =>
-        val (t, sec) = run(c); runsBy(c) += sec; triples = t
+        val ((t, sec), steal) = HostPhase.measured(run(c))
+        runsBy(c) += sec; stealBy(c) += steal; triples = t
       }
     }
     val allBy = runsBy.map { case (c, b) => c -> b.result() }
+    val stealAllBy = stealBy.map { case (c, b) => c -> b.result() }
     def median(xs: Array[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
@@ -199,6 +216,7 @@ object Bench {
         f""""sec_ncore":${p2.secLo}%.3f,"sec_4ncore":${p2.secHi}%.3f,""" +
         f""""median_sec_ncore":${p2.medLo}%.3f,"median_sec_4ncore":${p2.medHi}%.3f,""" +
         f""""runs_ncore":${arr(allBy(lo))},"runs_4ncore":${arr(allBy(hi))},""" +
+        f""""steal_runs_ncore":${arr(stealAllBy(lo))},"steal_runs_4ncore":${arr(stealAllBy(hi))},""" +
         f""""triples_per_sec_ncore":${p2.tpLo.toLong}%d,"triples_per_sec_4ncore":${p2.tpHi.toLong}%d,""" +
         f""""scaling_efficiency":${p2.eff}%.3f,"median_scaling_efficiency":${p2.medEff}%.3f}"""
     } else ""
@@ -207,10 +225,11 @@ object Bench {
       f""""sec_ncore":$secN%.3f,"sec_4ncore":$sec4N%.3f,""" +
       f""""median_sec_ncore":${p1.medLo}%.3f,"median_sec_4ncore":${p1.medHi}%.3f,""" +
       f""""runs_ncore":${arr(allBy(nCores))},"runs_4ncore":${arr(allBy(n4Cores))},""" +
+      f""""steal_runs_ncore":${arr(stealAllBy(nCores))},"steal_runs_4ncore":${arr(stealAllBy(n4Cores))},""" +
       f""""triples_per_sec_ncore":${tpN.toLong}%d,"triples_per_sec_4ncore":${tp4N.toLong}%d,""" +
       f""""scaling_efficiency":$eff%.3f,"median_scaling_efficiency":${p1.medEff}%.3f$sec2%s}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s","bigdict_link":$bigdict%s,"kg_pipeline":$kg%s}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"queries_cold":$qsCold%s,"sf":"$sfDir%s","steal_share_headline":$stealHeadline%.3f,"bigdict_link":$bigdict%s,"kg_pipeline":$kg%s}""")
     ()
   }
 }

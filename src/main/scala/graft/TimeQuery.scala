@@ -18,12 +18,29 @@ object TimeQuery {
     val spark = BenchSession.local(cores, s"timequery-$cores",
       shufflePartitions = cores)
     val fn = SparkEntry.queries(name)
+    // per-run GC time + persisted-RDD census: when repeats swing without
+    // host load, these attribute the swing (collector pressure vs cache
+    // accumulation vs genuinely slower execution)
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     var last: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to repeats) {
-      val t0 = System.nanoTime()
+      // drop blocks retained by the PREVIOUS run (cached plans and
+      // localCheckpoint-backed results alike), so each repeat is
+      // independent and the census printed below shows exactly what THIS
+      // run left behind — within-run accumulation still shows as a
+      // census > the operator's designed block count
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val (t0, g0, s0) = (System.nanoTime(), gcMillis, HostPhase.snap())
       last = fn(spark, sfDir)
       val n = last.count()
-      println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      val steal = HostPhase.stealShare(s0, HostPhase.snap())
+      val cached = spark.sparkContext.getPersistentRDDs.size
+      println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        f"($n rows, gc ${(gcMillis - g0) / 1e3}%.1f s, " +
+        f"steal ${steal * 100}%.0f%%, $cached cached RDDs)")
     }
     // collect() executes THIS DataFrame's QueryExecution (count() builds a
     // fresh one), so the dumped adaptive plan is the final executed one —

@@ -40,8 +40,15 @@ object GraphAlgos {
     * 95s -> 216s at sf1 before this release existed). The checkpointed
     * plan is a single LogicalRDD leaf holding the persisted RDD —
     * unpersist it directly. Safe ONLY once every frame derived from the
-    * checkpoint has itself been materialized. */
-  private[ops] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    * checkpoint has itself been materialized.
+    *
+    * PUBLIC because the same applies to the RESULT of an iterative
+    * operator: `connectedComponents`' returned frame is backed by its
+    * final round's checkpoint (one vertex-scale block per call, by
+    * design — it IS the result's storage). A long-lived session making
+    * many clustering calls should release each result after consuming
+    * it; otherwise the blocks accumulate one per call. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
