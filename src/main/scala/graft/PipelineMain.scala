@@ -162,10 +162,16 @@ object PipelineMain {
     // partitioning conf.
     val spark = sys.env.get("SPARK_MASTER").fold(builder) { m =>
       val b = builder.master(m)
-      "^local\\[(\\d+)\\]$".r.findFirstMatchIn(m) match {
+      // local[*] (the common "all cores" form) must get the same sizing
+      // as local[N], or the branch's whole point is silently skipped for
+      // the most common local master string
+      "^local\\[(\\d+|\\*)\\]$".r.findFirstMatchIn(m) match {
         case Some(g) =>
+          val cores =
+            if (g.group(1) == "*") Runtime.getRuntime.availableProcessors
+            else g.group(1).toInt
           b.config("spark.sql.shuffle.partitions",
-            math.max(4, g.group(1).toInt).toString)
+            math.max(4, cores).toString)
         case None => b
       }
     }.getOrCreate()
@@ -281,14 +287,19 @@ object PipelineMain {
           // domain-cardinality (metadata scale next to the corpus),
           // localCheckpoint'ed inside the stage timing so the stats
           // aggregation runs exactly once — AQE broadcasts the semi-join
-          // in the common small-domain-set case.
+          // in the common small-domain-set case. Pages whose URL has no
+          // http(s) host parse to the '' pseudo-domain — thousands of
+          // unrelated sources would be kept or dropped WHOLESALE as one
+          // fake host, so unattributable pages pass through curation
+          // (near-dedup and per-page filters still see them).
           val pagesDom = if (domainCur) timed("domain_curation") {
             val keepDoms = WebKg.domainStats(
               snap.select(col("url"), col("html"),
                 WebKg.extractedText.as("text")))
-              .filter(col("keep")).select("domain").localCheckpoint()
+              .filter(col("keep") || col("domain") === "")
+              .select("domain").localCheckpoint()
             snap.join(keepDoms,
-              regexp_extract(snap("url"), "^https?://([^/]+)/", 1) ===
+              regexp_extract(snap("url"), "^https?://([^/]+)", 1) ===
                 keepDoms("domain"), "left_semi")
           } else snap
           // OPTIONAL page-level near-dedup BEFORE extraction: mirror /

@@ -287,9 +287,9 @@ object Queries {
     // corpus (no bucket over the cap at this SF — verified) the pair set
     // equals the batch plan's, so dedup_minhash_lsh's oracle applies.
     // Parity holds through sf0.01 (the driver's gate); at sf0.1 some
-    // buckets exceed stateCap and the two diverge BY DESIGN (batch drops
-    // an oversized bucket wholesale, streaming cannot retract
-    // already-emitted pairs — engine/Streaming.scala scaladoc).
+    // buckets exceed stateCap and the two diverge BY DESIGN (batch
+    // switches an oversized bucket to linear star pairs, streaming cannot
+    // retract already-emitted pairs — engine/Streaming.scala scaladoc).
     "stream_dedup_lsh" -> Q(
       (s, d) => {
         val dir = s"/tmp/graft_stream_lsh_${math.abs(d.hashCode)}"
@@ -1186,7 +1186,7 @@ object Queries {
              |  FROM documents),
              |pages AS (SELECT * FROM pages0 UNION ALL
              |  SELECT * FROM pages0 WHERE doc_id % 10 = 0),
-             |s AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+             |s AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
              |    md5(text) AS h,
              |    len(string_split_regex(text, '\s+')) AS n_tokens,
              |    CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS notitle
@@ -1594,9 +1594,18 @@ object Queries {
              |FROM tok JOIN dict ON w = surface GROUP BY 1,2,3""".stripMargin)))
 
   /** Shared DuckDB CTE chain reproducing Dedup.minhashLshPairs: distinct
-    * tokens -> 8 minhashes -> 4 bands -> bucket-cap 64 -> candidate pairs.
+    * tokens -> 8 minhashes -> 4 bands -> all pairs within buckets of <= 64,
+    * star pairs (bucket-min doc_id x rest) for over-cap buckets.
     * Ends after the `cand` CTE so callers append either the count
-    * projection or further verify-stage CTEs. */
+    * projection or further verify-stage CTEs.
+    *
+    * The two pair branches MUST stay inside a subquery (SELECT DISTINCT
+    * over UNION ALL), never a top-level UNION in the CTE body:
+    * dedup_clusters prepends WITH RECURSIVE for its closure, and DuckDB
+    * then treats ANY top-level set-op CTE as a recursive union —
+    * measured emitting duplicate cand rows (11019 vs 4938 distinct),
+    * which double-count the verify stage's intersection and admit false
+    * near-dup pairs. */
   /** lshCandSql + exact-Jaccard verification: `jac` = the verified near-dup
     * pair set (threshold 0.8), the DuckDB twin of `Dedup.ngramJaccardPairs`.
     * Shared by `dedup_ngram_jaccard` and `dedup_clusters`. */
@@ -1633,11 +1642,18 @@ object Queries {
       |    md5(CAST(s4 AS VARCHAR)||CAST(s5 AS VARCHAR)) FROM mh UNION ALL
       |  SELECT doc_id, source, 3,
       |    md5(CAST(s6 AS VARCHAR)||CAST(s7 AS VARCHAR)) FROM mh),
-      |capped AS (SELECT * FROM bands
-      |  QUALIFY count(*) OVER (PARTITION BY band, sig, source) <= 64),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |stats AS (SELECT doc_id, source, band, sig,
+      |    count(*) OVER (PARTITION BY band, sig, source) AS bn,
+      |    min(doc_id) OVER (PARTITION BY band, sig, source) AS bmin
+      |  FROM bands
+      |  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND sig IS NOT NULL),
+      |capped AS (SELECT * FROM stats WHERE bn <= 64),
+      |cand AS (SELECT DISTINCT d1, d2 FROM (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
       |  FROM capped a JOIN capped b ON a.band=b.band AND a.sig=b.sig
-      |   AND a.source=b.source AND a.doc_id < b.doc_id)
+      |   AND a.source=b.source AND a.doc_id < b.doc_id
+      |  UNION ALL
+      |  SELECT bmin, doc_id FROM stats WHERE bn > 64 AND doc_id <> bmin))
       |""".stripMargin
 
   /** Embedding corpus with 10% injected duplicate rows (deterministic:

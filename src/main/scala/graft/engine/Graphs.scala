@@ -356,6 +356,15 @@ object Graphs {
   def updateAllGraphs(quads: DataFrame,
                       f: (Term, Seq[Triple]) => Seq[Triple],
                       maxGraphRows: Long = 10000000L): DataFrame = {
+    // a cap above Int.MaxValue is unreachable — the whole graph buffers in
+    // one in-task ArrayBuffer (Int-indexed), which OOMs/overflows long
+    // before the guard could fire; reject the no-op cap here so the
+    // "raise maxGraphRows deliberately" escape hatch can't silently turn
+    // the fail-fast contract off
+    require(maxGraphRows > 0 && maxGraphRows < Int.MaxValue,
+      s"updateAllGraphs: maxGraphRows=$maxGraphRows must be in (0, Int.MaxValue) " +
+        "— each graph materializes in one task's Int-indexed buffer; graphs " +
+        "beyond that belong in Graphs.updateGraph (DataFrame => DataFrame)")
     val spark = quads.sparkSession
     import spark.implicits._
     quads.select(col("s"), col("p"), col("o"), col("g")).as[Quad]

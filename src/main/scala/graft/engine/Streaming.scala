@@ -79,8 +79,9 @@ object Streaming {
     * (after the cross-band `distinct`) equals `minhashLshPairs` whenever
     * no bucket overflows the cap — asserted in StreamingSpec and oracled
     * as `stream_dedup_lsh`. Under cap pressure the two diverge by design:
-    * batch drops an oversized bucket wholesale, while streaming cannot
-    * retract already-emitted pairs and instead stops admitting new state.
+    * batch switches an oversized bucket to linear star pairs around the
+    * bucket's min doc_id, while streaming cannot retract already-emitted
+    * pairs and instead stops admitting new state.
     * Duplicate pairs (same pair from several bands, or re-crawled ids)
     * are expected; dedup them downstream — e.g. watermarked
     * `dropDuplicates` in the same query, or `distinct()` on the sink. */

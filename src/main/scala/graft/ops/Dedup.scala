@@ -75,11 +75,18 @@ object Dedup {
     *
     * `source` doubles as the blocking key so bucket joins stay bounded per
     * block — at web scale the block is the domain/shard, exactly the salted
-    * bucketing of the north star. `bucketCap` drops degenerate buckets
-    * (e.g. near-empty docs all hashing together) BEFORE the self-join: one
-    * hot bucket is quadratic within the bucket, so buckets larger than the
-    * cap are discarded — standard LSH hygiene; a bucket that big is
-    * near-useless for similarity anyway. */
+    * bucketing of the north star. `bucketCap` bounds the self-join: one
+    * hot bucket is quadratic within the bucket, so buckets larger than
+    * the cap skip the all-pairs join. They are NOT discarded — the
+    * densest buckets are exactly the mirror farms / boilerplate floods a
+    * web dedup exists for, and dropping them wholesale would exempt the
+    * LARGEST duplicate clusters from dedup. An over-cap bucket instead
+    * emits STAR pairs (min doc_id ↔ every other member): linear in bucket
+    * size, and under the downstream verify→connected-components flow
+    * (`nearDupClusters`) a star is as good as a clique — every true
+    * duplicate still joins the representative's component, while a
+    * degenerate bucket's false members are individually rejected by the
+    * exact-Jaccard verify. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
                       bucketCap: Int = 64): DataFrame = {
     require(numHashes % rowsPerBand == 0)
@@ -102,15 +109,34 @@ object Dedup {
     val bands = mh.select(col("doc_id"), col("source"),
         explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("source"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // null keys can never equi-join (and a null signature means "no
+      // signature"); filtering them in the SHARED frame — not per branch —
+      // keeps the subplan below the window exchange byte-identical across
+      // all three consumers (both self-join sides, which would otherwise
+      // get these as pushed-down join-inferred IsNotNulls, and the star
+      // branch, which would not), so AQE's ReuseExchange runs the
+      // scan+explode+minhash subtree ONCE for the whole query
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("sig").isNotNull)
     val capWindow = Window.partitionBy("band", "sig", "source")
-    val capped = bands
+    // count + min share the window's partitioning (one sort per consumer
+    // over the SAME reused exchange; column pruning drops the unused min
+    // from the join-side windows). Everything below the window exchange
+    // is byte-identical across the three consumers — see the bands
+    // comment — so the scan runs once at runtime (verified: TimeQuery
+    // executed plan shows stage 5 + two ReusedExchange nodes)
+    val stats = bands
       .withColumn("__bn", count(lit(1)).over(capWindow))
-      .filter(col("__bn") <= bucketCap).drop("__bn")
+      .withColumn("__bmin", min(col("doc_id")).over(capWindow))
+    val capped = stats.filter(col("__bn") <= bucketCap).drop("__bn", "__bmin")
     val a = capped.as("a"); val b = capped.as("b")
-    a.join(b,
+    val within = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val star = stats.filter(col("__bn") > bucketCap && col("doc_id") =!= col("__bmin"))
+      .select(col("__bmin").as("d1"), col("doc_id").as("d2"))
+    within.unionAll(star).distinct()
   }
 
   /** LSH candidate counts per doc (doc_id = smaller id of each pair).

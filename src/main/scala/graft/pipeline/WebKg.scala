@@ -235,12 +235,19 @@ object WebKg {
     * spreads across tasks by content hash and cannot serialize in one
     * task. Output is domain-cardinality (metadata scale next to the
     * corpus): feed `keep` back as a broadcast/shuffled semi-join to
-    * filter the page table. */
+    * filter the page table.
+    *
+    * Host parsing: the host is whatever follows `http(s)://` up to the
+    * first `/` OR end-of-string (path-less homepage URLs count toward
+    * their real host). URLs with no http(s) scheme at all parse to the
+    * `''` pseudo-domain — one mixed group of unattributable pages, NOT a
+    * real host; callers acting on `keep` should pass `''` through rather
+    * than wholesale-drop it (PipelineMain's --domain-curation does). */
   def domainStats(pages: DataFrame, maxDupRate: Double = 0.25,
                   minAvgTokens: Double = 5.0,
                   maxNotitleRate: Double = 0.5): DataFrame = {
     val perPage = pages.select(
-      regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("domain"),
+      regexp_extract(col("url"), "^https?://([^/]+)", 1).as("domain"),
       md5(col("text")).as("h"),
       size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
       (extractedTitle === "").cast("int").as("notitle"))

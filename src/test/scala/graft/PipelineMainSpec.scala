@@ -179,23 +179,33 @@ class PipelineMainSpec extends AnyFunSuite {
       (1L, "good unique page content words alpha", "en", "src1", 36L),
       (3L, "another good unique page content beta", "en", "src1", 37L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    WebKg.synthesizeWebPages(docs).write.mode("overwrite").parquet(s"$dir/pages")
+    // plus one page with NO http(s) host: it parses to the ''
+    // pseudo-domain — unattributable pages must pass through domain
+    // curation untouched, never ride a fake shared host's keep/drop
+    val unattr = Seq(("urn:doc:77", "2025-01-01 00:00:00",
+      "<html><head><title>U</title></head><body><p>urn page unique content gamma</p></body></html>",
+      "urn page unique content gamma", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .select(col("url"), col("warc_ts").cast("timestamp"),
+        col("html").cast("binary"), col("text"), col("lang"))
+    WebKg.synthesizeWebPages(docs).unionByName(unattr)
+      .write.mode("overwrite").parquet(s"$dir/pages")
     PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
       "--buckets", "4", "--batch-id", "dc1", "--domain-curation"))
     val typed = spark.read.parquet(s"$dir/store/data")
       .filter(col("p") === WebKg.pType).select("s").as[String].collect().toSet
     assert(typed == Set("https://src1.example.org/doc/1",
-      "https://src1.example.org/doc/3"), typed)
+      "https://src1.example.org/doc/3", "urn:doc:77"), typed)
     val rec = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(s"$dir/store/metrics").listFiles()
         .filter(_.getName.startsWith("run-dc1-")).head.toPath))
     assert(rec.contains("\"domain_curation\":true"))
     assert(rec.contains("\"domain_curation\":") && rec.contains("\"snapshot\":"))
-    // without the flag all five pages land in the store
+    // without the flag all six pages land in the store
     PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store2",
       "--buckets", "4", "--batch-id", "dc2"))
     assert(spark.read.parquet(s"$dir/store2/data")
-      .filter(col("p") === WebKg.pType).count() == 5)
+      .filter(col("p") === WebKg.pType).count() == 6)
   }
 
   test("--compact-src rolls an increment store into a deduped snapshot store") {

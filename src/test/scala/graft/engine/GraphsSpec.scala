@@ -634,6 +634,13 @@ class GraphsSpec extends AnyFunSuite {
     assert(msg.contains("exceeds maxGraphRows") && msg.contains("updateGraph"))
     // at the default bound the same store passes untouched
     assert(Graphs.updateAllGraphs(quadStore, (_, ts) => ts).count() == 4)
+    // a cap at/above Int.MaxValue is unreachable (the graph buffers in one
+    // Int-indexed task buffer) — rejected up front, never a silent no-op
+    val bad = intercept[IllegalArgumentException] {
+      Graphs.updateAllGraphs(quadStore, (_, ts) => ts,
+        maxGraphRows = Int.MaxValue.toLong + 1)
+    }
+    assert(bad.getMessage.contains("Int.MaxValue"))
   }
 
   test("valuesWithContext renders mapped predicates as PropertyMap terms") {

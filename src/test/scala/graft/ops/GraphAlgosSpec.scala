@@ -110,4 +110,30 @@ class GraphAlgosSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet)
     assert(dropped.size == 16) // 4 per group
   }
+
+  test("over-cap LSH buckets emit star pairs: dense clusters still dedup") {
+    import spark.implicits._
+    // 10 byte-identical docs: one signature, every band bucket holds all
+    // 10 rows. With bucketCap = 4 the all-pairs join is skipped, but the
+    // star branch (bucket-min id x rest) must still connect the cluster —
+    // the pre-fix behavior dropped the bucket wholesale and exempted
+    // exactly the largest duplicate clusters from dedup.
+    val docs = (0L until 10L)
+      .map(i => (i, "s", "mirror farm page body identical everywhere"))
+      .toDF("doc_id", "source", "text")
+    val pairs = Dedup.minhashLshPairs(docs, bucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1L until 10L).map(i => (0L, i)).toSet,
+      s"expected the min-id star, got $pairs")
+    // end-to-end through verify + components: keep one, drop nine.
+    // (nearDupClusters uses the default cap of 64, so build the dense
+    // cluster large enough to overflow it.)
+    val dense = (0L until 70L)
+      .map(i => (i, "s", "mirror farm page body identical everywhere"))
+      .toDF("doc_id", "source", "text")
+    val res = Dedup.nearDupClusters(dense)
+    assert(res.filter(col("keep") === 1).collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    assert(Dedup.nearDupDropIds(dense).count() == 69L)
+  }
 }

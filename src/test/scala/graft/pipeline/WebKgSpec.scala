@@ -207,6 +207,23 @@ class WebKgSpec extends AnyFunSuite {
     assert(!shuffleRows.contains("html"), shuffleRows)
   }
 
+  test("domainStats attributes path-less homepage URLs to their real host") {
+    import spark.implicits._
+    // link-canonicalized crawls commonly carry https://host with no
+    // trailing slash — those pages must count toward their host, and only
+    // scheme-less/non-http URLs fall into the '' unattributable group
+    val pages = Seq(
+      ("https://a.example.org", "homepage words one two three four five"),
+      ("https://a.example.org/deep", "deep page words one two three four"),
+      ("http://b.example.org", "b homepage words one two three four"),
+      ("ftp://c.example.org/x", "not http so unattributable")
+    ).toDF("url", "text")
+      .withColumn("html", concat(lit("<html><title>t</title>"), col("text"), lit("</html>")))
+    val out = WebKg.domainStats(pages)
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Long]("n_pages")).toMap
+    assert(out == Map("a.example.org" -> 2L, "b.example.org" -> 1L, "" -> 1L), out)
+  }
+
   test("latestSnapshot keeps exactly the newest crawl per url") {
     import spark.implicits._
     val pages = Seq(
