@@ -42,6 +42,10 @@ object StressGen {
       case "nddense" :: out :: rest =>
         val clusters = rest.headOption.map(_.toLong).getOrElse(320000L)
         write(ndDense(spark, clusters), out)
+      case "mirror" :: out :: rest =>
+        val clusters = rest.headOption.map(_.toLong).getOrElse(20000L)
+        val copies = rest.drop(1).headOption.map(_.toInt).getOrElse(100)
+        write(mirror(spark, clusters, copies), out)
       case "dict" :: pagesDir :: out :: rest =>
         val n = rest.headOption.map(_.toInt).getOrElse(300000)
         write(dictionary(spark.read.parquet(pagesDir), n), out)
@@ -50,7 +54,8 @@ object StressGen {
         sfReplicate(spark, sfDir, out, k)
       case other =>
         sys.error(s"usage: StressGen pages <sfDir> <out> [k] | " +
-          s"nddense <out> [clusters] | dict <pagesDir> <out> [n] | " +
+          s"nddense <out> [clusters] | mirror <out> [clusters] [copies] | " +
+          s"dict <pagesDir> <out> [n] | " +
           s"sf1 <sfDir> <out> [k] — got: " +
           other.mkString(" "))
     }
@@ -73,6 +78,32 @@ object StressGen {
         concat_ws(" ",
           ((0 until 12).map(j => concat(lit("t"), col("cluster"), lit(s"x$j")))
             :+ concat(lit("m"), col("doc_id"))): _*).as("text"),
+        lit("en").as("lang"),
+        concat(lit("d"), pmod(col("cluster"), lit(1000))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+    WebKg.synthesizeWebPages(docs)
+  }
+
+  /** `clusters` x `copies` BYTE-IDENTICAL pages across distinct urls —
+    * the mirror-farm shape (hot footers, license boilerplate, outright
+    * site mirrors). Every copy of a cluster produces the same minhash
+    * signature, so with `copies` above the LSH bucket cap (64) each band
+    * bucket overflows and [[graft.ops.Dedup.minhashLshPairs]] takes its
+    * STAR branch (linear pairs around the bucket-min id) instead of the
+    * quadratic within-bucket join — the densest-cluster path that a
+    * wholesale bucket drop would have exempted from dedup entirely.
+    * Cross-cluster token overlap is zero, so the expected drop is exactly
+    * `copies - 1` per cluster. */
+  private[graft] def mirror(spark: SparkSession, clusters: Long,
+                            copies: Int): DataFrame = {
+    val parts = math.max(spark.sparkContext.defaultParallelism * 3, 4)
+    val docs = spark.range(0, clusters * copies, 1, parts)
+      .select(col("id").as("doc_id"),
+        (col("id") / copies).cast("long").as("cluster"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          (0 until 12).map(j => concat(lit("t"), col("cluster"), lit(s"x$j"))): _*)
+          .as("text"),
         lit("en").as("lang"),
         concat(lit("d"), pmod(col("cluster"), lit(1000))).as("source"))
       .withColumn("n_chars", length(col("text")))

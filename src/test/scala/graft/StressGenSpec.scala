@@ -32,6 +32,27 @@ class StressGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped == 42, s"expected 42 = 6 clusters x 7 dropped, got $dropped")
   }
 
+  test("mirror: over-cap identical clusters dedup to one keeper via star pairs") {
+    // 3 clusters x 70 byte-identical pages: 70 > the LSH bucket cap (64),
+    // so every band bucket overflows and the dedup must flow through
+    // minhashLshPairs' star branch — the pre-fix wholesale bucket drop
+    // would have kept all 210 copies
+    val pages = StressGen.mirror(spark, 3, 70)
+    assert(pages.count() == 210)
+    assert(pages.select("url").distinct().count() == 210)
+    // within a cluster the TEXT is byte-identical, urls differ
+    assert(pages.select(md5(col("text")).as("h")).distinct().count() == 3)
+    val pd = pages.select(xxhash64(col("url")).as("doc_id"),
+      lit("web").as("source"), col("text"))
+    val dropped = graft.ops.Dedup.nearDupDropIds(pd).count()
+    assert(dropped == 207, s"expected 207 = 3 clusters x 69 dropped, got $dropped")
+    // under the cap the same geometry still drops copies-1 per cluster
+    val small = StressGen.mirror(spark, 2, 8)
+    val pdS = small.select(xxhash64(col("url")).as("doc_id"),
+      lit("web").as("source"), col("text"))
+    assert(graft.ops.Dedup.nearDupDropIds(pdS).count() == 14)
+  }
+
   test("sfReplicate: k-fold facts, intra-replica joins, near-dup texts") {
     val out = java.nio.file.Files.createTempDirectory("sfrep").toString
     StressGen.sfReplicate(spark, "/root/testdata/sf0.001", out, 3)
