@@ -467,6 +467,45 @@ object Queries {
              |    AS pick_rank
              |  FROM documents) WHERE pick_rank <= 20""".stripMargin)),
 
+    // CCNet-style LM quality scoring: per-token NLL under a Laplace-
+    // smoothed unigram LM trained on the doc_id%13==0 reference slice;
+    // per-token cost quantized to integer micro-nats so the per-doc sum is
+    // order-independent and engine-exact (see TextOps.lmScore)
+    "text_lm_score" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextOps.lmScore(docs, docs.filter(col("doc_id") % 13 === 0), maxNll = 3.45)
+      },
+      Some("""WITH ref AS (SELECT unnest(string_split_regex(text,'\s+')) AS w
+             |  FROM documents WHERE doc_id % 13 = 0),
+             |cnt AS (SELECT w, count(*) AS c FROM ref GROUP BY 1),
+             |tot AS (SELECT sum(c) + count(*) AS denom FROM cnt),
+             |tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w
+             |  FROM documents),
+             |cost AS (SELECT doc_id,
+             |    CAST(round(ln((SELECT denom FROM tot) * 1.0
+             |      / (COALESCE(c, 0) + 1)) * 1e6, 0) AS BIGINT) AS sc
+             |  FROM tok LEFT JOIN cnt USING (w))
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(CAST(sum(sc) AS DOUBLE) / 1e6 / count(*), 6) AS nll_per_token,
+             |  round(CAST(sum(sc) AS DOUBLE) / 1e6 / count(*), 6) <= 3.45 AS keep
+             |FROM cost GROUP BY 1""".stripMargin)),
+
+    // temperature-based domain resampling (τ=2 ⇒ α=0.5): keep all of the
+    // rarest source, downsample dominant ones at rate sqrt(n_min/n_d);
+    // sqrt is correctly rounded under IEEE 754 so the keep decision is
+    // bit-identical across engines (see Sampling.temperatureResample)
+    "sample_temperature" -> Q(
+      (s, d) => Sampling.temperatureResample(t(s, d, "documents"), "lang"),
+      Some("""WITH c AS (SELECT lang AS domain, count(*) AS n
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT domain,
+             |  sqrt((SELECT min(n) FROM c) * 1.0 / n) AS rate FROM c)
+             |SELECT d.doc_id, d.lang AS domain, round(r.rate, 6) AS keep_rate
+             |FROM documents d JOIN r ON d.lang = r.domain
+             |WHERE CAST('0x'||substr(md5('graft-temp-v1:'||d.doc_id),1,15) AS BIGINT)
+             |  / 1152921504606846976.0 < r.rate""".stripMargin)),
+
     // benchmark decontamination: docs sharing any word 3-gram with the
     // "benchmark" slice (doc_id % 97 == 0) get flagged; benchmark side
     // broadcast, corpus side one explode + broadcast join

@@ -117,6 +117,44 @@ object Sampling {
         expr(s"(__cum - n_tokens) div $budgetTokens").as("shard"))
   }
 
+  /** TEMPERATURE-based domain resampling — the multilingual/data-mixing
+    * stage (XLM-R/Gopher style): flatten a skewed domain distribution by
+    * sampling domain d with expected count ∝ n_d^α (α = 1/τ < 1), keeping
+    * ALL of the rarest domain and downsampling dominant ones toward a
+    * flatter mix. The acceptance rate solves rate_d ∝ n_d^(α-1) capped at
+    * 1: rate_d = (n_min / n_d)^(1-α).
+    *
+    * This implementation fixes α = 0.5 (τ = 2, the standard choice) so
+    * the rate is sqrt(n_min / n_d) — and sqrt, unlike pow/ln, is
+    * CORRECTLY ROUNDED under IEEE 754, so the rate is bit-identical on
+    * every engine and the keep decision (hash-uniform < rate) is exactly
+    * reproducible with no quantization tricks.
+    *
+    * Scale shape at 100 TB: one map-side-combined count aggregation over
+    * the corpus (domain cardinality is tiny by definition), a
+    * single-partition window over that DOMAIN-COUNT table only (never the
+    * corpus) to attach n_min without a second corpus scan, then a
+    * broadcast join + filter — two corpus passes total, no corpus
+    * shuffle. Deterministic: no RNG, the keep decision is a pure function
+    * of (doc_id, salt, domain counts), so re-runs, retries, and other
+    * engines select the same rows. Output: kept rows only, as
+    * (doc_id, domain, keep_rate). */
+  def temperatureResample(docs: DataFrame, domainCol: String,
+                          salt: String = "graft-temp-v1"): DataFrame = {
+    val counts = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n"))
+    // n_min over the tiny domain-count frame: an empty-partition window is
+    // one task over |domains| rows — never the corpus
+    val rates = counts
+      .withColumn("nmin", min(col("n")).over(Window.partitionBy()))
+      .select(col("domain"),
+        sqrt(col("nmin").cast("double") / col("n").cast("double")).as("rate"))
+    docs.select(col("doc_id"), col(domainCol).as("domain"))
+      .join(broadcast(rates), "domain")
+      .filter(hashUniform(col("doc_id"), salt) < col("rate"))
+      .select(col("doc_id"), col("domain"), round(col("rate"), 6).as("keep_rate"))
+  }
+
   /** Deterministic STRATIFIED sample: exactly `min(n, |stratum|)` rows per
     * stratum (e.g. per language), chosen by the hash-uniform order — the
     * "balanced eval set" / "cap the dominant language" stage of a corpus

@@ -257,6 +257,57 @@ object TextOps {
       .withColumn("keep", col("dup_frac") < maxDupFrac)
   }
 
+  /** LM QUALITY SCORING — the CCNet-style "perplexity filter": score every
+    * document by its per-token negative log-likelihood under a unigram
+    * language model trained on a curated REFERENCE slice (CCNet trains
+    * KenLM on Wikipedia; the unigram LM is the same filter family with the
+    * same plan shape). Low NLL = looks like the reference corpus; high
+    * NLL = gibberish, boilerplate, or the wrong language.
+    *
+    * Model: Laplace-smoothed unigram over reference whitespace tokens —
+    * cost(w) = ln((T + V) / (cnt(w) + 1)) nats, where T = reference token
+    * count, V = reference vocab size, cnt(w) = 0 for OOV.
+    *
+    * DETERMINISM (the reason for the integer detour): a per-document sum
+    * of doubles over a shuffled groupBy is summation-order-dependent, so
+    * re-runs and other engines could disagree in the last ulp. Instead the
+    * per-token cost is quantized ONCE to integer micro-nats
+    * (round(ln(..)*1e6) as long) and the per-document aggregation sums
+    * longs — exact, associative, order-free. The only FP inputs are a
+    * division of exact integers (correctly rounded, engine-identical) and
+    * one ln per DISTINCT reference count (a handful of values; a libm
+    * 1-ulp wobble lands on a round() boundary with probability ~1e-9).
+    *
+    * Scale shape at 100 TB: the reference LM is curated-corpus-sized, so
+    * its count table BROADCASTs; the corpus side is one explode + a
+    * broadcast LEFT join + one hash aggregation whose shuffle rows are
+    * (doc_id, long, long) — the documents' text never re-shuffles. The two
+    * scalars (T, V) are a metadata-scale driver aggregate over the
+    * reference counts. Output: (doc_id, n_tokens, nll_per_token, keep)
+    * with keep = nll_per_token <= maxNll.
+    */
+  def lmScore(docs: DataFrame, reference: DataFrame,
+              maxNll: Double = 9.0): DataFrame = {
+    val counts = reference
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // T and V: metadata-scale (vocab-sized) aggregate, collected once
+    val row = counts.agg(sum("c"), count(lit(1))).head()
+    val denom = (if (row.isNullAt(0)) 0L else row.getLong(0)) + row.getLong(1)
+    require(denom > 0, "lmScore: reference corpus is empty")
+    val invProb = lit(denom.toDouble) /
+      (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
+    val cost = round(log(invProb) * 1e6, 0).cast("long")
+    val scored = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(counts), Seq("w"), "left_outer")
+      .select(col("doc_id"), cost.as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("sc")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6).as("nll_per_token"))
+    scored.withColumn("keep", col("nll_per_token") <= maxNll)
+  }
+
   /** Corpus-wide LINE-level exact dedup — the C4/CCNet boilerplate-removal
     * primitive: a line of >= `minLen` chars survives only at its FIRST
     * corpus occurrence (smallest (doc_id, position)); shorter lines (menu

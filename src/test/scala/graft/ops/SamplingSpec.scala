@@ -98,4 +98,46 @@ class SamplingSpec extends AnyFunSuite {
     val plan = res.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("temperatureResample: sqrt rates, rarest domain whole, deterministic") {
+    import spark.implicits._
+    val d = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")) ++
+      (1000 until 1025).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureResample(d, "source")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+    // independent reference: same md5 hash-uniform + sqrt(nmin/n) rates
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"graft-temp-v1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60).toDouble
+    }
+    val n = Map("big" -> 900L, "small" -> 100L, "tiny" -> 25L)
+    val rate = n.map { case (dom, c) => dom -> math.sqrt(25.0 / c.toDouble) }
+    val expected = (0 until 1025).map(_.toLong).flatMap { id =>
+      val dom = if (id < 900) "big" else if (id < 1000) "small" else "tiny"
+      if (u(id) < rate(dom))
+        Some((id, dom, BigDecimal(rate(dom))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }.toSet
+    assert(rows.toSet == expected)
+    // rarest domain rides through whole (rate 1.0)
+    assert(rows.count(_._2 == "tiny") == 25)
+    // dominant domain downsampled toward sqrt: E[big] = 900/6 = 150
+    val nBig = rows.count(_._2 == "big")
+    assert(nBig > 100 && nBig < 200, nBig)
+    // deterministic across runs
+    assert(Sampling.temperatureResample(d, "source").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet == rows.toSet)
+    // scale shape: rates join BROADCAST; the only corpus exchange is the
+    // domain-count aggregation
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -172,4 +172,48 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("lmScore matches a sequential unigram-NLL reference; broadcast plan") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "zzz qqq xxx vvv kkk"), // all-OOV gibberish -> highest NLL
+      (4L, "the cat and the dog"),
+      (5L, "cat dog mat log sat")).toDF("doc_id", "text")
+    val reference = corpus.filter(col("doc_id") <= 2) // the "curated" slice
+    val out = TextOps.lmScore(corpus, reference, maxNll = 2.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+
+    // independent sequential reference implementation
+    val refToks = Seq("the cat sat on the mat", "the dog sat on the log")
+      .flatMap(_.split("\\s+"))
+    val cnt = refToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val denom = (refToks.size + cnt.size).toDouble
+    def nll(text: String): (Long, Double) = {
+      val toks = text.split("\\s+")
+      val sum = toks.map(w => math.round(
+        math.log(denom / (cnt.getOrElse(w, 0L) + 1L).toDouble) * 1e6)).sum
+      (toks.length.toLong,
+        BigDecimal(sum / 1e6 / toks.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    for ((id, text) <- Seq(1L -> "the cat sat on the mat",
+        2L -> "the dog sat on the log", 3L -> "zzz qqq xxx vvv kkk",
+        4L -> "the cat and the dog", 5L -> "cat dog mat log sat")) {
+      val (n, score) = nll(text)
+      assert(out(id)._1 == n, s"doc $id n_tokens")
+      assert(out(id)._2 == score, s"doc $id nll")
+      assert(out(id)._3 == (score <= 2.5), s"doc $id keep")
+    }
+    // in-LM docs score lower than the all-OOV doc, which must be dropped
+    assert(out(1L)._2 < out(3L)._2 && !out(3L)._3 && out(1L)._3)
+    // scale shape: the LM count table joins BROADCAST — the corpus side
+    // must not sort-merge against the vocabulary
+    val plan = TextOps.lmScore(corpus, reference)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
 }
