@@ -20,7 +20,8 @@ object Bench {
     "q1_agg", "q2_join_agg", "q4_window", "q9_skew_join", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "text_tokens", "text_fingerprint", "text_curation", "text_vocab",
-    "text_line_dedup", "text_substring_dedup",
+    "text_line_dedup", "text_substring_dedup", "text_lm_score",
+    "sample_temperature",
     "embed_cosine_topk", "rdf_bgp", "kg_extract",
     "kg_dedup", "kg_latest_crawl", "kg_domain_stats", "graph_pagerank",
     "dedup_clusters", "sample_stratified")
