@@ -17,8 +17,12 @@ import graft.pipeline.{Materialize, WebKg}
   * title-less stubs; domain-cardinality keep set, semi-join) ->
   * OPTIONAL `--near-dedup` (drop near-duplicate pages
   * ACROSS urls — mirrors/boilerplate — keeping each LSH cluster's
-  * representative; result-scale drop set, anti-join) -> extract triples
-  * (one codegen pass over the html) ->
+  * representative; result-scale drop set, anti-join) ->
+  * OPTIONAL `--lm-filter <ref-parquet> --lm-max-nll <nats>` (CCNet-shaped
+  * LM quality gate: drop pages whose per-token unigram NLL under a
+  * reference-trained LM exceeds the threshold; both flags required
+  * together — the threshold is corpus-dependent and has no safe default)
+  * -> extract triples (one codegen pass over the html) ->
   * OPTIONAL `--canonicalize` (RDF 1.1 IRI percent-encoding normalization,
   * narrow pass) -> OPTIONAL `--link <dict-parquet>` (two-stage fuzzy entity
   * linking against a (surface, entity) dictionary, distribution
@@ -57,6 +61,7 @@ import graft.pipeline.{Materialize, WebKg}
 object PipelineMain {
   private val valueFlags = Set("--pages", "--out", "--buckets", "--batch-id",
     "--link", "--link-threshold", "--link-broadcast-max", "--link-mode",
+    "--lm-filter", "--lm-max-nll",
     "--compact-src", "--stream-pages")
   private val boolFlags = Set("--canonicalize", "--near-dedup",
     "--domain-curation", "--stream-once")
@@ -111,7 +116,7 @@ object PipelineMain {
         "exclusive modes")
     val constructOnly = Seq("--link", "--link-mode", "--link-threshold",
       "--link-broadcast-max", "--canonicalize", "--near-dedup",
-      "--domain-curation")
+      "--domain-curation", "--lm-filter", "--lm-max-nll")
     if (compactSrc.nonEmpty && constructOnly.exists(opts.contains))
       sys.error("--compact-src is a mode of its own: " +
         constructOnly.mkString("/") + " do not apply")
@@ -144,6 +149,26 @@ object PipelineMain {
           sys.error(s"--link-broadcast-max must be an integer, got '$v'")
       }
     }.getOrElse(200000L)
+    // LM quality filter: both flags or neither. There is NO default NLL
+    // threshold — per-token NLL under a unigram LM is corpus-dependent
+    // (vocabulary size and token distribution shift it by whole nats), so
+    // a silently-permissive or silently-aggressive default would be worse
+    // than requiring the operator to read the score distribution once
+    // (TextOps.lmScore over a sample) and choose.
+    if (opts.contains("--lm-max-nll") && !opts.contains("--lm-filter"))
+      sys.error("--lm-max-nll requires --lm-filter <reference-parquet>")
+    val lmMaxNll = opts.get("--lm-filter").map { _ =>
+      val v = opts.getOrElse("--lm-max-nll", sys.error(
+        "--lm-filter requires --lm-max-nll <nats> (corpus-dependent: run " +
+          "TextOps.lmScore over a sample and pick from the score " +
+          "distribution; there is no safe universal default)"))
+      val t = try v.toDouble catch {
+        case _: NumberFormatException =>
+          sys.error(s"--lm-max-nll must be a number, got '$v'")
+      }
+      if (t <= 0.0) sys.error(s"--lm-max-nll must be positive, got '$v'")
+      t
+    }
     // stop only a session WE created — getOrCreate may attach to a host
     // process's session (tests, notebooks), which is not ours to kill
     val preExisting =
@@ -268,6 +293,7 @@ object PipelineMain {
           spark.read.parquet(pages).select("url", "warc_ts", "html", "lang"))
         val nearDedup = opts.contains("--near-dedup")
         val domainCur = opts.contains("--domain-curation")
+        val lmFilter = opts.contains("--lm-filter")
         // linking, near-dedup, and domain curation each add consumers of
         // the snapshot beyond extraction (linking reads the extracted
         // text; near-dedup runs eager clustering actions over it; domain
@@ -275,7 +301,7 @@ object PipelineMain {
         // so the page table is scanned and snapshot-aggregated once,
         // spilling to disk rather than recomputing at 100 TB; with no
         // flag the snapshot stays fully fused into the materialize action
-        val extraConsumers = doLink || nearDedup || domainCur
+        val extraConsumers = doLink || nearDedup || domainCur || lmFilter
         val snap = if (extraConsumers)
           snap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else snap0
@@ -327,7 +353,31 @@ object PipelineMain {
             pagesDom.join(drop,
               xxhash64(pagesDom("url")) === drop("doc_id"), "left_anti")
           } else pagesDom
-          val extracted0 = WebKg.extractFlat(pagesIn)
+          // OPTIONAL LM QUALITY FILTER (CCNet-shaped) after near-dedup:
+          // score every surviving page's extracted text by per-token NLL
+          // under a unigram LM trained on the --lm-filter reference
+          // parquet (any table with a `text` column — a curated dump,
+          // wiki slice, or prior-run keeper set) and drop pages above
+          // --lm-max-nll. Runs AFTER near-dedup so mirror copies are
+          // scored once, BEFORE extraction so rejected pages never cost
+          // triple extraction. The drop set is one id per rejected page
+          // (result-scale in the intended keep-most regime),
+          // localCheckpoint'ed inside the stage timing so the scoring
+          // aggregation runs exactly once; AQE broadcasts the anti-join
+          // when the reject fraction is small. The reference LM count
+          // table is curated-corpus-sized and broadcasts inside lmScore.
+          val pagesLm = lmMaxNll.fold(pagesIn) { maxNll =>
+            timed("lm_filter") {
+              val ref = spark.read.parquet(opts("--lm-filter")).select("text")
+              val drop = graft.ops.TextOps.lmScore(
+                  pagesIn.select(xxhash64(col("url")).as("doc_id"),
+                    WebKg.extractedText.as("text")), ref, maxNll)
+                .filter(!col("keep")).select("doc_id").localCheckpoint()
+              pagesIn.join(drop,
+                xxhash64(pagesIn("url")) === drop("doc_id"), "left_anti")
+            }
+          }
+          val extracted0 = WebKg.extractFlat(pagesLm)
           // RDF 1.1 IRI canonicalization is a narrow per-row pass — it
           // fuses into the downstream action, so it carries no own timing
           val extracted =
@@ -351,7 +401,7 @@ object PipelineMain {
               // roughly half the link-stage cost. linkMode was validated
               // pre-flight, so this dispatch is total.
               val linkDocs =
-                pagesIn.select(col("url").as("doc_id"), WebKg.extractedText.as("text"))
+                pagesLm.select(col("url").as("doc_id"), WebKg.extractedText.as("text"))
               val mentions = timed("link") {
                 (if (linkMode == "fuzzy")
                   WebKg.entityLinkFuzzyDF(linkDocs, dict,
@@ -390,7 +440,7 @@ object PipelineMain {
       if (compactSrc.nonEmpty) "compact"
       else if (streamSrc.nonEmpty) "stream"
       else "construct"
-    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"domain_curation":${opts.contains("--domain-curation")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
+    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"domain_curation":${opts.contains("--domain-curation")}%b,"lm_filter":${opts.contains("--lm-filter")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
     println(metricsJson)
     // persist the run record next to the store: per-bucket counts live in
     // the lineage table; this is the RUN-level lineage (stage wall times,

@@ -166,6 +166,48 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(all == 3)
   }
 
+  test("--lm-filter drops high-NLL pages before extraction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_lm").toString
+    // reference LM corpus: 4 copies of the good vocabulary -> every
+    // in-vocab token costs ln(15/5)=1.10 nats, OOV costs ln(15)=2.71
+    Seq.fill(4)("alpha beta gamma").toDF("text")
+      .write.mode("overwrite").parquet(s"$dir/ref")
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta", "en", "src0", 27L),
+      (1L, "gamma alpha beta gamma", "en", "src1", 22L),
+      (2L, "qqq zzz xxx vvv www", "de", "src0", 19L)) // all-OOV gibberish
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    WebKg.synthesizeWebPages(docs).write.mode("overwrite").parquet(s"$dir/pages")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
+      "--buckets", "4", "--batch-id", "lm1",
+      "--lm-filter", s"$dir/ref", "--lm-max-nll", "2.0"))
+    val typed = spark.read.parquet(s"$dir/store/data")
+      .filter(col("p") === WebKg.pType).select("s").as[String].collect().toSet
+    // the gibberish page (NLL 2.71 > 2.0) never reached extraction
+    assert(typed == Set("https://src0.example.org/doc/0",
+      "https://src1.example.org/doc/1"), typed)
+    // run record carries the flag and the stage timing
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/store/metrics").listFiles()
+        .filter(_.getName.startsWith("run-lm1-")).head.toPath))
+    assert(rec.contains("\"lm_filter\":true"))
+    assert(rec.contains("\"lm_filter\":") && rec.contains("\"stages\":{"))
+    // composes with --link: mentions only from surviving pages
+    Seq(("alpha", "http://graft.dev/entity/alpha"),
+        ("qqq", "http://graft.dev/entity/qqq"))
+      .toDF("surface", "entity").write.mode("overwrite").parquet(s"$dir/dict")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store2",
+      "--buckets", "4", "--batch-id", "lm2",
+      "--lm-filter", s"$dir/ref", "--lm-max-nll", "2.0",
+      "--link", s"$dir/dict", "--link-mode", "exact"))
+    val mentions = spark.read.parquet(s"$dir/store2/data")
+      .filter(col("p") === WebKg.pMentions)
+      .select("o").as[String].collect().toSet
+    // the dropped page's surface never links; the surviving pages' does
+    assert(mentions == Set("http://graft.dev/entity/alpha"), mentions)
+  }
+
   test("--domain-curation drops whole junk domains before extraction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pm_dc").toString
@@ -307,6 +349,15 @@ class PipelineMainSpec extends AnyFunSuite {
       "--link-broadcast-max", "200k").getMessage.contains("must be an integer"))
     assert(run("--pages", "p", "--out", "o", "--link", "d",
       "--link-mode", "fuzy").getMessage.contains("fuzzy|exact"))
+    // LM-filter flags: both or neither, numeric positive threshold
+    assert(run("--pages", "p", "--out", "o", "--lm-max-nll", "2.0")
+      .getMessage.contains("requires --lm-filter"))
+    assert(run("--pages", "p", "--out", "o", "--lm-filter", "ref")
+      .getMessage.contains("requires --lm-max-nll"))
+    assert(run("--pages", "p", "--out", "o", "--lm-filter", "ref",
+      "--lm-max-nll", "2,0").getMessage.contains("must be a number"))
+    assert(run("--pages", "p", "--out", "o", "--lm-filter", "ref",
+      "--lm-max-nll", "-1").getMessage.contains("must be positive"))
     // --stream-once over an empty directory has nothing to drain: abort
     // with the reason instead of a bare schema-inference crash
     val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_watch")
