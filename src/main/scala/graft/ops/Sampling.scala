@@ -138,7 +138,10 @@ object Sampling {
     * shuffle. Deterministic: no RNG, the keep decision is a pure function
     * of (doc_id, salt, domain counts), so re-runs, retries, and other
     * engines select the same rows. Output: kept rows only, as
-    * (doc_id, domain, keep_rate). */
+    * (doc_id, domain, keep_rate). NULL-domain rows are excluded from the
+    * output (a null key never equi-joins a rate — identical semantics in
+    * SQL engines); assign a pseudo-domain upstream if unattributed rows
+    * must ride through the resample. */
   def temperatureResample(docs: DataFrame, domainCol: String,
                           salt: String = "graft-temp-v1"): DataFrame = {
     val counts = docs.groupBy(col(domainCol).as("domain"))
