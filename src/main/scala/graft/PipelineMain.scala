@@ -22,6 +22,10 @@ import graft.pipeline.{Materialize, WebKg}
   * LM quality gate: drop pages whose per-token unigram NLL under a
   * reference-trained LM exceeds the threshold; both flags required
   * together — the threshold is corpus-dependent and has no safe default)
+  * -> OPTIONAL `--decontaminate <bench-parquet>` (benchmark decontamination:
+  * drop pages sharing any word n-gram — `--decontaminate-ngram`, default 8 —
+  * with the eval suite; Bloom-prefiltered with an exact verify join, so the
+  * benchmark set never needs to broadcast exactly)
   * -> extract triples (one codegen pass over the html) ->
   * OPTIONAL `--canonicalize` (RDF 1.1 IRI percent-encoding normalization,
   * narrow pass) -> OPTIONAL `--link <dict-parquet>` (two-stage fuzzy entity
@@ -62,6 +66,7 @@ object PipelineMain {
   private val valueFlags = Set("--pages", "--out", "--buckets", "--batch-id",
     "--link", "--link-threshold", "--link-broadcast-max", "--link-mode",
     "--lm-filter", "--lm-max-nll",
+    "--decontaminate", "--decontaminate-ngram",
     "--compact-src", "--stream-pages")
   private val boolFlags = Set("--canonicalize", "--near-dedup",
     "--domain-curation", "--stream-once")
@@ -116,7 +121,8 @@ object PipelineMain {
         "exclusive modes")
     val constructOnly = Seq("--link", "--link-mode", "--link-threshold",
       "--link-broadcast-max", "--canonicalize", "--near-dedup",
-      "--domain-curation", "--lm-filter", "--lm-max-nll")
+      "--domain-curation", "--lm-filter", "--lm-max-nll",
+      "--decontaminate", "--decontaminate-ngram")
     if (compactSrc.nonEmpty && constructOnly.exists(opts.contains))
       sys.error("--compact-src is a mode of its own: " +
         constructOnly.mkString("/") + " do not apply")
@@ -169,6 +175,20 @@ object PipelineMain {
       if (t <= 0.0) sys.error(s"--lm-max-nll must be positive, got '$v'")
       t
     }
+    // decontamination n-gram width: 8 by default (between the 13-gram and
+    // shorter-window conventions of published decontamination setups — wide
+    // enough that natural-language coincidences are rare, narrow enough to
+    // catch partial quotes). Only meaningful with --decontaminate.
+    if (opts.contains("--decontaminate-ngram") && !opts.contains("--decontaminate"))
+      sys.error("--decontaminate-ngram requires --decontaminate <bench-parquet>")
+    val decontamN = opts.get("--decontaminate-ngram").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"--decontaminate-ngram must be an integer, got '$v'")
+      }
+      if (n < 1) sys.error(s"--decontaminate-ngram must be >= 1, got '$v'")
+      n
+    }.getOrElse(8)
     // stop only a session WE created — getOrCreate may attach to a host
     // process's session (tests, notebooks), which is not ours to kill
     val preExisting =
@@ -294,6 +314,7 @@ object PipelineMain {
         val nearDedup = opts.contains("--near-dedup")
         val domainCur = opts.contains("--domain-curation")
         val lmFilter = opts.contains("--lm-filter")
+        val decontam = opts.contains("--decontaminate")
         // linking, near-dedup, and domain curation each add consumers of
         // the snapshot beyond extraction (linking reads the extracted
         // text; near-dedup runs eager clustering actions over it; domain
@@ -301,7 +322,8 @@ object PipelineMain {
         // so the page table is scanned and snapshot-aggregated once,
         // spilling to disk rather than recomputing at 100 TB; with no
         // flag the snapshot stays fully fused into the materialize action
-        val extraConsumers = doLink || nearDedup || domainCur || lmFilter
+        val extraConsumers = doLink || nearDedup || domainCur || lmFilter ||
+          decontam
         val snap = if (extraConsumers)
           snap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else snap0
@@ -377,7 +399,28 @@ object PipelineMain {
                 xxhash64(pagesIn("url")) === drop("doc_id"), "left_anti")
             }
           }
-          val extracted0 = WebKg.extractFlat(pagesLm)
+          // OPTIONAL BENCHMARK DECONTAMINATION last among the page gates
+          // (cheapest corpus after the other drops): pages sharing any
+          // word n-gram with the eval suite are dropped so benchmark text
+          // never reaches the training-side store. Bloom-prefiltered
+          // (contaminationOverlapsBloom): the benchmark's n-gram set ships
+          // as a ~1.2 MB/million-key filter — never an exact broadcast
+          // set — and only Bloom-surviving candidate n-grams pay the exact
+          // verify join, so the drop set is exact. Result-scale drop ids,
+          // localCheckpoint'ed inside the stage timing; AQE broadcasts the
+          // anti-join in the expected tiny-contamination regime.
+          val pagesDecon = opts.get("--decontaminate").fold(pagesLm) { benchPath =>
+            timed("decontaminate") {
+              val bench = spark.read.parquet(benchPath).select("text")
+              val drop = graft.ops.TextOps.contaminationOverlapsBloom(
+                  pagesLm.select(xxhash64(col("url")).as("doc_id"),
+                    WebKg.extractedText.as("text")), bench, decontamN)
+                .select("doc_id").localCheckpoint()
+              pagesLm.join(drop,
+                xxhash64(pagesLm("url")) === drop("doc_id"), "left_anti")
+            }
+          }
+          val extracted0 = WebKg.extractFlat(pagesDecon)
           // RDF 1.1 IRI canonicalization is a narrow per-row pass — it
           // fuses into the downstream action, so it carries no own timing
           val extracted =
@@ -401,7 +444,7 @@ object PipelineMain {
               // roughly half the link-stage cost. linkMode was validated
               // pre-flight, so this dispatch is total.
               val linkDocs =
-                pagesLm.select(col("url").as("doc_id"), WebKg.extractedText.as("text"))
+                pagesDecon.select(col("url").as("doc_id"), WebKg.extractedText.as("text"))
               val mentions = timed("link") {
                 (if (linkMode == "fuzzy")
                   WebKg.entityLinkFuzzyDF(linkDocs, dict,
@@ -440,7 +483,7 @@ object PipelineMain {
       if (compactSrc.nonEmpty) "compact"
       else if (streamSrc.nonEmpty) "stream"
       else "construct"
-    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"domain_curation":${opts.contains("--domain-curation")}%b,"lm_filter":${opts.contains("--lm-filter")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
+    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"domain_curation":${opts.contains("--domain-curation")}%b,"lm_filter":${opts.contains("--lm-filter")}%b,"decontaminate":${opts.contains("--decontaminate")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
     println(metricsJson)
     // persist the run record next to the store: per-bucket counts live in
     // the lineage table; this is the RUN-level lineage (stage wall times,

@@ -524,6 +524,30 @@ object Queries {
              |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
              |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin)),
 
+    // Bloom-prefiltered decontamination: same contract as
+    // text_decontaminate (the oracle SQL is IDENTICAL — the Bloom pass is
+    // a prefilter, the exact verify join removes its false positives), but
+    // the benchmark set ships as a ~bytes-per-key Bloom filter instead of
+    // an exact broadcast set — the variant for benchmark suites too big to
+    // broadcast. fpp=0.5 ON PURPOSE: a deliberately weak filter at sf0.01
+    // forces real false positives through the verify join, so this row
+    // also oracle-checks the FP-elimination path, not just the happy path
+    "text_decontam_bloom" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextOps.decontaminateBloom(docs, docs.filter(col("doc_id") % 97 === 0),
+          3, fpp = 0.5)
+      },
+      Some("""WITH ng AS (SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS ng
+             |  FROM (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents)),
+             |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
+             |ov AS (SELECT n.doc_id, count(*) AS n_overlap
+             |  FROM ng n JOIN bench b ON n.ng = b.ng GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+             |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin)),
+
     // vocabulary building: global top-k tokens (occurrences + doc
     // frequency), distributed top-k with a lexicographic k-boundary tie
     "text_vocab" -> Q(

@@ -151,6 +151,75 @@ object TextOps {
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Decontamination for a benchmark set TOO BIG to broadcast exactly —
+    * the 100-TB-regime variant of [[decontaminate]]. A full benchmark
+    * suite's distinct n-gram set can run to 10^8 entries (gigabytes as an
+    * exact broadcast set); a Bloom filter over the same keys at 1% FPR is
+    * ~1.2 MB per million n-grams, so it still ships to every task like a
+    * broadcast. The corpus side then drops ~99% of its n-grams BEFORE any
+    * exchange, and only the surviving candidates pay the exact
+    * (shuffle-merge, deliberately non-broadcast) verification join that
+    * removes Bloom false positives — so the OUTPUT IS EXACT, byte-equal to
+    * [[decontaminate]], while the shuffled bytes scale with the overlap,
+    * not the corpus.
+    *
+    * Plan shape: benchmark n-grams are materialized once
+    * (localCheckpoint — the filter build, the count, and the verify join
+    * all read the same blocks instead of re-exploding the benchmark);
+    * the filter itself is built distributed (per-partition filters merged
+    * on the driver — benchmark-metadata-scale) over xxhash64 keys and
+    * embedded as a binary literal under Spark's own codegen
+    * `BloomFilterMightContain` — the exact expression Catalyst injects
+    * for its runtime join filters, keyed the same way (putLong /
+    * mightContainLong over xxhash64), reused here deliberately. Key
+    * collisions in xxhash64 only ADD candidates; the verify join keeps
+    * the result exact either way. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    val overlaps = contaminationOverlapsBloom(docs, benchmark, n, fpp)
+    docs.select(col("doc_id")).join(overlaps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The RESULT-scale core of [[decontaminateBloom]]: (doc_id, n_overlap)
+    * for contaminated documents ONLY — the drop-set shape a pipeline
+    * anti-joins against, with no corpus-wide left join to attach the
+    * zero rows [[decontaminateBloom]]'s full per-document contract needs. */
+  def contaminationOverlapsBloom(docs: DataFrame, benchmark: DataFrame,
+                                 n: Int, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val benchNg = benchmark.select(
+      explode(array_distinct(wordNgrams(col("text"), n))).as("ng"))
+      .distinct().localCheckpoint()
+    val expected = benchNg.count()
+    // zero-key benchmark: nothing can be contaminated, and Spark's
+    // bloom_filter_agg returns a null buffer over zero rows (its readFrom
+    // would NPE) — short-circuit to the empty overlap set
+    if (expected == 0L)
+      return docs.select(col("doc_id"), lit(0L).as("n_overlap")).limit(0)
+    val bf = benchNg.select(xxhash64(col("ng")).as("k"))
+      .stat.bloomFilter("k", expected, fpp)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(lit(bfBytes)),
+        GraftBridge.expression(xxhash64(col("ng")))))
+    val docNg = docs.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(col("text"), n))).as("ng"))
+      .filter(mightContain)
+    // exact verify join: shuffle_merge-hinted so AQE cannot re-broadcast a
+    // benchmark table this variant exists to keep OFF the driver — only
+    // Bloom-surviving candidate n-grams reach the exchange
+    docNg.join(benchNg.hint("shuffle_merge"), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Vocabulary building: global top-k tokens with total occurrence count
     * and document frequency — the token-frequency table a tokenizer
     * training run starts from. One explode, one hash aggregation, then a

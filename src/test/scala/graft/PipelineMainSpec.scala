@@ -208,6 +208,35 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(mentions == Set("http://graft.dev/entity/alpha"), mentions)
   }
 
+  test("--decontaminate drops benchmark-overlapping pages before extraction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_dc2").toString
+    // eval suite: one 5-token benchmark passage
+    Seq("alpha beta gamma delta epsilon").toDF("text")
+      .write.mode("overwrite").parquet(s"$dir/bench")
+    val docs = Seq(
+      // shares the full benchmark 5-gram -> contaminated at --ngram 5
+      (0L, "intro alpha beta gamma delta epsilon outro", "en", "src0", 43L),
+      // shares only a 3-gram -> clean at --ngram 5
+      (1L, "alpha beta gamma unrelated tail words here", "en", "src1", 42L),
+      (2L, "completely different page content entirely", "en", "src0", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    WebKg.synthesizeWebPages(docs).write.mode("overwrite").parquet(s"$dir/pages")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
+      "--buckets", "4", "--batch-id", "dc1",
+      "--decontaminate", s"$dir/bench", "--decontaminate-ngram", "5"))
+    val typed = spark.read.parquet(s"$dir/store/data")
+      .filter(col("p") === WebKg.pType).select("s").as[String].collect().toSet
+    // only the page containing the benchmark 5-gram was dropped
+    assert(typed == Set("https://src1.example.org/doc/1",
+      "https://src0.example.org/doc/2"), typed)
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/store/metrics").listFiles()
+        .filter(_.getName.startsWith("run-dc1-")).head.toPath))
+    assert(rec.contains("\"decontaminate\":true"))
+    assert(rec.contains("\"decontaminate\":"), rec)
+  }
+
   test("--domain-curation drops whole junk domains before extraction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pm_dc").toString
@@ -358,6 +387,13 @@ class PipelineMainSpec extends AnyFunSuite {
       "--lm-max-nll", "2,0").getMessage.contains("must be a number"))
     assert(run("--pages", "p", "--out", "o", "--lm-filter", "ref",
       "--lm-max-nll", "-1").getMessage.contains("must be positive"))
+    // decontamination flags: the ngram width needs the stage; integer >= 1
+    assert(run("--pages", "p", "--out", "o", "--decontaminate-ngram", "5")
+      .getMessage.contains("requires --decontaminate"))
+    assert(run("--pages", "p", "--out", "o", "--decontaminate", "b",
+      "--decontaminate-ngram", "5.5").getMessage.contains("must be an integer"))
+    assert(run("--pages", "p", "--out", "o", "--decontaminate", "b",
+      "--decontaminate-ngram", "0").getMessage.contains("must be >= 1"))
     // --stream-once over an empty directory has nothing to drain: abort
     // with the reason instead of a bare schema-inference crash
     val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_watch")

@@ -116,6 +116,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("decontaminateBloom: byte-equal to exact decontaminate; bloom + merge plan") {
+    import spark.implicits._
+    // 60 docs with overlapping trigram families + a benchmark slice, plus
+    // a degenerate fpp to force Bloom false positives through the exact
+    // verify join — the output must STILL match the exact operator
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, s"alpha w$i beta w${i % 7} gamma token${i % 5} delta end$i")
+    }.toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") % 9 === 0)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = TextOps.decontaminateBloom(corpus, bench, 3, fpp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val exact = TextOps.decontaminate(corpus, bench, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got == exact, s"fpp=$fpp")
+    }
+    // empty benchmark: nothing contaminated, no crash on the 0-key filter
+    val none = TextOps.decontaminateBloom(corpus, corpus.limit(0), 3).collect()
+    assert(none.length == 60 && none.forall(!_.getBoolean(2)))
+    // plan shape: the corpus side is prefiltered by Spark's own codegen
+    // might_contain BEFORE any exchange, and the exact verify join is
+    // SortMergeJoin (never a benchmark broadcast — the regime this
+    // variant exists for)
+    val plan = TextOps.decontaminateBloom(corpus, bench, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   test("predLang ties break by preference order") {
     import spark.implicits._
     val df = Seq("nothing matches here").toDF("text")
