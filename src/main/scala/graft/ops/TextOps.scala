@@ -119,14 +119,25 @@ object TextOps {
   }
 
   /** Word n-grams of a text column (space-joined), empty array when the
-    * document has fewer than n tokens. */
+    * document has fewer than n tokens.
+    *
+    * The token array is BOUND ONCE per row through a single-element
+    * `transform` wrapper before the per-position lambda references it.
+    * Higher-order functions evaluate interpreted (no whole-stage codegen,
+    * no common-subexpression elimination inside the lambda), so embedding
+    * `split(text)` directly in the lambda body re-splits the text for
+    * every `element_at` — n splits per position, ~n*tokens regex splits
+    * per document. Measured on the 2.56M-page deployment table at n=8:
+    * 525 s -> 20 s for the decontamination stage (BENCH.md). */
   def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val cnt = size(toks) - (n - 1)
-    when(cnt >= 1,
-      transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
-      .otherwise(array())
+    val grams = transform(array(tokens(text)), toks => {
+      val cnt = size(toks) - (n - 1)
+      when(cnt >= 1,
+        transform(sequence(lit(1), cnt),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+        .otherwise(array())
+    })
+    element_at(grams, 1)
   }
 
   /** Benchmark DECONTAMINATION: flag documents sharing any word n-gram
