@@ -96,10 +96,18 @@ object Streaming {
     val bands = docs
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
+      // the signature is projected to a NAMED column before bandStructs
+      // consumes it numHashes times via element_at: inlining the signature
+      // expression per band lane would re-evaluate the whole
+      // numHashes-lane minhash per element_at (numHashes^2 interpreted
+      // tokenize+hash passes per row — HOFs are CodegenFallback).
+      // CollapseProject keeps the boundary: it refuses to inline a
+      // non-cheap expression consumed more than once.
       .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("ts"),
+        graft.ops.Dedup.rowMinhashSignature(col("text"), numHashes).as("__sig"))
+      .select(col("doc_id"), col("source"), col("ts"),
         explode(graft.ops.Dedup.bandStructs(
-          graft.ops.Dedup.rowMinhashSignature(col("text"), numHashes),
-          numHashes, rowsPerBand)).as("bs"))
+          col("__sig"), numHashes, rowsPerBand)).as("bs"))
       .select(col("doc_id"), col("source"), col("bs.band").as("band"),
         col("bs.sig").as("sig"), col("ts"))
       // null ts would leave the bucket's state timeout unset (immortal

@@ -53,9 +53,19 @@ object Dedup {
     * explode+groupBy form: for long documents the per-row transform
     * materializes numHashes × |tokens| values per row at once, where the
     * aggregate streams them.) */
-  def rowMinhashSignature(text: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(TextOps.distinctTokens(text), w => keyedHash(i, w)))): _*)
+  def rowMinhashSignature(text: Column, numHashes: Int): Column = {
+    // bind the distinct-token array ONCE per row (single-element transform
+    // wrapper): higher-order functions are CodegenFallback, so each of the
+    // numHashes lanes would otherwise re-evaluate the tokenize+distinct
+    // expression interpreted — numHashes regex splits per row (and
+    // numHashes^2 when a caller also inlines this expression per band;
+    // see the wordNgrams fix, BENCH.md, for the measured cost of this
+    // pathology class)
+    val lanes = transform(array(TextOps.distinctTokens(text)), toks =>
+      array((0 until numHashes).map(i =>
+        array_min(transform(toks, w => keyedHash(i, w)))): _*))
+    element_at(lanes, 1)
+  }
 
   /** LSH band structs `(band, sig)` for a row-signature array, identical
     * band signatures to `minhashLshPairs`. */
