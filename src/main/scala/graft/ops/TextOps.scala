@@ -19,41 +19,68 @@ object TextOps {
   /** Token counting: whitespace tokens + a BPE-ish subword proxy (runs of
     * letters/digits of length<=4 after splitting longer words). */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("n_chars"),
-      // BPE-ish proxy: ceil(len/4) subword units per token
-      aggregate(
-        transform(tokens(col("text")), w => ceil(length(w) / lit(4.0)).cast("long")),
-        lit(0L), (acc, x) => acc + x).as("n_subwords"))
+    // tokenize once into a named column: the n_subwords expression is a
+    // higher-order function (CodegenFallback — no subexpression
+    // elimination), so an inline split would run separately from
+    // n_tokens' codegen'd split. CollapseProject keeps the projection
+    // boundary (non-cheap expression, consumed twice).
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        // BPE-ish proxy: ceil(len/4) subword units per token
+        aggregate(
+          transform(col("__toks"), w => ceil(length(w) / lit(4.0)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_subwords"))
 
   /** Quality scoring: stopword ratio + mean word length (length/punct
-    * families of heuristics). */
+    * families of heuristics). Tokenizes once into a named column — the
+    * stopword `filter` is a higher-order function (CodegenFallback), so an
+    * inline split would re-run interpreted inside it, separate from the
+    * codegen'd splits of the other output columns. */
   def qualityScores(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("__toks")
     val nTok = size(toks).cast("double")
     val nSpace = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("double")
-    docs.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      round(size(filter(toks, w => w === "the" || w === "a")) / nTok, 6).as("stopword_ratio"),
-      round((length(col("text")) - nSpace) / nTok, 6).as("avg_word_len"))
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(size(filter(toks, w => w === "the" || w === "a")) / nTok, 6).as("stopword_ratio"),
+        round((length(col("text")) - nSpace) / nTok, 6).as("avg_word_len"))
   }
 
   /** Language-ID by stopword-marker counting (n-gram heuristic family):
     * argmax over per-language marker-token counts, ties broken by a fixed
-    * language preference order. */
-  def predLang(text: Column): Column = {
-    val toks = tokens(text)
+    * language preference order.
+    *
+    * Evaluation shape: the whole expression is one CodegenFallback tree
+    * (the marker counts are `filter` HOFs), and interpreted eval has no
+    * subexpression elimination — a naive when-chain re-evaluates each
+    * language's filter+split per comparison (up to ~12 tokenize passes per
+    * row). Both the token array and the four scores are bound ONCE through
+    * single-element `transform` wrappers (lambda parameters are bound
+    * values), so one row costs one tokenize + four marker scans. */
+  def predLang(text: Column): Column =
+    element_at(transform(array(tokens(text)), toks =>
+      predLangFromTokens(toks)), 1)
+
+  /** [[predLang]] over an already-bound token array column. */
+  def predLangFromTokens(toks: Column): Column = {
     def score(markers: String*): Column =
       size(filter(toks, w => markers.map(w === _).reduce(_ || _)))
-    val en = score("the", "a"); val fr = score("le", "la")
-    val de = score("der", "die"); val es = score("el", "los")
-    when(en >= fr && en >= de && en >= es, "en")
-      .when(fr >= de && fr >= es, "fr")
-      .when(de >= es, "de")
-      .otherwise("es")
+    val scores = array(struct(
+      score("the", "a").as("en"), score("le", "la").as("fr"),
+      score("der", "die").as("de"), score("el", "los").as("es")))
+    element_at(transform(scores, s => {
+      val en = s.getField("en"); val fr = s.getField("fr")
+      val de = s.getField("de"); val es = s.getField("es")
+      when(en >= fr && en >= de && en >= es, "en")
+        .when(fr >= de && fr >= es, "fr")
+        .when(de >= es, "de")
+        .otherwise("es")
+    }), 1)
   }
 
   def langId(docs: DataFrame): DataFrame =
@@ -72,7 +99,7 @@ object TextOps {
     */
   def curate(pages: DataFrame, minTokens: Long = 20,
              maxStopwordRatio: Double = 0.2): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("__toks")
     val nTok = size(toks).cast("long")
     val sw = size(filter(toks, w => w === "the" || w === "a")).cast("double") /
       nTok.cast("double")
@@ -81,9 +108,13 @@ object TextOps {
     // (hash, url, lang, 2 numerics) — tens of bytes — instead of the full
     // document text. The gates commute with content-hash dedup because
     // every metric is a pure function of the text.
+    // Tokenize once into a named column: language-ID and the stopword gate
+    // are HOF (CodegenFallback) expressions that would each re-split the
+    // text interpreted if the split were inlined.
     val stats = pages
+      .select(col("url"), col("text"), tokens(col("text")).as("__toks"))
       .select(md5(col("text")).as("h"), col("url"),
-        predLang(col("text")).as("pred_lang"),
+        predLangFromTokens(toks).as("pred_lang"),
         nTok.as("n_tokens"), sw.as("stopword_ratio"))
       .filter(col("n_tokens") >= minTokens &&
         col("stopword_ratio") <= maxStopwordRatio)
@@ -104,18 +135,33 @@ object TextOps {
     * curation run drops before training. Pure Columns — one projection,
     * no shuffle, no UDF. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val n = size(toks)
-    // word 2-grams via zip of the array with its own tail
-    val bigrams = zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
-      slice(toks, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-    val nBi = size(bigrams).cast("double")
-    val dupBi = (size(bigrams) - size(array_distinct(bigrams))).cast("double")
-    val dupTok = (n - size(array_distinct(toks))).cast("double")
-    docs.select(col("doc_id"),
-      round(when(nBi > 0, dupBi / nBi).otherwise(0.0), 6).as("dup_bigram_frac"),
-      round(dupTok / n.cast("double"), 6).as("dup_token_frac"))
+    // Both the token array and the bigram array feed several output
+    // metrics, and the bigram builder is a HOF (zip_with, CodegenFallback)
+    // — inlining would re-tokenize and re-zip per metric reference. The
+    // four counts are computed ONCE into a named struct column (bigrams
+    // bound through a single-element transform wrapper inside it), and the
+    // ratio projection reads struct fields. CollapseProject keeps the
+    // boundary: the struct is non-cheap and consumed by every metric.
+    val stats = transform(array(tokens(col("text"))), toks => {
+      val n = size(toks)
+      // word 2-grams via zip of the array with its own tail
+      val bigrams = zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
+        slice(toks, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      val bi = transform(array(bigrams), bg =>
+        struct(size(bg).as("nbi"), size(array_distinct(bg)).as("dbi")))
+      struct(n.as("n"), size(array_distinct(toks)).as("dtok"),
+        element_at(bi, 1).as("bi"))
+    })
+    val s = col("__s")
+    val nBi = s.getField("bi").getField("nbi").cast("double")
+    val dupBi = (s.getField("bi").getField("nbi") -
+      s.getField("bi").getField("dbi")).cast("double")
+    val dupTok = (s.getField("n") - s.getField("dtok")).cast("double")
+    docs.select(col("doc_id"), element_at(stats, 1).as("__s"))
+      .select(col("doc_id"),
+        round(when(nBi > 0, dupBi / nBi).otherwise(0.0), 6).as("dup_bigram_frac"),
+        round(dupTok / s.getField("n").cast("double"), 6).as("dup_token_frac"))
   }
 
   /** Word n-grams of a text column (space-joined), empty array when the
