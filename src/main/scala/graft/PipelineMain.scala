@@ -186,7 +186,13 @@ object PipelineMain {
         case _: NumberFormatException =>
           sys.error(s"--decontaminate-ngram must be an integer, got '$v'")
       }
-      if (n < 1) sys.error(s"--decontaminate-ngram must be >= 1, got '$v'")
+      // hard upper bound, validated PRE-FLIGHT like every other value:
+      // wordNgrams builds an O(n)-node expression per position, so an
+      // absurd width would pass the gates' whole expensive prefix and
+      // only then kill the driver at plan-construction time. No real
+      // decontamination window exceeds a few dozen tokens.
+      if (n < 1 || n > 256)
+        sys.error(s"--decontaminate-ngram must be in [1, 256], got '$v'")
       n
     }.getOrElse(8)
     // stop only a session WE created — getOrCreate may attach to a host

@@ -514,15 +514,7 @@ object Queries {
         val docs = t(s, d, "documents")
         TextOps.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0), 3)
       },
-      Some("""WITH ng AS (SELECT doc_id, unnest(list_distinct(
-             |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS ng
-             |  FROM (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents)),
-             |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
-             |ov AS (SELECT n.doc_id, count(*) AS n_overlap
-             |  FROM ng n JOIN bench b ON n.ng = b.ng GROUP BY 1)
-             |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
-             |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
-             |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin)),
+      Some(decontaminateOracleSql)),
 
     // Bloom-prefiltered decontamination: same contract as
     // text_decontaminate (the oracle SQL is IDENTICAL — the Bloom pass is
@@ -538,15 +530,7 @@ object Queries {
         TextOps.decontaminateBloom(docs, docs.filter(col("doc_id") % 97 === 0),
           3, fpp = 0.5)
       },
-      Some("""WITH ng AS (SELECT doc_id, unnest(list_distinct(
-             |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS ng
-             |  FROM (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents)),
-             |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
-             |ov AS (SELECT n.doc_id, count(*) AS n_overlap
-             |  FROM ng n JOIN bench b ON n.ng = b.ng GROUP BY 1)
-             |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
-             |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
-             |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin)),
+      Some(decontaminateOracleSql)),
 
     // vocabulary building: global top-k tokens (occurrences + doc
     // frequency), distributed top-k with a lexicographic k-boundary tie
@@ -1721,6 +1705,22 @@ object Queries {
 
   /** Embedding corpus with 10% injected duplicate rows (deterministic:
     * vec_id % 10 == 0 re-appears as vec_id + 100000). */
+  /** Shared DuckDB oracle for BOTH decontamination variants: the Bloom
+    * variant's contract is byte-equality with the exact operator, so one
+    * SQL string keeps the two oracle rows from drifting apart. */
+  // def, not val: referenced from registry entries declared ABOVE this
+  // point — a val would still be null during the object's initialization
+  private def decontaminateOracleSql: String =
+    """WITH ng AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS ng
+      |  FROM (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents)),
+      |bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
+      |ov AS (SELECT n.doc_id, count(*) AS n_overlap
+      |  FROM ng n JOIN bench b ON n.ng = b.ng GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+      |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin
+
   private[graft] def embDupCorpus(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"))
       .unionAll(e.filter(col("vec_id") % 10 === 0)

@@ -196,17 +196,28 @@ object TextOps {
     * side is one explode + a broadcast hash join + one count aggregation —
     * no corpus-side shuffle besides the per-doc count. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
-    val docNg = docs.select(col("doc_id"),
-      explode(array_distinct(wordNgrams(col("text"), n))).as("ng"))
-    val benchNg = benchmark.select(
-      explode(array_distinct(wordNgrams(col("text"), n))).as("ng")).distinct()
+    val docNg = explodedNgrams(docs.select(col("doc_id"), col("text")), n)
+    val benchNg = explodedNgrams(benchmark.select(col("text")), n).distinct()
     val overlaps = docNg.join(broadcast(benchNg), "ng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    attachZeroOverlaps(docs, overlaps)
+  }
+
+  /** (carried columns…, ng) — one row per distinct word n-gram of `text`;
+    * the shared corpus/benchmark projection of both decontamination
+    * variants, so their n-gram semantics cannot drift apart. */
+  private def explodedNgrams(df: DataFrame, n: Int): DataFrame =
+    df.select(df.columns.filter(_ != "text").map(col) :+
+      explode(array_distinct(wordNgrams(col("text"), n))).as("ng"): _*)
+
+  /** Left-attach the (doc_id, n_overlap) rows back onto every document,
+    * zero-filling the clean ones — the shared per-document epilogue of
+    * both decontamination variants. */
+  private def attachZeroOverlaps(docs: DataFrame, overlaps: DataFrame): DataFrame =
     docs.select(col("doc_id")).join(overlaps, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
-  }
 
   /** Decontamination for a benchmark set TOO BIG to broadcast exactly —
     * the 100-TB-regime variant of [[decontaminate]]. A full benchmark
@@ -232,13 +243,8 @@ object TextOps {
     * collisions in xxhash64 only ADD candidates; the verify join keeps
     * the result exact either way. */
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
-                         fpp: Double = 0.01): DataFrame = {
-    val overlaps = contaminationOverlapsBloom(docs, benchmark, n, fpp)
-    docs.select(col("doc_id")).join(overlaps, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
-  }
+                         fpp: Double = 0.01): DataFrame =
+    attachZeroOverlaps(docs, contaminationOverlapsBloom(docs, benchmark, n, fpp))
 
   /** The RESULT-scale core of [[decontaminateBloom]]: (doc_id, n_overlap)
     * for contaminated documents ONLY — the drop-set shape a pipeline
@@ -247,9 +253,8 @@ object TextOps {
   def contaminationOverlapsBloom(docs: DataFrame, benchmark: DataFrame,
                                  n: Int, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val benchNg = benchmark.select(
-      explode(array_distinct(wordNgrams(col("text"), n))).as("ng"))
-      .distinct().localCheckpoint()
+    val benchNg =
+      explodedNgrams(benchmark.select(col("text")), n).distinct().localCheckpoint()
     val expected = benchNg.count()
     // zero-key benchmark: nothing can be contaminated, and Spark's
     // bloom_filter_agg returns a null buffer over zero rows (its readFrom
@@ -267,8 +272,7 @@ object TextOps {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         GraftBridge.expression(lit(bfBytes)),
         GraftBridge.expression(xxhash64(col("ng")))))
-    val docNg = docs.select(col("doc_id"),
-      explode(array_distinct(wordNgrams(col("text"), n))).as("ng"))
+    val docNg = explodedNgrams(docs.select(col("doc_id"), col("text")), n)
       .filter(mightContain)
     // exact verify join: shuffle_merge-hinted so AQE cannot re-broadcast a
     // benchmark table this variant exists to keep OFF the driver — only

@@ -192,7 +192,9 @@ class PipelineMainSpec extends AnyFunSuite {
       new java.io.File(s"$dir/store/metrics").listFiles()
         .filter(_.getName.startsWith("run-lm1-")).head.toPath))
     assert(rec.contains("\"lm_filter\":true"))
-    assert(rec.contains("\"lm_filter\":") && rec.contains("\"stages\":{"))
+    assert(rec.matches("(?s).*\"stages\":\\{[^}]*\"lm_filter\":.*"), rec)
+    // a run without --decontaminate records the flag as false
+    assert(rec.contains("\"decontaminate\":false"), rec)
     // composes with --link: mentions only from surviving pages
     Seq(("alpha", "http://graft.dev/entity/alpha"),
         ("qqq", "http://graft.dev/entity/qqq"))
@@ -234,7 +236,8 @@ class PipelineMainSpec extends AnyFunSuite {
       new java.io.File(s"$dir/store/metrics").listFiles()
         .filter(_.getName.startsWith("run-dc1-")).head.toPath))
     assert(rec.contains("\"decontaminate\":true"))
-    assert(rec.contains("\"decontaminate\":"), rec)
+    // the stage carries its own wall-time entry in the stages map
+    assert(rec.matches("(?s).*\"stages\":\\{[^}]*\"decontaminate\":.*"), rec)
   }
 
   test("--domain-curation drops whole junk domains before extraction") {
@@ -393,7 +396,9 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(run("--pages", "p", "--out", "o", "--decontaminate", "b",
       "--decontaminate-ngram", "5.5").getMessage.contains("must be an integer"))
     assert(run("--pages", "p", "--out", "o", "--decontaminate", "b",
-      "--decontaminate-ngram", "0").getMessage.contains("must be >= 1"))
+      "--decontaminate-ngram", "0").getMessage.contains("must be in [1, 256]"))
+    assert(run("--pages", "p", "--out", "o", "--decontaminate", "b",
+      "--decontaminate-ngram", "257").getMessage.contains("must be in [1, 256]"))
     // --stream-once over an empty directory has nothing to drain: abort
     // with the reason instead of a bare schema-inference crash
     val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_watch")
