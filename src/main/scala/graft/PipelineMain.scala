@@ -11,8 +11,12 @@ import graft.pipeline.{Materialize, WebKg}
   * are the sandbox proxy for the same comparison).
   *
   * Stages (the north rule's composed pipeline): read the Common-Crawl-style
-  * page table (url, warc_ts, html, text, lang) -> keep the newest crawl per
-  * url (snapshot) -> OPTIONAL `--domain-curation` (drop WHOLE junk
+  * page table (url, warc_ts, html, text, lang) ->
+  * OPTIONAL `--normalize-urls` (URL canonicalization BEFORE the snapshot:
+  * case/default-port/fragment/tracking-param variants of one resource
+  * collapse to one snapshot key instead of surviving as distinct pages;
+  * narrow codegen pass, fuses into the snapshot scan) ->
+  * keep the newest crawl per url (snapshot) -> OPTIONAL `--domain-curation` (drop WHOLE junk
   * domains first — hosts whose pages are mostly mutual copies or
   * title-less stubs; domain-cardinality keep set, semi-join) ->
   * OPTIONAL `--near-dedup` (drop near-duplicate pages
@@ -69,7 +73,7 @@ object PipelineMain {
     "--decontaminate", "--decontaminate-ngram",
     "--compact-src", "--stream-pages")
   private val boolFlags = Set("--canonicalize", "--near-dedup",
-    "--domain-curation", "--stream-once")
+    "--domain-curation", "--normalize-urls", "--stream-once")
 
   /** STRICT parse: an unknown flag, a typo, a duplicated flag, a dangling
     * flag, or a flag-like token in value position must abort the job, never
@@ -122,7 +126,7 @@ object PipelineMain {
     val constructOnly = Seq("--link", "--link-mode", "--link-threshold",
       "--link-broadcast-max", "--canonicalize", "--near-dedup",
       "--domain-curation", "--lm-filter", "--lm-max-nll",
-      "--decontaminate", "--decontaminate-ngram")
+      "--decontaminate", "--decontaminate-ngram", "--normalize-urls")
     if (compactSrc.nonEmpty && constructOnly.exists(opts.contains))
       sys.error("--compact-src is a mode of its own: " +
         constructOnly.mkString("/") + " do not apply")
@@ -315,8 +319,19 @@ object PipelineMain {
         // through the snapshot aggregation's buffers (nested-field pruning
         // does not reach into the max_by struct; measured 2.6x on the
         // snapshot+extract stage — PipeProbe)
-        val snap0 = WebKg.latestSnapshot(
-          spark.read.parquet(pages).select("url", "warc_ts", "html", "lang"))
+        val pagesRead = spark.read.parquet(pages)
+          .select("url", "warc_ts", "html", "lang")
+        // OPTIONAL URL canonicalization BEFORE the snapshot key is formed:
+        // trivially-variant urls of one resource (case, default port,
+        // fragment, tracking params) become ONE re-crawl group, so the
+        // newest-crawl selection sees them as versions instead of passing
+        // each variant through as its own page. Narrow codegen regexp
+        // pass — fuses into the snapshot's scan, no own stage timing.
+        val pagesNorm =
+          if (opts.contains("--normalize-urls"))
+            pagesRead.withColumn("url", WebKg.normalizeUrl(col("url")))
+          else pagesRead
+        val snap0 = WebKg.latestSnapshot(pagesNorm)
         val nearDedup = opts.contains("--near-dedup")
         val domainCur = opts.contains("--domain-curation")
         val lmFilter = opts.contains("--lm-filter")
@@ -489,7 +504,7 @@ object PipelineMain {
       if (compactSrc.nonEmpty) "compact"
       else if (streamSrc.nonEmpty) "stream"
       else "construct"
-    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"domain_curation":${opts.contains("--domain-curation")}%b,"lm_filter":${opts.contains("--lm-filter")}%b,"decontaminate":${opts.contains("--decontaminate")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
+    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"domain_curation":${opts.contains("--domain-curation")}%b,"lm_filter":${opts.contains("--lm-filter")}%b,"decontaminate":${opts.contains("--decontaminate")}%b,"normalize_urls":${opts.contains("--normalize-urls")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
     println(metricsJson)
     // persist the run record next to the store: per-bucket counts live in
     // the lineage table; this is the RUN-level lineage (stage wall times,

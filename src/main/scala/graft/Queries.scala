@@ -1199,6 +1199,55 @@ object Queries {
     // re-crawl snapshot selection: two crawl generations (docs % 3 == 0
     // re-crawled a day later with updated content); latestSnapshot keeps
     // exactly the newest version of every url
+    // URL canonicalization for dedup keying: five deterministic variant
+    // families (identical re-crawl, uppercased scheme+host, explicit
+    // default port, fragment, tracking-only query) injected per doc_id%5
+    // over the canonical url; normalization must collapse every pair to
+    // one key. Oracle applies the byte-identical RE2 regex chain.
+    "kg_url_normalize" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val canonical = concat(lit("https://"), col("source"),
+          lit(".example.org/doc/"), col("doc_id"))
+        val variant = when(col("doc_id") % 5 === 0, canonical)
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("HTTPS://"), upper(col("source")),
+              lit(".EXAMPLE.ORG/doc/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("https://"), col("source"),
+              lit(".example.org:443/doc/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 3, concat(canonical, lit("#sec-2")))
+          .otherwise(concat(canonical, lit("?utm_campaign=x&gclid=g1")))
+        val raw = docs.select(canonical.as("url"))
+          .unionAll(docs.select(variant.as("url")))
+        raw.select(WebKg.normalizeUrl(col("url")).as("url_norm"), col("url"))
+          .groupBy("url_norm")
+          .agg(count(lit(1)).as("n_raw"),
+            countDistinct(col("url")).as("n_distinct_raw"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT 'https://'||source||'.example.org/doc/'||doc_id AS url FROM documents
+             |  UNION ALL
+             |  SELECT CASE doc_id % 5
+             |    WHEN 0 THEN 'https://'||source||'.example.org/doc/'||doc_id
+             |    WHEN 1 THEN 'HTTPS://'||upper(source)||'.EXAMPLE.ORG/doc/'||doc_id
+             |    WHEN 2 THEN 'https://'||source||'.example.org:443/doc/'||doc_id
+             |    WHEN 3 THEN 'https://'||source||'.example.org/doc/'||doc_id||'#sec-2'
+             |    ELSE 'https://'||source||'.example.org/doc/'||doc_id||'?utm_campaign=x&gclid=g1'
+             |  END FROM documents),
+             |nf AS (SELECT url, regexp_replace(url, '#.*', '') AS u0 FROM raw),
+             |lo AS (SELECT url,
+             |    lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+             |    regexp_replace(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u1 FROM nf),
+             |np AS (SELECT url, regexp_replace(regexp_replace(u1,
+             |    '^(http://[^/?:]*):80([/?]|$)', '\1\2'),
+             |    '^(https://[^/?:]*):443([/?]|$)', '\1\2') AS u2 FROM lo),
+             |nt AS (SELECT url, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u2,
+             |    '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '\1', 'g'),
+             |    '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', '') AS url_norm FROM np)
+             |SELECT url_norm, count(*) AS n_raw, count(DISTINCT url) AS n_distinct_raw
+             |FROM nt GROUP BY 1""".stripMargin)),
+
     "kg_latest_crawl" -> Q(
       (s, d) => {
         val docs = t(s, d, "documents")

@@ -192,6 +192,48 @@ object WebKg {
       .withColumn("o", when(oIsIri, norm(col("o"))).otherwise(col("o")))
   }
 
+  /** URL canonicalization for DEDUP KEYING — the normalization a web
+    * pipeline applies before snapshot/dedup so trivially-variant URLs of
+    * the same resource collapse to one key: a crawl sees
+    * `HTTP://Host/p#frag`, `http://host:80/p`, and `http://host/p?utm_x=1`
+    * as three different strings for one page, and a raw-url snapshot
+    * would keep all three. Steps (RFC 3986 §6.2 syntax-based
+    * normalization for case and default ports, plus the standard
+    * tracking-param strip):
+    *
+    *  1. drop the fragment (never sent to the server),
+    *  2. lowercase the scheme and authority (case-insensitive per RFC;
+    *     path/query case is preserved — it is significant),
+    *  3. drop the scheme's default port (:80 http, :443 https),
+    *  4. drop tracking query params (utm_*, gclid, fbclid) and collapse
+    *     the separator artifacts that leaves.
+    *
+    * Pure codegen regexp Columns — no shuffle, no UDF — and every pattern
+    * is RE2-compatible so the DuckDB oracle applies the byte-identical
+    * chain (`kg_url_normalize`). The param strip is the standard
+    * query-string heuristic, not a full parser: a literal `?utm_x=` inside
+    * a path segment would be treated as a query (not a shape real crawls
+    * produce). Percent-encoding normalization is the `--canonicalize`
+    * stage's job ([[canonicalizeFlat]]), deliberately not repeated here. */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    // lowercase scheme://authority, preserve the rest
+    val auth = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val lowered = concat(lower(auth), rest)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/?:]*):80([/?]|$)", "$1$2"),
+      "^(https://[^/?:]*):443([/?]|$)", "$1$2")
+    // strip tracking params, then collapse the [?&] runs the strip leaves
+    val noTrack = regexp_replace(noPort,
+      "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "$1")
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(noTrack, "&&+", "&"),
+        "\\?&", "?"),
+      "[?&]+$", "")
+  }
+
   /** RE-CRAWL snapshot selection: keep the NEWEST crawl of every url —
     * the first thing a pipeline over a continuously re-crawled web table
     * runs before extraction (the north star's 10% re-crawl duplicates).

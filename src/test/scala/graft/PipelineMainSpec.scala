@@ -210,6 +210,48 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(mentions == Set("http://graft.dev/entity/alpha"), mentions)
   }
 
+  test("--normalize-urls collapses url variants into one snapshot key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_nu").toString
+    // one resource crawled twice: canonical url, then a re-crawl through a
+    // tracking link with NEWER timestamp and updated content; plus an
+    // unrelated page
+    val mk = (url: String, ts: String, text: String) =>
+      (url, java.sql.Timestamp.valueOf(ts),
+        s"<html><head><title>T</title></head><body><p>$text</p></body></html>"
+          .getBytes("UTF-8"), "en")
+    Seq(
+      mk("https://a.example.org/doc/1", "2025-01-01 00:00:00", "old version"),
+      mk("https://a.example.org/doc/1?utm_source=feed", "2025-02-01 00:00:00", "new version"),
+      mk("https://b.example.org/doc/2", "2025-01-01 00:00:00", "other page"))
+      .toDF("url", "warc_ts", "html", "lang")
+      .write.mode("overwrite").parquet(s"$dir/pages")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
+      "--buckets", "4", "--batch-id", "nu1", "--normalize-urls"))
+    val store = spark.read.parquet(s"$dir/store/data")
+    val subjects = store.select("s").distinct().as[String].collect().toSet
+    // the variant collapsed into the canonical key — 2 pages, not 3
+    assert(subjects == Set("https://a.example.org/doc/1",
+      "https://b.example.org/doc/2"), subjects)
+    // and the NEWER crawl (through the tracking link) won the snapshot
+    val th = store
+      .filter(col("s") === "https://a.example.org/doc/1" &&
+        col("p") === WebKg.pTextHash)
+      .select("o").as[String].head()
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("new version".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(th == want, th)
+    // without the flag the variant survives as its own page
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store2",
+      "--buckets", "4", "--batch-id", "nu2"))
+    assert(spark.read.parquet(s"$dir/store2/data")
+      .select("s").distinct().count() == 3)
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/store/metrics").listFiles()
+        .filter(_.getName.startsWith("run-nu1-")).head.toPath))
+    assert(rec.contains("\"normalize_urls\":true"), rec)
+  }
+
   test("--decontaminate drops benchmark-overlapping pages before extraction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pm_dc2").toString

@@ -20,6 +20,31 @@ class WebKgSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("normalizeUrl: case/port/fragment/tracking normalization, conservative elsewhere") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host case-folded, path case preserved
+      "HTTPS://Host.Example.ORG/Doc/7" -> "https://host.example.org/Doc/7",
+      // default ports dropped, non-default kept
+      "http://h.org:80/p" -> "http://h.org/p",
+      "https://h.org:443/p?q=1" -> "https://h.org/p?q=1",
+      "http://h.org:8080/p" -> "http://h.org:8080/p",
+      "https://h.org:443" -> "https://h.org",
+      // fragment dropped
+      "https://h.org/p#sec-2" -> "https://h.org/p",
+      // tracking params stripped, kept params and their order preserved
+      "https://h.org/p?utm_campaign=x&gclid=g1" -> "https://h.org/p",
+      "https://h.org/p?id=7&utm_source=f&keep=1" -> "https://h.org/p?id=7&keep=1",
+      "https://h.org/p?keep=1&utm_a=1&utm_b=2" -> "https://h.org/p?keep=1",
+      // 'xgclid' is NOT a tracking param (prefix must follow ? or &)
+      "https://h.org/p?xgclid=1" -> "https://h.org/p?xgclid=1",
+      // non-URL strings pass through untouched
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("url")
+      .select(WebKg.normalizeUrl(col("url"))).as[String].collect()
+    for (((in, want), g) <- cases.zip(got)) assert(g == want, s"in=$in")
+  }
+
   test("extracted text is byte-identical per url (BASELINE invariant)") {
     val pages = WebKg.synthesizeWebPages(docs)
     val n = pages.select(
