@@ -1196,9 +1196,6 @@ object Queries {
              |UNION ALL SELECT 'http://graft.dev/vocab#nstat', count(*), 1
              |  FROM documents""".stripMargin)),
 
-    // re-crawl snapshot selection: two crawl generations (docs % 3 == 0
-    // re-crawled a day later with updated content); latestSnapshot keeps
-    // exactly the newest version of every url
     // URL canonicalization for dedup keying: five deterministic variant
     // families (identical re-crawl, uppercased scheme+host, explicit
     // default port, fragment, tracking-only query) injected per doc_id%5
@@ -1236,18 +1233,27 @@ object Queries {
              |    ELSE 'https://'||source||'.example.org/doc/'||doc_id||'?utm_campaign=x&gclid=g1'
              |  END FROM documents),
              |nf AS (SELECT url, regexp_replace(url, '#.*', '') AS u0 FROM raw),
-             |lo AS (SELECT url,
-             |    lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+             |lo AS (SELECT url, u0,
+             |    regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+             |    lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+             |    regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)', 1) ||
+             |    lower(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#@]*)', 1)) ||
              |    regexp_replace(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u1 FROM nf),
-             |np AS (SELECT url, regexp_replace(regexp_replace(u1,
-             |    '^(http://[^/?:]*):80([/?]|$)', '\1\2'),
-             |    '^(https://[^/?:]*):443([/?]|$)', '\1\2') AS u2 FROM lo),
-             |nt AS (SELECT url, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u2,
+             |np AS (SELECT url, scheme, regexp_replace(regexp_replace(u1,
+             |    '^(http://(?:[^/?#]*@)?[^/?#:]*):80([/?]|$)', '\1\2'),
+             |    '^(https://(?:[^/?#]*@)?[^/?#:]*):443([/?]|$)', '\1\2') AS u2 FROM lo),
+             |nt AS (SELECT url, scheme, regexp_replace(u2, '\?.*', '') ||
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_extract(u2, '(\?.*)', 1),
              |    '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '\1', 'g'),
-             |    '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', '') AS url_norm FROM np)
-             |SELECT url_norm, count(*) AS n_raw, count(DISTINCT url) AS n_distinct_raw
+             |    '&&+', '&', 'g'), '^\?&+', '?'), '[?&]+$', '') AS u3 FROM np)
+             |SELECT CASE WHEN scheme = '' THEN url ELSE u3 END AS url_norm,
+             |  count(*) AS n_raw, count(DISTINCT url) AS n_distinct_raw
              |FROM nt GROUP BY 1""".stripMargin)),
 
+    // re-crawl snapshot selection: two crawl generations (docs % 3 == 0
+    // re-crawled a day later with updated content); latestSnapshot keeps
+    // exactly the newest version of every url
     "kg_latest_crawl" -> Q(
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -1752,8 +1758,6 @@ object Queries {
       |  SELECT bmin, doc_id FROM stats WHERE bn > 64 AND doc_id <> bmin))
       |""".stripMargin
 
-  /** Embedding corpus with 10% injected duplicate rows (deterministic:
-    * vec_id % 10 == 0 re-appears as vec_id + 100000). */
   /** Shared DuckDB oracle for BOTH decontamination variants: the Bloom
     * variant's contract is byte-equality with the exact operator, so one
     * SQL string keeps the two oracle rows from drifting apart. */
@@ -1770,6 +1774,8 @@ object Queries {
       |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
       |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin
 
+  /** Embedding corpus with 10% injected duplicate rows (deterministic:
+    * vec_id % 10 == 0 re-appears as vec_id + 100000). */
   private[graft] def embDupCorpus(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"))
       .unionAll(e.filter(col("vec_id") % 10 === 0)

@@ -202,36 +202,50 @@ object WebKg {
     * tracking-param strip):
     *
     *  1. drop the fragment (never sent to the server),
-    *  2. lowercase the scheme and authority (case-insensitive per RFC;
-    *     path/query case is preserved — it is significant),
+    *  2. lowercase the scheme and HOST (the two case-insensitive
+    *     components per RFC 3986 §6.2.2.1; userinfo, path, and query case
+    *     is preserved — it is significant),
     *  3. drop the scheme's default port (:80 http, :443 https),
-    *  4. drop tracking query params (utm_*, gclid, fbclid) and collapse
-    *     the separator artifacts that leaves.
+    *  4. within the QUERY component only (first `?` onward — a literal
+    *     `&` in the path is a valid path character and is never touched):
+    *     drop tracking params (utm_*, gclid, fbclid) and collapse the
+    *     separator artifacts the strip leaves.
     *
     * Pure codegen regexp Columns — no shuffle, no UDF — and every pattern
-    * is RE2-compatible so the DuckDB oracle applies the byte-identical
-    * chain (`kg_url_normalize`). The param strip is the standard
-    * query-string heuristic, not a full parser: a literal `?utm_x=` inside
-    * a path segment would be treated as a query (not a shape real crawls
-    * produce). Percent-encoding normalization is the `--canonicalize`
-    * stage's job ([[canonicalizeFlat]]), deliberately not repeated here. */
+    * is RE2-compatible AND either anchored or a separator-run collapse, so
+    * Spark's always-global regexp_replace and the DuckDB oracle's
+    * per-pattern flags produce the byte-identical chain
+    * (`kg_url_normalize`). Strings without a `scheme://` prefix pass
+    * through untouched. Percent-encoding normalization is the
+    * `--canonicalize` stage's job ([[canonicalizeFlat]]), deliberately not
+    * repeated here. */
   def normalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
-    // lowercase scheme://authority, preserve the rest
-    val auth = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    // decompose: scheme :// [userinfo@] host[:port] rest — lowercase only
+    // scheme and host; userinfo keeps its case (RFC 3986 §3.2.1)
+    val scheme = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val userinfo = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)", 1)
+    val hostPort = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#@]*)", 1)
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    val lowered = concat(lower(auth), rest)
+    val lowered = concat(lower(scheme), lit("://"), userinfo,
+      lower(hostPort), rest)
     val noPort = regexp_replace(
-      regexp_replace(lowered, "^(http://[^/?:]*):80([/?]|$)", "$1$2"),
-      "^(https://[^/?:]*):443([/?]|$)", "$1$2")
-    // strip tracking params, then collapse the [?&] runs the strip leaves
-    val noTrack = regexp_replace(noPort,
+      regexp_replace(lowered,
+        "^(http://(?:[^/?#]*@)?[^/?#:]*):80([/?]|$)", "$1$2"),
+      "^(https://(?:[^/?#]*@)?[^/?#:]*):443([/?]|$)", "$1$2")
+    // query-scoped tracking strip: split at the FIRST '?' (the query
+    // delimiter — the path cannot contain '?'), clean only the query
+    val base = regexp_replace(noPort, "\\?.*", "")
+    val q0 = regexp_extract(noPort, "(\\?.*)", 1)
+    val q1 = regexp_replace(q0,
       "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "$1")
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(noTrack, "&&+", "&"),
-        "\\?&", "?"),
-      "[?&]+$", "")
+    val q2 = regexp_replace(q1, "&&+", "&")   // separator runs mid-query
+    val q3 = regexp_replace(q2, "^\\?&+", "?") // leading strip artifact
+    val q4 = regexp_replace(q3, "[?&]+$", "")  // trailing separators
+    // no scheme:// prefix -> not a URL -> fully untouched (not even the
+    // fragment strip applies)
+    when(scheme === "", u).otherwise(concat(base, q4))
   }
 
   /** RE-CRAWL snapshot selection: keep the NEWEST crawl of every url —

@@ -38,8 +38,17 @@ class WebKgSpec extends AnyFunSuite {
       "https://h.org/p?keep=1&utm_a=1&utm_b=2" -> "https://h.org/p?keep=1",
       // 'xgclid' is NOT a tracking param (prefix must follow ? or &)
       "https://h.org/p?xgclid=1" -> "https://h.org/p?xgclid=1",
-      // non-URL strings pass through untouched
-      "not a url" -> "not a url")
+      // literal '&' in the PATH is a valid path char — never touched
+      // (the tracking strip and separator cleanup are query-scoped)
+      "https://h.org/a&utm_source=x/p" -> "https://h.org/a&utm_source=x/p",
+      "https://h.org/x&&y" -> "https://h.org/x&&y",
+      // userinfo is case-SENSITIVE (RFC 3986 §3.2.1): preserved while the
+      // host still folds, and the default port still strips behind it
+      "https://TokenA@H.org/p" -> "https://TokenA@h.org/p",
+      "https://U:Pw@h.org:443/p" -> "https://U:Pw@h.org/p",
+      // non-URL strings pass through fully untouched (even # and ?)
+      "not a url" -> "not a url",
+      "no scheme?utm_a=1&&x#f" -> "no scheme?utm_a=1&&x#f")
     val got = cases.map(_._1).toDF("url")
       .select(WebKg.normalizeUrl(col("url"))).as[String].collect()
     for (((in, want), g) <- cases.zip(got)) assert(g == want, s"in=$in")
