@@ -220,6 +220,18 @@ object WebKg {
     * `--canonicalize` stage's job ([[canonicalizeFlat]]), deliberately not
     * repeated here. */
   def normalizeUrl(u: Column): Column = {
+    // FAST PATH: a url already in canonical shape (lowercase http(s)
+    // scheme+host, no userinfo/port/query/fragment) is a fixed point of
+    // the whole chain — one rlike instead of twelve regex ops. On a
+    // mostly-canonical crawl this is nearly every row (measured on the
+    // all-canonical 2.8M-page table: the unguarded chain cost +5.9 s
+    // (~2.1 µs/url) end-to-end; guarded, the stage is below measurement
+    // noise — BENCH.md).
+    val canonicalShape = u.rlike("^https?://[a-z0-9.-]+(/[^?#]*)?$")
+    when(canonicalShape, u).otherwise(normalizeUrlFull(u))
+  }
+
+  private[pipeline] def normalizeUrlFull(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
     // decompose: scheme :// [userinfo@] host[:port] rest — lowercase only
     // scheme and host; userinfo keeps its case (RFC 3986 §3.2.1)

@@ -52,6 +52,13 @@ class WebKgSpec extends AnyFunSuite {
     val got = cases.map(_._1).toDF("url")
       .select(WebKg.normalizeUrl(col("url"))).as[String].collect()
     for (((in, want), g) <- cases.zip(got)) assert(g == want, s"in=$in")
+    // the fast-path guard is a pure performance branch: urls matching the
+    // canonical shape must be FIXED POINTS of the full chain, so the
+    // guarded and unguarded paths agree everywhere
+    val full = cases.map(_._1).toDF("url")
+      .select(WebKg.normalizeUrlFull(col("url"))).as[String].collect()
+    for (((in, _), (g, f)) <- cases.zip(got.zip(full)))
+      assert(g == f, s"guard/full divergence for in=$in")
   }
 
   test("extracted text is byte-identical per url (BASELINE invariant)") {
