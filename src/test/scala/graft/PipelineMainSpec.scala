@@ -282,6 +282,41 @@ class PipelineMainSpec extends AnyFunSuite {
     assert(rec.matches("(?s).*\"stages\":\\{[^}]*\"decontaminate\":.*"), rec)
   }
 
+  test("--lm-filter + --decontaminate + --link compose: mentions only from survivors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_gates").toString
+    Seq.fill(4)("alpha beta gamma").toDF("text")
+      .write.mode("overwrite").parquet(s"$dir/ref")
+    Seq("secret bench passage here").toDF("text")
+      .write.mode("overwrite").parquet(s"$dir/bench")
+    val docs = Seq(
+      // survives both gates -> its surface links
+      (0L, "alpha beta gamma alpha", "en", "src0", 22L),
+      // in-LM but contains the benchmark 3-gram -> dropped by decontaminate
+      (1L, "alpha secret bench passage beta", "en", "src1", 31L),
+      // all-OOV -> dropped by the LM gate; its surface must never link
+      (2L, "qqq zzz www linkme vvv", "de", "src0", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    WebKg.synthesizeWebPages(docs).write.mode("overwrite").parquet(s"$dir/pages")
+    Seq(("alpha", "http://graft.dev/entity/alpha"),
+        ("secret", "http://graft.dev/entity/secret"),
+        ("linkme", "http://graft.dev/entity/linkme"))
+      .toDF("surface", "entity").write.mode("overwrite").parquet(s"$dir/dict")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/store",
+      "--buckets", "4", "--batch-id", "g1",
+      "--lm-filter", s"$dir/ref", "--lm-max-nll", "2.0",
+      "--decontaminate", s"$dir/bench", "--decontaminate-ngram", "3",
+      "--link", s"$dir/dict", "--link-mode", "exact"))
+    val store = spark.read.parquet(s"$dir/store/data")
+    val typed = store.filter(col("p") === WebKg.pType)
+      .select("s").as[String].collect().toSet
+    assert(typed == Set("https://src0.example.org/doc/0"), typed)
+    // only the surviving page's surface produced a mention triple
+    val mentions = store.filter(col("p") === WebKg.pMentions)
+      .select("o").as[String].collect().toSet
+    assert(mentions == Set("http://graft.dev/entity/alpha"), mentions)
+  }
+
   test("--domain-curation drops whole junk domains before extraction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pm_dc").toString
