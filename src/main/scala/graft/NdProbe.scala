@@ -36,7 +36,7 @@ object NdProbe {
         .select(col("d1").as("a"), col("d2").as("b"))).count()
     }
     time("full-stage(drop+antijoin)") {
-      val drop = Dedup.nearDupDropIds(pd).localCheckpoint()
+      val drop = Dedup.nearDupDropIds(pd) // eager (checkpointed inside)
       snap.join(drop, xxhash64(snap("url")) === drop("doc_id"), "left_anti")
         .count()
     }

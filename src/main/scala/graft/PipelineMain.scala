@@ -376,9 +376,9 @@ object PipelineMain {
           // re-crawls of ONE url) waste every downstream stage, so drop
           // all but each near-dup cluster's representative here. The drop
           // set is RESULT-scale (one id per dropped page — Dedup
-          // .nearDupDropIds), localCheckpoint'ed inside the stage timing
-          // (the clustering rounds run eagerly), then anti-joined against
-          // the snapshot — AQE broadcasts it when the dup fraction is
+          // .nearDupDropIds, eager: checkpointed inside with the
+          // clustering's vertex-scale storage released), anti-joined
+          // against the snapshot — AQE broadcasts it when the dup fraction is
           // small. Page identity is xxhash64(url) (seeded, deterministic
           // across runs/engines); a 64-bit collision merges two unrelated
           // pages into one cluster and drops one — ~n^2/2^65 odds, accepted
@@ -392,7 +392,7 @@ object PipelineMain {
           val pagesIn = if (nearDedup) timed("near_dedup") {
             val pd = pagesDom.select(xxhash64(col("url")).as("doc_id"),
               lit("web").as("source"), WebKg.extractedText.as("text"))
-            val drop = graft.ops.Dedup.nearDupDropIds(pd).localCheckpoint()
+            val drop = graft.ops.Dedup.nearDupDropIds(pd)
             pagesDom.join(drop,
               xxhash64(pagesDom("url")) === drop("doc_id"), "left_anti")
           } else pagesDom
@@ -433,10 +433,14 @@ object PipelineMain {
           val pagesDecon = opts.get("--decontaminate").fold(pagesLm) { benchPath =>
             timed("decontaminate") {
               val bench = spark.read.parquet(benchPath).select("text")
-              val drop = graft.ops.TextOps.contaminationOverlapsBloom(
+              val (overlaps, releaseBench) =
+                graft.ops.TextOps.contaminationOverlapsBloomReleasable(
                   pagesLm.select(xxhash64(col("url")).as("doc_id"),
                     WebKg.extractedText.as("text")), bench, decontamN)
-                .select("doc_id").localCheckpoint()
+              val drop = overlaps.select("doc_id").localCheckpoint()
+              // the drop set is materialized (localCheckpoint is eager) —
+              // the benchmark n-gram checkpoint behind it is dead now
+              releaseBench()
               pagesLm.join(drop,
                 xxhash64(pagesLm("url")) === drop("doc_id"), "left_anti")
             }

@@ -258,15 +258,28 @@ object Dedup {
     * never per corpus row — so the caller anti-joins it against the corpus
     * and AQE broadcasts it whenever the duplicate fraction is small (the
     * common case), where the full cluster frame would force a corpus-wide
-    * join. Output: (doc_id). */
+    * join. EAGER (localCheckpoint'ed): the clustering rounds have already
+    * run by the time this returns, and the vertex-scale component storage
+    * is released — only the drop set's own blocks outlive the call.
+    * Output: (doc_id). */
   def nearDupDropIds(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     requireLongDocIds(docs)
     val pairs = ngramJaccardPairs(docs, threshold)
     val comp = GraphAlgos.connectedComponents(
       pairs.select(col("d1").as("a"), col("d2").as("b")))
     GraphAlgos.releaseLocalCheckpoint(pairs) // see nearDupClusters
-    comp.filter(col("id") =!= col("component"))
+    // eager result-scale checkpoint, then release the VERTEX-scale
+    // component checkpoint behind it: unlike nearDupClusters (whose
+    // corpus-scale result keeps the component frame as its storage), the
+    // drop set is strictly smaller than the component frame, so holding
+    // the components through the rest of a deployment job (extract +
+    // materialize run AFTER the near-dedup stage) would retain dead
+    // vertex-scale blocks for the job's whole lifetime
+    val drop = comp.filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
+      .localCheckpoint()
+    GraphAlgos.releaseLocalCheckpoint(comp)
+    drop
   }
 
   private val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")

@@ -249,18 +249,41 @@ object TextOps {
   /** The RESULT-scale core of [[decontaminateBloom]]: (doc_id, n_overlap)
     * for contaminated documents ONLY — the drop-set shape a pipeline
     * anti-joins against, with no corpus-wide left join to attach the
-    * zero rows [[decontaminateBloom]]'s full per-document contract needs. */
+    * zero rows [[decontaminateBloom]]'s full per-document contract needs.
+    *
+    * Cache note: the benchmark n-gram set is materialized
+    * (localCheckpoint) and its blocks back the returned LAZY frame, so
+    * this convenience signature cannot release them — they live until the
+    * session sweeps persisted RDDs. Benchmark sets are
+    * benchmark-metadata-scale so one leak is small, but a long-lived
+    * session decontaminating repeatedly should use
+    * [[contaminationOverlapsBloomReleasable]] and call the handle once
+    * everything derived from the result has materialized. */
   def contaminationOverlapsBloom(docs: DataFrame, benchmark: DataFrame,
-                                 n: Int, fpp: Double = 0.01): DataFrame = {
+                                 n: Int, fpp: Double = 0.01): DataFrame =
+    contaminationOverlapsBloomReleasable(docs, benchmark, n, fpp)._1
+
+  /** [[contaminationOverlapsBloom]] with an explicit release handle for
+    * the benchmark n-gram checkpoint backing the returned frame — the
+    * [[graft.pipeline.WebKg.fuzzyScoredTiers]] contract: call it ONLY
+    * after every frame derived from the result has materialized.
+    * Idempotent. */
+  def contaminationOverlapsBloomReleasable(docs: DataFrame, benchmark: DataFrame,
+                                           n: Int, fpp: Double = 0.01)
+  : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.GraftBridge
     val benchNg =
       explodedNgrams(benchmark.select(col("text")), n).distinct().localCheckpoint()
     val expected = benchNg.count()
     // zero-key benchmark: nothing can be contaminated, and Spark's
     // bloom_filter_agg returns a null buffer over zero rows (its readFrom
-    // would NPE) — short-circuit to the empty overlap set
-    if (expected == 0L)
-      return docs.select(col("doc_id"), lit(0L).as("n_overlap")).limit(0)
+    // would NPE) — short-circuit to the empty overlap set; nothing derives
+    // from the (empty) checkpoint, so its blocks release right here
+    if (expected == 0L) {
+      GraphAlgos.releaseLocalCheckpoint(benchNg)
+      return (docs.select(col("doc_id"), lit(0L).as("n_overlap")).limit(0),
+        () => ())
+    }
     val bf = benchNg.select(xxhash64(col("ng")).as("k"))
       .stat.bloomFilter("k", expected, fpp)
     val bfBytes = {
@@ -277,8 +300,9 @@ object TextOps {
     // exact verify join: shuffle_merge-hinted so AQE cannot re-broadcast a
     // benchmark table this variant exists to keep OFF the driver — only
     // Bloom-surviving candidate n-grams reach the exchange
-    docNg.join(benchNg.hint("shuffle_merge"), "ng")
+    val overlaps = docNg.join(benchNg.hint("shuffle_merge"), "ng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    (overlaps, () => GraphAlgos.releaseLocalCheckpoint(benchNg))
   }
 
   /** Vocabulary building: global top-k tokens with total occurrence count
@@ -414,7 +438,11 @@ object TextOps {
     * (doc_id, long, long) — the documents' text never re-shuffles. The two
     * scalars (T, V) are a metadata-scale driver aggregate over the
     * reference counts. Output: (doc_id, n_tokens, nll_per_token, keep)
-    * with keep = nll_per_token <= maxNll.
+    * with keep = nll_per_token <= maxNll. A document with ZERO tokens has
+    * no per-token NLL and is ABSENT from the output (its explode emits no
+    * rows) — a filtering caller that anti-joins the `!keep` rows therefore
+    * KEEPS it, the conservative default for a gate that scores text
+    * likeness (an empty text is a length-gate problem, not an LM one).
     */
   def lmScore(docs: DataFrame, reference: DataFrame,
               maxNll: Double = 9.0): DataFrame = {
