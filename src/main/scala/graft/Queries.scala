@@ -562,6 +562,60 @@ object Queries {
              |SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
              |  count(*) AS n_kept FROM k GROUP BY 1""".stripMargin)),
 
+    // C4-style per-line RULE filter (terminal punctuation + min words +
+    // boilerplate markers) — the heuristic cleaner C4 runs BEFORE
+    // corpus-wide line dedup. Injected lines exercise every rule: a real
+    // sentence (kept), a 1-word menu line (dropped: words+punct), a
+    // javascript notice on doc_id%3 (dropped: marker), lorem ipsum on
+    // doc_id%5 (dropped: marker), and doc_id%11 docs made of ONLY bad
+    // lines (keep=false with empty text, not dropped from the output).
+    // Pure per-document projection — no shuffle; the oracle mirrors the
+    // rule set over the identical injected corpus (its array_to_string
+    // over an EMPTY kept list is NULL in DuckDB where Spark's concat_ws
+    // is '' — coalesced to align; and no `--` comments in oracle SQL:
+    // oracleSql flattens newlines, which would turn the rest of the
+    // statement into the comment).
+    "text_c4_filter" -> Q(
+      (s, d) => {
+        val injected = when(col("doc_id") % 11 === 0,
+          lit("menu\n{ cookie banner }\nshort"))
+          .otherwise(concat_ws("\n",
+            concat(col("text"), lit(".")),
+            lit("menu"),
+            when(col("doc_id") % 3 === 0,
+              lit("Enable javascript to view this page."))
+              .otherwise(lit("A perfectly ordinary sentence with many words.")),
+            when(col("doc_id") % 5 === 0, lit("Lorem Ipsum dolor sit amet."))
+              .otherwise(lit("Another ordinary line of real content here."))))
+        TextOps.c4LineFilter(
+          t(s, d, "documents").select(col("doc_id"), injected.as("text")))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0
+             |      THEN 'menu' || chr(10) || '{ cookie banner }' || chr(10) || 'short'
+             |      ELSE text || '.' || chr(10) || 'menu' || chr(10) ||
+             |        (CASE WHEN doc_id % 3 = 0 THEN 'Enable javascript to view this page.'
+             |              ELSE 'A perfectly ordinary sentence with many words.' END)
+             |        || chr(10) ||
+             |        (CASE WHEN doc_id % 5 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+             |              ELSE 'Another ordinary line of real content here.' END)
+             |    END AS text FROM documents),
+             |s AS (SELECT doc_id,
+             |    list_filter(string_split(text, chr(10)), l ->
+             |      regexp_matches(l, '[.!?"]$')
+             |      AND len(string_split_regex(l, '\s+')) >= 3
+             |      AND NOT contains(lower(l), 'lorem ipsum')
+             |      AND NOT contains(lower(l), 'javascript')
+             |      AND NOT contains(l, '{')) AS kept,
+             |    len(string_split(text, chr(10))) AS n_lines
+             |  FROM d)
+             |SELECT doc_id,
+             |  coalesce(array_to_string(kept, chr(10)), '') AS text,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  CAST(n_lines - len(kept) AS BIGINT) AS n_dropped,
+             |  len(kept) >= 1 AS keep
+             |FROM s""".stripMargin)),
+
     // SUBSTRING-level duplicated-content stats (block-hash variant of
     // suffix-array substring dedup): every 7th doc gains a shared PREFIX
     // passage — a prefix, not a suffix, because block boundaries are

@@ -500,4 +500,49 @@ object TextOps {
             x => x("line"))).as("text"),
         count(lit(1)).as("n_kept"))
   }
+
+  /** C4-style per-line RULE filter — the heuristic line cleaner the C4
+    * pipeline (Raffel et al. 2020, §2.2 "Colossal Clean Crawled Corpus")
+    * runs before any corpus-wide stage: a line survives only if it
+    *
+    *  1. ends in terminal punctuation (`.` `!` `?` or a closing quote),
+    *  2. has at least `minWordsPerLine` whitespace words, and
+    *  3. carries no boilerplate/code marker (the C4 rules: a `{`, the
+    *     phrase "lorem ipsum", or the word "javascript", case-insensitive
+    *     for the phrases).
+    *
+    * Unlike [[lineDedup]] (corpus-wide first-occurrence state) this is a
+    * pure PER-DOCUMENT projection: one codegen'd pass, no explode, no
+    * shuffle, trivially scale-free — the two compose as C4 does (rule
+    * filter first, then corpus-level dedup over the surviving lines).
+    *
+    * Output: (doc_id, text = kept lines re-joined in order, n_kept,
+    * n_dropped, keep = n_kept >= minKeptLines); a document whose every
+    * line fails the rules keeps an empty text and keep=false rather than
+    * disappearing, so callers can audit the drop set.
+    *
+    * Evaluation shape: the line array is split ONCE and bound through a
+    * single-element `transform` wrapper (HOFs are CodegenFallback with no
+    * subexpression elimination — the memory-documented N× pitfall); the
+    * `filter` lambda references only its own lambda variable, so each
+    * line is tested exactly once. */
+  def c4LineFilter(docs: DataFrame, minWordsPerLine: Int = 3,
+                   minKeptLines: Int = 1): DataFrame = {
+    def keepLine(l: Column): Column =
+      l.rlike("[.!?\"]$") &&
+        size(split(l, "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("lorem ipsum") &&
+        !lower(l).contains("javascript") &&
+        !l.contains("{")
+    val stats = transform(array(split(col("text"), "\n")), ls =>
+      struct(filter(ls, keepLine _).as("kept"), size(ls).as("n_lines")))
+    val s = col("__s")
+    docs.select(col("doc_id"), element_at(stats, 1).as("__s"))
+      .select(col("doc_id"),
+        concat_ws("\n", s.getField("kept")).as("text"),
+        size(s.getField("kept")).cast("long").as("n_kept"),
+        (s.getField("n_lines") - size(s.getField("kept")))
+          .cast("long").as("n_dropped"))
+      .withColumn("keep", col("n_kept") >= minKeptLines)
+  }
 }

@@ -245,4 +245,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("c4LineFilter: terminal punct, min words, markers; shuffle-free plan") {
+    import spark.implicits._
+    val in = Seq(
+      // every rule in one doc: sentence kept; menu (1 word) dropped;
+      // javascript marker dropped; brace dropped; question kept
+      (1L, "A real sentence with words.\nmenu\n" +
+        "Enable javascript to view.\nvar x = { a: 1 };\nIs this kept? Yes?"),
+      // all-bad doc: survives as an auditable keep=false row, empty text
+      (2L, "short\n{ banner }"),
+      // lorem ipsum is case-insensitive; closing-quote punctuation counts
+      (3L, "Lorem IPSUM dolor sit amet.\nHe said \"this stays.\"")
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4LineFilter(in).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("text") ==
+      "A real sentence with words.\nIs this kept? Yes?")
+    assert(out(1L).getAs[Long]("n_kept") == 2 &&
+      out(1L).getAs[Long]("n_dropped") == 3)
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[String]("text") == "" &&
+      out(2L).getAs[Long]("n_kept") == 0 && !out(2L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[String]("text") == "He said \"this stays.\"")
+    // per-document projection: no exchange anywhere in the plan
+    val plan = TextOps.c4LineFilter(in).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
 }
