@@ -104,11 +104,23 @@ class GraphAlgosSpec extends AnyFunSuite {
     val clusters = res.select("cluster").distinct().count()
     assert(kept == clusters)
     assert(clusters == 24, s"4 groups + 20 singletons, got $clusters")
-    // nearDupDropIds is exactly the complement of the keepers
-    val dropped = Dedup.nearDupDropIds(docs).collect().map(_.getLong(0)).toSet
-    assert(dropped == res.filter(col("keep") === 0)
-      .collect().map(_.getLong(0)).toSet)
+    // nearDupDropIds is exactly the complement of the keepers — and EAGER:
+    // after it returns, the only persisted storage left in the session is
+    // the returned drop set's own checkpoint (the pair and component
+    // checkpoints behind it were released inside the call). Collect the
+    // expectation BEFORE the census sweep: `res` is itself backed by a
+    // checkpoint the sweep destroys.
+    val expectDropped = res.filter(col("keep") === 0)
+      .collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val drop = Dedup.nearDupDropIds(docs)
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).toSeq.toString)
+    val dropped = drop.collect().map(_.getLong(0)).toSet
+    assert(dropped == expectDropped)
     assert(dropped.size == 16) // 4 per group
+    GraphAlgos.releaseLocalCheckpoint(drop)
   }
 
   test("over-cap LSH buckets emit star pairs: dense clusters still dedup") {

@@ -145,6 +145,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), plan)
   }
 
+  test("contaminationOverlapsBloomReleasable frees the benchmark checkpoint") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, s"alpha w$i beta w${i % 7} gamma token${i % 5} delta")
+    }.toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") % 9 === 0)
+    val (ov, release) =
+      TextOps.contaminationOverlapsBloomReleasable(corpus, bench, 3)
+    // the benchmark n-gram checkpoint is live while the lazy result needs it
+    assert(sc.getPersistentRDDs.nonEmpty)
+    val drop = ov.localCheckpoint()
+    assert(drop.count() > 0)
+    val before = sc.getPersistentRDDs.size
+    release()
+    // the handle released exactly the benchmark block; the caller's own
+    // drop-set checkpoint survives and stays readable
+    assert(sc.getPersistentRDDs.size == before - 1,
+      s"census $before -> ${sc.getPersistentRDDs.size}")
+    assert(drop.count() > 0)
+    graft.ops.GraphAlgos.releaseLocalCheckpoint(drop)
+  }
+
   test("predLang ties break by preference order") {
     import spark.implicits._
     val df = Seq("nothing matches here").toDF("text")
