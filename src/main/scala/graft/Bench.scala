@@ -23,8 +23,8 @@ object Bench {
     "text_line_dedup", "text_substring_dedup", "text_lm_score",
     "sample_temperature",
     "embed_cosine_topk", "rdf_bgp", "kg_extract",
-    "kg_dedup", "kg_latest_crawl", "kg_domain_stats", "graph_pagerank",
-    "dedup_clusters", "sample_stratified")
+    "kg_dedup", "kg_dict_encode", "kg_latest_crawl", "kg_domain_stats",
+    "graph_pagerank", "dedup_clusters", "sample_stratified")
 
   private def session(cores: Int): SparkSession =
     BenchSession.local(cores, s"graft-bench-$cores",

@@ -36,7 +36,10 @@ import graft.pipeline.{Materialize, WebKg}
   * linking against a (surface, entity) dictionary, distribution
   * auto-selected: broadcast for vocabulary-scale dictionaries, shuffled
   * big-dict plan above `--link-broadcast-max` surfaces) -> set-semantic
-  * dedup -> materialize the bucketed store with per-bucket lineage.
+  * dedup -> materialize the bucketed store with per-bucket lineage
+  * (OPTIONAL `--dict-encode`: term-dictionary-encoded layout — 3 x 16-byte
+  * content-hash ids per triple at rest and through the write shuffle, term
+  * strings once in <out>/dict; see [[graft.pipeline.Dict]]).
   * RESUMABLE: a re-run with the same --out after a mid-write failure skips
   * buckets the lineage table already records (Materialize.materialize's
   * anti-join), so the job continues instead of restarting.
@@ -73,7 +76,7 @@ object PipelineMain {
     "--decontaminate", "--decontaminate-ngram",
     "--compact-src", "--stream-pages")
   private val boolFlags = Set("--canonicalize", "--near-dedup",
-    "--domain-curation", "--normalize-urls", "--stream-once")
+    "--domain-curation", "--normalize-urls", "--stream-once", "--dict-encode")
 
   /** STRICT parse: an unknown flag, a typo, a duplicated flag, a dangling
     * flag, or a flag-like token in value position must abort the job, never
@@ -126,7 +129,8 @@ object PipelineMain {
     val constructOnly = Seq("--link", "--link-mode", "--link-threshold",
       "--link-broadcast-max", "--canonicalize", "--near-dedup",
       "--domain-curation", "--lm-filter", "--lm-max-nll",
-      "--decontaminate", "--decontaminate-ngram", "--normalize-urls")
+      "--decontaminate", "--decontaminate-ngram", "--normalize-urls",
+      "--dict-encode")
     if (compactSrc.nonEmpty && constructOnly.exists(opts.contains))
       sys.error("--compact-src is a mode of its own: " +
         constructOnly.mkString("/") + " do not apply")
@@ -491,8 +495,17 @@ object PipelineMain {
             case None => extracted
           }
           val triples = WebKg.dedupTriples(withMentions)
+          // OPTIONAL `--dict-encode`: materialize the TERM-DICTIONARY-
+          // ENCODED store layout (pipeline.Dict) — triples at rest and
+          // through the write shuffle as 3 x 16-byte content-hash ids, term
+          // strings once in <out>/dict. Same subject bucket function and
+          // lineage/resume contract as the plain layout; lookups via
+          // Dict.lookupSubjectEncoded.
           timed("materialize") {
-            Materialize.materialize(triples, out, buckets, batchId)
+            if (opts.contains("--dict-encode"))
+              graft.pipeline.Dict.materializeEncoded(triples, out, buckets, batchId)
+            else
+              Materialize.materialize(triples, out, buckets, batchId)
           }
         } finally if (extraConsumers) snap.unpersist()
     }
@@ -508,7 +521,7 @@ object PipelineMain {
       if (compactSrc.nonEmpty) "compact"
       else if (streamSrc.nonEmpty) "stream"
       else "construct"
-    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"domain_curation":${opts.contains("--domain-curation")}%b,"lm_filter":${opts.contains("--lm-filter")}%b,"decontaminate":${opts.contains("--decontaminate")}%b,"normalize_urls":${opts.contains("--normalize-urls")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
+    val metricsJson = f"""{"mode":"$mode%s","input":"${jsonStr(src)}%s","out":"${jsonStr(out)}%s","batch_id":"${jsonStr(batchId)}%s","canonicalize":${opts.contains("--canonicalize")}%b,"linked":${opts.contains("--link")}%b,"near_dedup":${opts.contains("--near-dedup")}%b,"domain_curation":${opts.contains("--domain-curation")}%b,"lm_filter":${opts.contains("--lm-filter")}%b,"decontaminate":${opts.contains("--decontaminate")}%b,"normalize_urls":${opts.contains("--normalize-urls")}%b,"dict_encode":${opts.contains("--dict-encode")}%b,"buckets_written":$written%d,"triples":$total%d,"sec":$sec%.3f,"stages":$stagesJson%s,"triples_per_sec":${if (sec > 0) (total / sec).toLong else 0L}%d}"""
     println(metricsJson)
     // persist the run record next to the store: per-bucket counts live in
     // the lineage table; this is the RUN-level lineage (stage wall times,

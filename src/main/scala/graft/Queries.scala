@@ -1462,6 +1462,64 @@ object Queries {
           |SELECT p, count(*) AS n, count(DISTINCT s) AS n_subjects
           |FROM (SELECT DISTINCT s, p, o FROM tr) GROUP BY 1""".stripMargin)),
 
+    // term-dictionary encoding (pipeline.Dict): per-predicate stats
+    // computed entirely in ID SPACE and joined back through the dictionary
+    // for display — proves the content-hash id derivation (md5 -> 16-byte
+    // binary), the shuffle-free encode projection, and the dictionary join
+    // cross-engine (DuckDB recomputes the identical ids from the terms)
+    "kg_dict_encode" -> Q(
+      (s, d) => {
+        val flat = WebKg.extractFlat(WebKg.synthesizeWebPages(t(s, d, "documents")))
+        val enc = graft.pipeline.Dict.encodeFlat(flat)
+        enc.groupBy("p_id")
+          .agg(count(lit(1)).as("n"), countDistinct(col("s_id")).as("n_subjects"))
+          .join(graft.pipeline.Dict.termDictionary(flat), col("p_id") === col("id"))
+          .select(col("term").as("p"), lower(hex(col("p_id"))).as("p_id_hex"),
+            col("n"), col("n_subjects"))
+      },
+      Some(kgPagesSql +
+        """, tr AS (
+          |SELECT url AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+          |  'http://graft.dev/vocab#WebPage' AS o FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#title', 'Doc '||doc_id
+          |  FROM pages WHERE doc_id % 10 <> 9
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#lang', lang FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#links',
+          |  'https://'||source||'.example.org/doc/'||((doc_id*7+1)%100000) FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#created',
+          |  strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#textSha', md5(text) FROM pages)
+          |SELECT p, md5(p) AS p_id_hex, count(*) AS n,
+          |  count(DISTINCT md5(s)) AS n_subjects FROM tr GROUP BY 1,2""".stripMargin)),
+
+    // encode -> dictionary-join decode round trip: the decoded corpus is
+    // byte-identical to the source triples (grouped projection so the
+    // oracle stays aggregate-scale)
+    "kg_dict_roundtrip" -> Q(
+      (s, d) => {
+        val flat = WebKg.extractFlat(WebKg.synthesizeWebPages(t(s, d, "documents")))
+        graft.pipeline.Dict
+          .decodeFlat(graft.pipeline.Dict.encodeFlat(flat),
+            graft.pipeline.Dict.termDictionary(flat))
+          .groupBy("p").agg(count(lit(1)).as("n"),
+            countDistinct(col("s")).as("n_subjects"),
+            countDistinct(col("o")).as("n_objects"))
+      },
+      Some(kgPagesSql +
+        """, tr AS (
+          |SELECT url AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+          |  'http://graft.dev/vocab#WebPage' AS o FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#title', 'Doc '||doc_id
+          |  FROM pages WHERE doc_id % 10 <> 9
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#lang', lang FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#links',
+          |  'https://'||source||'.example.org/doc/'||((doc_id*7+1)%100000) FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#created',
+          |  strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') FROM pages
+          |UNION ALL SELECT url, 'http://graft.dev/vocab#textSha', md5(text) FROM pages)
+          |SELECT p, count(*) AS n, count(DISTINCT s) AS n_subjects,
+          |  count(DISTINCT o) AS n_objects FROM tr GROUP BY 1""".stripMargin)),
+
     // per-url byte-identity of extracted text (the BASELINE.json invariant)
     "kg_text_identity" -> Q(
       (s, d) => {

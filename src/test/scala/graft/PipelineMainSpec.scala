@@ -359,6 +359,41 @@ class PipelineMainSpec extends AnyFunSuite {
       .filter(col("p") === WebKg.pType).count() == 6)
   }
 
+  test("--dict-encode materializes the term-dictionary-encoded store layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pm_dict").toString
+    WebKg.synthesizeWebPages(docsDf).write.mode("overwrite").parquet(s"$dir/pages")
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/enc",
+      "--buckets", "4", "--batch-id", "d1", "--dict-encode"))
+    PipelineMain.main(Array("--pages", s"$dir/pages", "--out", s"$dir/plain",
+      "--buckets", "4", "--batch-id", "d1"))
+    // data at rest is fixed-width ids only; the strings live in /dict
+    val enc = spark.read.parquet(s"$dir/enc/data")
+    assert(enc.schema.fields.map(f => (f.name, f.dataType.typeName)).toSet ===
+      Set(("s_id", "binary"), ("p_id", "binary"), ("o_id", "binary"),
+        ("bucket", "integer")))
+    assert(enc.count() === spark.read.parquet(s"$dir/plain/data").count())
+    // a point lookup decodes to exactly the plain store's description
+    val subject = spark.read.parquet(s"$dir/plain/data")
+      .select("s").head().getString(0)
+    val encRows = graft.pipeline.Dict
+      .lookupSubjectEncoded(spark, s"$dir/enc", subject, 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val plainRows = Materialize.lookupSubject(spark, s"$dir/plain", subject, 4)
+      .select("s", "p", "o")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(encRows.sorted.toSeq === plainRows.sorted.toSeq)
+    assert(encRows.nonEmpty)
+    // metrics record the layout flag
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/enc/metrics").listFiles()
+        .filter(_.getName.startsWith("run-d1-")).head.toPath))
+    assert(rec.contains("\"dict_encode\":true"))
+    // --dict-encode is a construct-mode flag
+    val e = intercept[RuntimeException](PipelineMain.main(Array(
+      "--compact-src", s"$dir/enc", "--out", s"$dir/x", "--dict-encode")))
+    assert(e.getMessage.contains("--compact-src is a mode of its own"))
+  }
+
   test("--compact-src rolls an increment store into a deduped snapshot store") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pm_compact").toString

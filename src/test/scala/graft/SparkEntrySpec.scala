@@ -41,16 +41,20 @@ class SparkEntrySpec extends AnyFunSuite {
     // - rdf_xsd_bounded / rdf_xsd_registry / rdf_xsd_gfamily:
     //   kernel-semantics verification (registry/cast/EBV through the JVM
     //   kernel, off the hot path)
-    // - kg_extract / kg_dedup: the RFC 3986 §5.2 resolution UDF sits in
-    //   the `otherwise` branch behind the codegen fast path that handles
-    //   absolute + root-relative hrefs (WebKg.resolveHref)
+    // - kg_extract / kg_dedup (and kg_dict_encode / kg_dict_roundtrip,
+    //   which run the same extraction upstream of the Dict operators):
+    //   the RFC 3986 §5.2 resolution UDF sits in the `otherwise` branch
+    //   behind the codegen fast path that handles absolute +
+    //   root-relative hrefs (WebKg.resolveHref); the Dict encode/decode
+    //   expressions themselves are pure codegen Columns
     // - rdf_star_bgp: quoted-triple destructuring is a recursive grammar
     //   (Terms.parseQuoted), used only on the star-pattern match path
     // - rdf_turtle_decode / rdf_turtle_roundtrip: the distributed Turtle
     //   parser/encoder is per-document lambda-shaped by nature
     // Anything NOT in this list growing a UDF is a hot-path regression.
     val udfAllowlist = Set("rdf_xsd_bounded", "rdf_xsd_registry",
-      "rdf_xsd_gfamily", "kg_extract", "kg_dedup", "rdf_star_bgp",
+      "rdf_xsd_gfamily", "kg_extract", "kg_dedup", "kg_dict_encode",
+      "kg_dict_roundtrip", "rdf_star_bgp",
       "rdf_turtle_decode", "rdf_turtle_roundtrip")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
