@@ -59,24 +59,45 @@ object DictProbe {
       }
     }
 
+    // the listener bus is ASYNC: stage-completed events can still be queued
+    // when an action returns, which would undercount this run and bleed the
+    // late events into the next one's counter — drain by polling until the
+    // counter is stable (the public-API stand-in for the private
+    // listenerBus.waitUntilEmpty)
+    def drainedShuffleBytes(): Long = {
+      var prev = -1L
+      var cur = shuffleBytes.get
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = shuffleBytes.get }
+      cur
+    }
+
+    def deleteDir(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+
     def run(label: String)(write: String => Unit): Unit = {
       val dir = java.nio.file.Files.createTempDirectory("graft_dictprobe").toString
-      shuffleBytes.set(0L)
+      drainedShuffleBytes(); shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       write(dir)
       val sec = (System.nanoTime() - t0) / 1e9
+      val shuffled = drainedShuffleBytes()
       val dataMb = dirBytes(s"$dir/data") / 1e6
       val dictMb = dirBytes(s"$dir/dict") / 1e6
-      println(f"DICT $label%-8s $sec%7.2f s  shuffle=${shuffleBytes.get / 1e6}%8.1f MB" +
+      println(f"DICT $label%-8s $sec%7.2f s  shuffle=${shuffled / 1e6}%8.1f MB" +
         f"  data=$dataMb%8.1f MB  dict=$dictMb%7.1f MB  total=${dataMb + dictMb}%8.1f MB")
+      deleteDir(dir)
     }
 
     def runOp(label: String)(op: => Long): Unit = {
-      shuffleBytes.set(0L)
+      drainedShuffleBytes(); shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val n = op
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"DICT $label%-10s $sec%7.2f s  shuffle=${shuffleBytes.get / 1e6}%8.1f MB  rows=$n%d")
+      println(f"DICT $label%-10s $sec%7.2f s  shuffle=${drainedShuffleBytes() / 1e6}%8.1f MB  rows=$n%d")
     }
 
     val n = flat.count()

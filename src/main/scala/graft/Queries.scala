@@ -1464,9 +1464,10 @@ object Queries {
 
     // term-dictionary encoding (pipeline.Dict): per-predicate stats
     // computed entirely in ID SPACE and joined back through the dictionary
-    // for display — proves the content-hash id derivation (md5 -> 16-byte
-    // binary), the shuffle-free encode projection, and the dictionary join
-    // cross-engine (DuckDB recomputes the identical ids from the terms)
+    // for display — proves the content-hash id derivation (truncated
+    // SHA-256 -> 16-byte binary), the shuffle-free encode projection, and
+    // the dictionary join cross-engine (DuckDB recomputes the identical
+    // ids from the terms)
     "kg_dict_encode" -> Q(
       (s, d) => {
         val flat = WebKg.extractFlat(WebKg.synthesizeWebPages(t(s, d, "documents")))
@@ -1489,8 +1490,9 @@ object Queries {
           |UNION ALL SELECT url, 'http://graft.dev/vocab#created',
           |  strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') FROM pages
           |UNION ALL SELECT url, 'http://graft.dev/vocab#textSha', md5(text) FROM pages)
-          |SELECT p, md5(p) AS p_id_hex, count(*) AS n,
-          |  count(DISTINCT md5(s)) AS n_subjects FROM tr GROUP BY 1,2""".stripMargin)),
+          |SELECT p, substr(sha256(p),1,32) AS p_id_hex, count(*) AS n,
+          |  count(DISTINCT substr(sha256(s),1,32)) AS n_subjects
+          |FROM tr GROUP BY 1,2""".stripMargin)),
 
     // encode -> dictionary-join decode round trip: the decoded corpus is
     // byte-identical to the source triples (grouped projection so the

@@ -10,29 +10,42 @@ import org.apache.spark.sql.functions._
   *
   * Why it matters at 10^12 triples: the interior of a KG-construction job
   * (dedup, joins, bucketing, sort) moves term strings through every
-  * exchange. Parquet dictionary-compresses strings at rest, but SHUFFLES do
-  * not — a web-scale subject url (~60 B) plus object literal (~40-200 B)
-  * pays its full width on every hop. Id-space rows are 3 x 16 B, fixed
-  * width, comparison is a 16-byte memcmp, and sort keys never touch a
-  * string.
+  * exchange. Id-space rows are 3 x 16 B, fixed width, comparison is a
+  * 16-byte memcmp, and sort keys never touch a string. (Measured caveats —
+  * lz4 shuffle files and parquet pages compress redundant corpus STRINGS
+  * below incompressible hash ids — are in BENCH.md; the layout is opt-in
+  * on that evidence.)
   *
-  * Why CONTENT-HASH ids (md5 of the term) instead of dense sequential ids:
-  * dense ids need a coordinated global dictionary build — a join on every
-  * encode and a serial id-assignment bottleneck (the RDF-3X B+-tree build).
-  * Content hashes make `encodeFlat` a PURE PROJECTION: embarrassingly
-  * parallel, no shuffle, no dictionary lookup, and deterministic across
-  * engines, executors, batches, and re-runs — an id never changes when the
-  * corpus grows, so incremental batches and checkpoint resume compose
-  * without re-encoding history. It is the same salted-128-bit-hash identity
-  * trick the skolemizer uses ([[graft.core.Skolem]]); collision odds at
-  * 2^64 distinct terms are ~1e-20 (birthday bound on 128 bits).
-  * Trade: 16 B instead of 4-8 B per id, and no dense-range locality.
+  * Why CONTENT-HASH ids instead of dense sequential ids: dense ids need a
+  * coordinated global dictionary build — a join on every encode and a
+  * serial id-assignment bottleneck (the RDF-3X B+-tree build). Content
+  * hashes make `encodeFlat` a PURE PROJECTION: embarrassingly parallel, no
+  * shuffle, no dictionary lookup, and deterministic across engines,
+  * executors, batches, and re-runs — an id never changes when the corpus
+  * grows, so incremental batches and checkpoint resume compose without
+  * re-encoding history. Trade: 16 B instead of 4-8 B per id, and no
+  * dense-range locality.
+  *
+  * Hash choice — truncated SHA-256, not md5: the corpus is UNTRUSTED web
+  * content, and md5 chosen-prefix collisions are practically constructible
+  * (two adversarial pages could share one term id, conflating distinct
+  * triples in id-space dedup and fanning out decode joins). Truncating
+  * SHA-256 to 128 bits keeps fixed 16-byte ids; honest bounds: accidental
+  * collision at 10^12 distinct terms is ~n²/2^129 ≈ 2^-49, and the best
+  * ADVERSARIAL attack on the truncated output is the generic birthday
+  * search (~2^64 hash evaluations — expensive, not impossible for
+  * ASIC-scale attackers). A store that must rule even that out widens
+  * `termIdCol` to the full 32-byte digest; everything here is
+  * width-agnostic except the documented 16-byte schema.
   *
   * The encoded store written by [[materializeEncoded]] uses the SAME
-  * subject bucket function as the plain store ([[Materialize.bucketCol]] on
-  * the subject STRING, computed before encoding), so
+  * subject bucket function as the plain store ([[Materialize.bucketCol]]
+  * on the subject STRING, computed before encoding), so
   * [[Materialize.bucketOf]] prunes both layouts identically and the two
-  * stores stay drop-in interchangeable for lookups.
+  * stores stay drop-in interchangeable for lookups. The dictionary table
+  * buckets on the id's own hex prefix ([[Materialize.bucketColFromHex]] —
+  * the one canonical copy of the bucket formula), so decode never needs a
+  * term string to find its dictionary partition.
   *
   * Decoding (string round-trip) is an edge concern — serialization and
   * human-facing output. The pipeline interior stays in id space; only
@@ -40,37 +53,33 @@ import org.apache.spark.sql.functions._
   */
 object Dict {
 
-  /** 16-byte content-derived term id as a pure codegen Column. */
-  def termIdCol(term: Column): Column = unhex(md5(term))
+  /** 16-byte content-derived term id (truncated SHA-256) as a pure codegen
+    * Column. Cross-engine: DuckDB computes the same id as
+    * `unhex(substr(sha256(term), 1, 32))`. */
+  def termIdCol(term: Column): Column =
+    unhex(substring(sha2(term.cast("binary"), 256), 1, 32))
 
   /** Scala twin of [[termIdCol]] for driver-side point operations. */
-  def termIdBytes(term: String): Array[Byte] =
-    hexToBytes(graft.core.Skolem.hash128Hex(term))
-
-  private def hexToBytes(hex: String): Array[Byte] = {
-    val out = new Array[Byte](hex.length / 2)
-    var i = 0
-    while (i < out.length) {
-      out(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
-      i += 1
-    }
-    out
+  def termIdBytes(term: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8)).take(16)
   }
 
-  /** Dictionary bucket of a term id: the first 15 hex digits of the id
-    * (which IS md5(term)) mod n — so a term's dictionary bucket equals
-    * [[Materialize.bucketOf]] of the term string, and both are computable
-    * from the id alone (decode never needs the string to find it). */
-  def bucketOfId(id: Array[Byte], numBuckets: Int): Int = {
-    val sb = new StringBuilder(15)
-    var i = 0
-    while (sb.length < 15) { sb.append(f"${id(i) & 0xff}%02x"); i += 1 }
-    (java.lang.Long.parseLong(sb.substring(0, 15), 16) % numBuckets).toInt
+  private def hexOf(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
   }
 
-  private def bucketColOf(c: Column, n: Int): Column =
-    pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(n))
-      .cast("int").as("bucket")
+  /** Dictionary bucket of a term id: the id's own hex prefix through the
+    * canonical [[Materialize.bucketOfHex]] — computable from the id alone,
+    * so decode never needs the string to find its dictionary partition. */
+  def bucketOfId(id: Array[Byte], numBuckets: Int): Int =
+    Materialize.bucketOfHex(hexOf(id), numBuckets)
+
+  /** Column twin of [[bucketOfId]] over an id (binary) column. */
+  private def dictBucketCol(idCol: Column, n: Int): Column =
+    Materialize.bucketColFromHex(lower(hex(idCol)), n)
 
   /** The (id, term) dictionary over every distinct term of a flat
     * (s, p, o) string-triple frame. This is the ONE pass that shuffles
@@ -103,6 +112,17 @@ object Dict {
         col("__do.term").as("o"))
   }
 
+  /** The stored dictionary, or None before the first write. */
+  private def readDict(spark: SparkSession, root: String): Option[DataFrame] =
+    try Some(spark.read.parquet(s"$root/dict"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if Option(e.getCondition).exists(c =>
+            c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA") ||
+          e.getMessage.contains("Path does not exist") ||
+          e.getMessage.contains("Unable to infer schema") => None
+    }
+
   /** Materialize a flat string-triple frame as an ENCODED store:
     *
     *   <root>/data/bucket=<b>/  (s_id, p_id, o_id) — bucket =
@@ -110,16 +130,22 @@ object Dict {
     *                            STRING (same pruning as the plain store),
     *                            sorted by s_id per file for row-group
     *                            pruning inside the bucket
-    *   <root>/dict/bucket=<b>/  (id, term) — bucket = first 15 hex digits
-    *                            of the id, sorted by id per file
+    *   <root>/dict/bucket=<b>/  (id, term) — bucket = the id's hex prefix,
+    *                            sorted by id per file
     *   <root>/lineage/          same per-bucket resume contract as
     *                            [[Materialize.materialize]]
     *
-    * Same rebalance-with-skew-split write shape, cached-frame single-pass
-    * stats, and lineage anti-join resume as the plain materializer (see the
-    * comments there). The dictionary is rebuilt idempotently on every call
-    * (overwrite) — on resume the data buckets skip but the dict pass
-    * re-runs; it is the cheap side (distinct terms, not triples). */
+    * Data write: the shared rebalance-with-skew-split core
+    * ([[Materialize.writeBucketedData]]) plus the same lineage anti-join
+    * resume as the plain materializer. Dictionary write: APPEND-ONLY —
+    * only terms not already stored are written (anti-join against the
+    * existing dictionary), so a re-run or a later batch over a grown
+    * corpus EXTENDS the dictionary and never orphans ids still referenced
+    * by data buckets kept from earlier batches (an overwrite from the
+    * current batch's corpus alone would silently drop their decode rows).
+    * A crash between the data and dict writes self-heals: the next run
+    * skips the recorded data buckets and the dict anti-join re-derives
+    * exactly the missing terms. */
   def materializeEncoded(flat0: DataFrame, root: String, numBuckets: Int,
                          batchId: String): DataFrame = {
     val spark = flat0.sparkSession
@@ -132,44 +158,45 @@ object Dict {
     // the uncached shape pays the corpus shuffle twice, DictProbe/BENCH.md)
     val flat = flat0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val bucketed = flat.select(Materialize.bucketCol(numBuckets),
+        termIdCol(col("s")).as("s_id"), termIdCol(col("p")).as("p_id"),
+        termIdCol(col("o")).as("o_id"))
+      val remaining = Materialize.readLineage(spark, root) match {
+        case Some(lin) =>
+          bucketed.join(broadcast(lin.select("bucket").distinct()),
+            Seq("bucket"), "left_anti")
+        case None => bucketed
+      }
+      Materialize.writeBucketedData(remaining, root, batchId,
+        Seq("bucket"), "s_id")
 
-    val bucketed = flat.select(Materialize.bucketCol(numBuckets),
-      termIdCol(col("s")).as("s_id"), termIdCol(col("p")).as("p_id"),
-      termIdCol(col("o")).as("o_id"))
-    val remaining = Materialize.readLineage(spark, root) match {
-      case Some(lin) =>
-        bucketed.join(broadcast(lin.select("bucket").distinct()),
-          Seq("bucket"), "left_anti")
-      case None => bucketed
-    }
+      val terms = termDictionary(flat)
+      readDict(spark, root) match {
+        case None =>
+          terms.withColumn("bucket", dictBucketCol(col("id"), numBuckets))
+            .hint("rebalance", col("bucket"))
+            .sortWithinPartitions(col("bucket"), col("id"))
+            .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+            .parquet(s"$root/dict")
+        case Some(existing) =>
+          // delta only — and eagerly materialized (localCheckpoint) BEFORE
+          // the write so the append job never lists the directory it is
+          // appending to; the delta is small by construction (new terms of
+          // this batch), the full-corpus case is the None branch above
+          val delta = terms
+            .join(existing.select("id"), Seq("id"), "left_anti")
+            .withColumn("bucket", dictBucketCol(col("id"), numBuckets))
+            .localCheckpoint()
+          try {
+            if (delta.head(1).nonEmpty)
+              delta.sortWithinPartitions(col("bucket"), col("id"))
+                .write.mode(SaveMode.Append).partitionBy("bucket")
+                .parquet(s"$root/dict")
+          } finally graft.ops.GraphAlgos.releaseLocalCheckpoint(delta)
+      }
 
-    val prevCachedPart = spark.conf
-      .get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
-    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-    val cached = remaining.hint("rebalance", col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("s_id")).persist()
-    try {
-      cached.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-        .parquet(s"$root/data")
-      val stats = cached.groupBy("bucket")
-        .agg(count(lit(1)).as("n_triples"),
-          countDistinct(col("s_id")).as("n_subjects"))
-        .withColumn("batch_id", lit(batchId))
-      stats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
-    } finally {
-      cached.unpersist()
-      spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", prevCachedPart)
-    }
-
-    termDictionary(flat)
-      .withColumn("bucket", bucketColOf(col("term"), numBuckets))
-      .hint("rebalance", col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("id"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$root/dict")
-
-    Materialize.readLineage(spark, root).get
-      .filter(col("batch_id") === batchId)
+      Materialize.readLineage(spark, root).get
+        .filter(col("batch_id") === batchId)
     } finally flat.unpersist()
   }
 
@@ -178,19 +205,23 @@ object Dict {
     * [[Materialize.lookupSubject]] on a plain store over the same triples
     * (DictSpec asserts it). Bucket id and subject id are computed
     * driver-side, so the data read is partition-pruned to one bucket and
-    * row-group-pruned by the s_id sort; the result is metadata-scale by
-    * contract (one subject), so its object ids are collected and the
-    * dictionary read is pruned to exactly their buckets. */
+    * row-group-pruned by the s_id sort, and it runs ONCE: the result is
+    * metadata-scale by contract (one subject's description), so the rows
+    * are collected, the dictionary read is pruned to exactly their ids'
+    * buckets, and the decode join runs over the collected local rows. */
   def lookupSubjectEncoded(spark: SparkSession, root: String, subject: String,
                            numBuckets: Int): DataFrame = {
     val b = Materialize.bucketOf(subject, numBuckets)
     val sid = termIdBytes(subject)
-    val rows = spark.read.parquet(s"$root/data")
+    val local = spark.read.parquet(s"$root/data")
       .filter(col("bucket") === b && col("s_id") === lit(sid))
-    val objIds = rows.select(col("p_id"), col("o_id")).collect()
-      .flatMap(r => Seq(r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
-    val ids: Array[Array[Byte]] =
-      (objIds :+ sid).map(_.toSeq).distinct.map(_.toArray).toArray
+      .select("s_id", "p_id", "o_id").collect()
+      .map(r => (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1),
+        r.getAs[Array[Byte]](2)))
+    import spark.implicits._
+    val rows = local.toSeq.toDF("s_id", "p_id", "o_id")
+    val ids: Array[Array[Byte]] = (local.flatMap(t => Seq(t._2, t._3)) :+ sid)
+      .map(_.toSeq).distinct.map(_.toArray).toArray
     val dictBuckets = ids.map(bucketOfId(_, numBuckets)).distinct
     val dict = broadcast(
       spark.read.parquet(s"$root/dict")

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph materialization: salted, skew-aware bucketed tables with a
@@ -34,10 +34,23 @@ object Materialize {
     * so the layout is cross-engine reproducible — DuckDB computes the same
     * id as CAST('0x'||substr(md5(s),1,15) AS BIGINT) % n — which makes the
     * whole materialization oracle-checkable. Still a salt: adjacent urls
-    * from one domain spread uniformly across buckets (kills domain skew). */
-  def bucketCol(n: Int) =
-    pmod(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"), lit(n))
+    * from one domain spread uniformly across buckets (kills domain skew).
+    * The hex-prefix primitive below is the ONE canonical copy of the
+    * formula: the dictionary-encoded layout ([[Dict]]) derives its bucket
+    * columns through it too, so the layouts can never silently diverge. */
+  def bucketCol(n: Int, c: Column = col("s")): Column =
+    bucketColFromHex(md5(c), n)
+
+  /** Bucket id from a hex-digest column (md5 / truncated sha prefix):
+    * first 15 hex digits mod n. Shared by every layout; Scala twin is
+    * [[bucketOfHex]]. */
+  def bucketColFromHex(hexCol: Column, n: Int): Column =
+    pmod(conv(substring(hexCol, 1, 15), 16, 10).cast("long"), lit(n))
       .cast("int").as("bucket")
+
+  /** Scala twin of [[bucketColFromHex]]. */
+  def bucketOfHex(hex: String, numBuckets: Int): Int =
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % numBuckets).toInt
 
   /** Write triples bucketed; returns the lineage rows written this call
     * (read back from the lineage table — the on-disk rows are the single
@@ -91,25 +104,40 @@ object Materialize {
     // shape exists for. The flag binds when the cache's physical plan is
     // built (first materialization = the write below), so it is restored
     // only AFTER both cache consumers ran; both (the write and the stats
-    // agg) are partitioning-agnostic.
+    // agg) are partitioning-agnostic. (The save/set/restore lives in
+    // writeBucketedData, shared by every store layout.)
+    writeBucketedData(remaining, root, batchId, Seq("bucket"), "s")
+    readLineage(spark, root).get.filter(col("batch_id") === batchId)
+  }
+
+  /** The shared write core of every snapshot/increment store layout:
+    * REBALANCE(bucket) + within-partition sort on `subjectCol`, ONE cached
+    * pass feeding both the partitioned data write and the per-bucket
+    * lineage stats append (see the layout comments in [[materialize]]).
+    * Kept in one place so the plain and dictionary-encoded
+    * ([[Dict.materializeEncoded]]) layouts can never drift apart on the
+    * skew-split / cached-plan-partitioning dance. */
+  private[pipeline] def writeBucketedData(remaining: DataFrame, root: String,
+      batchId: String, partitionCols: Seq[String], subjectCol: String): Unit = {
+    val spark = remaining.sparkSession
     val prevCachedPart = spark.conf
       .get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
     spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     val cached = remaining.hint("rebalance", col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("s")).persist()
+      .sortWithinPartitions(col("bucket"), col(subjectCol)).persist()
     try {
-      cached.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      cached.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
         .parquet(s"$root/data")
       // metrics from the cached frame: same pass as the write
       val stats = cached.groupBy("bucket")
-        .agg(count(lit(1)).as("n_triples"), countDistinct(col("s")).as("n_subjects"))
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col(subjectCol)).as("n_subjects"))
         .withColumn("batch_id", lit(batchId))
       stats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
     } finally {
       cached.unpersist()
       spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", prevCachedPart)
     }
-    readLineage(spark, root).get.filter(col("batch_id") === batchId)
   }
 
   /** Incremental variant for streaming/append workloads: each batch owns
@@ -135,22 +163,7 @@ object Materialize {
     }
     // same sorted skew-splitting layout as `materialize` (see the
     // REBALANCE + canChangeCachedPlanOutputPartitioning comments there)
-    val prevCachedPart = spark.conf
-      .get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
-    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-    val cached = remaining.hint("rebalance", col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("s")).persist()
-    try {
-      cached.write.mode(SaveMode.Overwrite).partitionBy("batch_id", "bucket")
-        .parquet(s"$root/data")
-      val stats = cached.groupBy("bucket")
-        .agg(count(lit(1)).as("n_triples"), countDistinct(col("s")).as("n_subjects"))
-        .withColumn("batch_id", lit(batchId))
-      stats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
-    } finally {
-      cached.unpersist()
-      spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", prevCachedPart)
-    }
+    writeBucketedData(remaining, root, batchId, Seq("batch_id", "bucket"), "s")
     readLineage(spark, root).get.filter(col("batch_id") === batchId)
   }
 
@@ -177,10 +190,8 @@ object Materialize {
     spark.read.parquet(s"$root/data")
 
   /** Scala twin of bucketCol for a known subject string. */
-  def bucketOf(subject: String, numBuckets: Int): Int = {
-    val hex = graft.core.Skolem.hash128Hex(subject).substring(0, 15)
-    (java.lang.Long.parseLong(hex, 16) % numBuckets).toInt
-  }
+  def bucketOf(subject: String, numBuckets: Int): Int =
+    bucketOfHex(graft.core.Skolem.hash128Hex(subject), numBuckets)
 
   /** Point lookup of one subject's description against the bucketed store:
     * the bucket id is computed driver-side, so the filter is a PARTITION

@@ -76,24 +76,46 @@ class DictSpec extends AnyFunSuite {
     }
   }
 
-  test("resume: lineage-recorded buckets are skipped; dictionary rebuild is idempotent") {
+  test("resume: lineage-recorded buckets are skipped; the dictionary is append-only " +
+    "and never orphans earlier batches' ids") {
+    import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dict_res").toString
     val buckets = 4
     Dict.materializeEncoded(flat, s"$dir/enc", buckets, "b1")
     val firstBuckets = Materialize.readLineage(spark, s"$dir/enc").get.count()
-    // a second call over the same corpus writes NO new data buckets
+    // a second call over the same corpus writes NO new data buckets and
+    // leaves the dictionary complete (the delta is empty)
     val second = Dict.materializeEncoded(flat, s"$dir/enc", buckets, "b2")
     assert(second.count() === 0L)
     assert(Materialize.readLineage(spark, s"$dir/enc").get.count() === firstBuckets)
-    // and the dictionary is still complete after its idempotent overwrite
     assert(spark.read.parquet(s"$dir/enc/dict").count() === 9L)
+    // REGRESSION (review finding): a later run over a refreshed corpus with
+    // NEW terms must EXTEND the dictionary, not rebuild it from the new
+    // corpus alone — an overwrite would delete the rows for terms only the
+    // kept data buckets still reference, silently dropping their triples
+    // from every subsequent decode
+    val refreshed = Seq(
+      ("https://c.example.org/doc/9", "http://graft.dev/vocab#lang", "es"))
+      .toDF("s", "p", "o")
+    Dict.materializeEncoded(refreshed, s"$dir/enc", buckets, "b3")
+    val terms = spark.read.parquet(s"$dir/enc/dict")
+      .collect().map(_.getAs[String]("term")).toSet
+    assert(terms.contains("https://a.example.org/doc/1")) // batch-1 term kept
+    assert(terms.contains("es")) // new term appended
+    assert(terms.size === 11) // 9 + the 2 genuinely-new (url, "es")
+    // a batch-1 subject still decodes completely
+    val lookup = Dict.lookupSubjectEncoded(spark, s"$dir/enc",
+      "https://a.example.org/doc/1", buckets).collect()
+    assert(lookup.length === 2)
   }
 
-  test("bucketOfId(termId(t)) == Materialize.bucketOf(t): both layouts prune alike") {
-    for (term <- Seq("https://a.example.org/doc/1", "en",
-      "http://graft.dev/vocab#lang", "Doc 1")) {
-      assert(Dict.bucketOfId(Dict.termIdBytes(term), 64) ===
-        Materialize.bucketOf(term, 64))
-    }
+  test("dict-table bucket parity: every stored dictionary row sits in bucketOfId(id)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dict_bk").toString
+    Dict.materializeEncoded(flat, s"$dir/enc", 4, "b1")
+    val rows = spark.read.parquet(s"$dir/enc/dict")
+      .select("bucket", "id").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getInt(0) === Dict.bucketOfId(r.getAs[Array[Byte]]("id"), 4))
   }
 }
