@@ -24,6 +24,29 @@ object Queries {
 
   private val xsdInt = Vocab.xsdInteger
 
+  /** Shared input of the rdf_bgp_optional/union/minus/exists quartet: two
+    * BGP solution frames over one synthesized triple table — `base` binds
+    * ?doc for every English document, `opt` binds (?doc, ?t) only for EVEN
+    * doc_ids (the only docs given a title triple), so each algebra operator
+    * has both matching and non-matching base solutions to act on. */
+  private def algebraSolutions(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents")
+    val sCol = Terms.iri(concat(lit(WebKg.docNs), col("doc_id")))
+    val titleP = WebKg.vocab + "title"
+    val triples =
+      docs.select(sCol.as("s"), Terms.iri(lit(WebKg.pLang)).as("p"),
+          Terms.strLit(col("lang")).as("o"))
+        .unionAll(docs.filter(col("doc_id") % 2 === 0)
+          .select(sCol.as("s"), Terms.iri(lit(titleP)).as("p"),
+            Terms.strLit(concat(lit("T"), col("doc_id"))).as("o")))
+    import Bgp.dsl._
+    val base = Bgp.execute(s, triples,
+      Bgp.Pattern(Seq(pat(v("doc"), iri(WebKg.pLang), lit("en")))))
+    val opt = Bgp.execute(s, triples,
+      Bgp.Pattern(Seq(pat(v("doc"), iri(titleP), v("t")))))
+    (base, opt)
+  }
+
   // shared by kg_entity_link_fuzzy (broadcast dictionary) and
   // kg_entity_link_big (shuffled big-dictionary path): identical semantics,
   // different physical distribution — one oracle. Mirrors the Spark plan's
@@ -895,6 +918,69 @@ object Queries {
       },
       Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, CAST(n_chars AS VARCHAR) AS n
              |FROM documents WHERE lang='en' AND source='src7'""".stripMargin)),
+
+    // --- SPARQL solution algebra over BGP results (Bgp.optional/union/
+    // minus/exists/closure — the group-pattern layer the reference keeps in
+    // its separate SPARQL engine). All four share one triple construction:
+    // every doc gets a lang triple; only EVEN doc_ids get a title triple.
+    "rdf_bgp_optional" -> Q(
+      (s, d) => {
+        val (base, opt) = algebraSolutions(s, d)
+        Bgp.values(Bgp.optional(base, opt))
+      },
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc,
+             |CASE WHEN doc_id % 2 = 0 THEN 'T'||doc_id END AS t
+             |FROM documents WHERE lang='en'""".stripMargin)),
+
+    "rdf_bgp_union" -> Q(
+      (s, d) => {
+        val (base, opt) = algebraSolutions(s, d)
+        Bgp.values(Bgp.union(base, opt))
+      },
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc,
+             |CAST(NULL AS VARCHAR) AS t FROM documents WHERE lang='en'
+             |UNION ALL SELECT 'http://graft.dev/doc/'||doc_id, 'T'||doc_id
+             |FROM documents WHERE doc_id % 2 = 0""".stripMargin)),
+
+    "rdf_bgp_minus" -> Q(
+      (s, d) => {
+        val (base, opt) = algebraSolutions(s, d)
+        Bgp.values(Bgp.minus(base, opt))
+      },
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc
+             |FROM documents WHERE lang='en' AND doc_id % 2 <> 0""".stripMargin)),
+
+    "rdf_bgp_exists" -> Q(
+      (s, d) => {
+        val (base, opt) = algebraSolutions(s, d)
+        Bgp.values(Bgp.exists(base, opt))
+      },
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc
+             |FROM documents WHERE lang='en' AND doc_id % 2 = 0""".stripMargin)),
+
+    // transitive property path p+ (path-doubled closure): chain edges
+    // doc i -> doc i+1 for doc_id % 10 < 4 (a 4-hop chain per decade);
+    // the oracle recomputes the closure with a recursive CTE
+    "rdf_bgp_closure" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nextP = WebKg.vocab + "next"
+        val edges = docs.filter(col("doc_id") % 10 < 4)
+          .select(Terms.iri(concat(lit(WebKg.docNs), col("doc_id"))).as("s"),
+            Terms.iri(lit(nextP)).as("p"),
+            Terms.iri(concat(lit(WebKg.docNs), col("doc_id") + 1)).as("o"))
+        Bgp.values(Bgp.closure(edges, graft.core.Term.iri(nextP),
+          sVar = "src", oVar = "dst"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+             |  WHERE doc_id % 10 < 4),
+             |cl AS (
+             |  SELECT a, b FROM e
+             |  UNION
+             |  SELECT cl.a, e.b FROM cl JOIN e ON cl.b = e.a)
+             |SELECT 'http://graft.dev/doc/'||a AS src,
+             |'http://graft.dev/doc/'||b AS dst FROM cl""".stripMargin)),
 
     // XSD bounded-integer subtypes driver-visible: facet validation, cast
     // into a bounded target, and EBV, all through the Scala datatype kernel

@@ -168,9 +168,145 @@ object Bgp {
 
   /** Convenience: execute and flatten each variable to its term `value`
     * string (IRI string / bnode label / literal lexical). */
-  def executeValues(spark: SparkSession, triples: DataFrame, bgp: Pattern): DataFrame = {
-    val df = execute(spark, triples, bgp)
-    df.select(df.columns.map(c => col(c)("value").as(c)).toSeq: _*)
+  def executeValues(spark: SparkSession, triples: DataFrame, bgp: Pattern): DataFrame =
+    values(execute(spark, triples, bgp))
+
+  /** Flatten every term-struct column of a solution frame to its `value`
+    * string; a NULL column (an unbound variable from [[optional]]/[[union]])
+    * stays NULL. */
+  def values(solutions: DataFrame): DataFrame =
+    solutions.select(solutions.columns.map(c => col(c)("value").as(c)).toSeq: _*)
+
+  // ------------------------------------------------------ solution algebra
+
+  /** SPARQL-algebra group-pattern operators over SOLUTION frames (the output
+    * shape of [[execute]]: one term-struct column per variable). The
+    * reference stops at BGPs in core (`lib/rdf/query.ex` delegates anything
+    * beyond a BGP to its separate SPARQL engine); these are provided here
+    * because OPTIONAL / UNION / MINUS / EXISTS over BGP results are the
+    * first composition a KG user reaches for, and each maps to exactly one
+    * scalable DataFrame join shape.
+    *
+    * Compatibility contract: shared variables join with EQUI-joins
+    * (hash-partitioned — the only shape that scales). SPARQL's full
+    * compatibility relation additionally treats an UNBOUND shared variable
+    * as a wildcard; that needs a non-equi join (a broadcast nested loop at
+    * scale), so these operators instead treat NULL like SQL does (never
+    * equal). The difference is observable only when a shared variable can
+    * be unbound — i.e. when an [[optional]]/[[union]] output is re-joined
+    * on its optional variable — the same well-formedness restriction
+    * scalable SPARQL engines impose on their hash-join paths. */
+  private def sharedVars(a: DataFrame, b: DataFrame): Seq[String] = {
+    val bc = b.columns.toSet
+    a.columns.toSeq.filter(bc)
+  }
+
+  /** Algebra Join: inner equi-join on the shared variables; disjoint
+    * domains cross-product (SPARQL §18.5 Join). Lets a BGP result compose
+    * with a non-BGP solution frame (e.g. [[closure]]). */
+  def joinSolutions(a: DataFrame, b: DataFrame): DataFrame = {
+    val shared = sharedVars(a, b)
+    if (shared.nonEmpty) a.join(b, shared, "inner") else a.crossJoin(b)
+  }
+
+  /** OPTIONAL (algebra LeftJoin): every `base` solution survives; compatible
+    * `opt` solutions extend it, otherwise its `opt`-only variables are NULL
+    * (unbound). Disjoint domains: every pair is compatible (left-padded
+    * cross product), matching SPARQL LeftJoin with expression `true`. */
+  def optional(base: DataFrame, opt: DataFrame): DataFrame = {
+    val shared = sharedVars(base, opt)
+    if (shared.nonEmpty) base.join(opt, shared, "left")
+    else base.join(opt, lit(true), "left")
+  }
+
+  /** UNION (bag union, SPARQL §18.5): columns align by variable NAME and a
+    * variable missing on one side is NULL (unbound) there — one narrow
+    * union node, no shuffle. */
+  def union(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** MINUS (SPARQL §8.3.3): drop each `a` solution that is compatible with
+    * some `b` solution ON A SHARED variable; with disjoint domains MINUS
+    * removes NOTHING (the spec's famous gotcha — `{?s ?p ?o} MINUS {?x ?y
+    * ?z}` keeps everything), so the no-shared-vars case returns `a`
+    * unchanged rather than an anti cross product. One left-anti hash join
+    * on the shared variables. */
+  def minus(a: DataFrame, b: DataFrame): DataFrame = {
+    val shared = sharedVars(a, b)
+    if (shared.isEmpty) a
+    else a.join(b.select(shared.map(col): _*), shared, "left_anti")
+  }
+
+  /** FILTER EXISTS: keep each `a` solution with at least one compatible `b`
+    * solution. Disjoint domains: every pair is compatible, so `a` survives
+    * iff `b` is non-empty (probed with a 1-row broadcast, never a scan of
+    * `a`×`b`). One left-semi hash join otherwise. */
+  def exists(a: DataFrame, b: DataFrame): DataFrame = {
+    val shared = sharedVars(a, b)
+    if (shared.nonEmpty) a.join(b.select(shared.map(col): _*), shared, "left_semi")
+    else a.join(b.select(lit(1).as("__e")).limit(1), lit(true), "left_semi")
+  }
+
+  /** FILTER NOT EXISTS: complement of [[exists]] (left-anti). Unlike
+    * [[minus]], disjoint domains DO eliminate (`NOT EXISTS {?x ?y ?z}` on a
+    * non-empty graph drops every solution) — the spec's MINUS/NOT-EXISTS
+    * divergence, preserved here. */
+  def notExists(a: DataFrame, b: DataFrame): DataFrame = {
+    val shared = sharedVars(a, b)
+    if (shared.nonEmpty) a.join(b.select(shared.map(col): _*), shared, "left_anti")
+    else a.join(b.select(lit(1).as("__e")).limit(1), lit(true), "left_anti")
+  }
+
+  /** Transitive closure of one predicate — the SPARQL property path `p+`
+    * (`p*` with `reflexive = true`) — as a solution frame: columns
+    * (`sVar`, `oVar`) of term structs, one row per pair connected by a
+    * p-edge chain of length >= 1 (>= 0 when reflexive, over the predicate's
+    * vertex set). Composes with [[joinSolutions]]/[[optional]]/[[minus]]
+    * like any BGP result.
+    *
+    * Shape: PATH DOUBLING — after round i the pair set holds every pair
+    * within 2^(i+1) hops (paths ∪ paths⋈paths, distinct), so a
+    * diameter-D graph closes in O(log D) shuffled self-joins instead of D
+    * frontier rounds, with each round localCheckpoint'ed and the superseded
+    * round's blocks released (the [[graft.ops.GraphAlgos]] lifecycle — at
+    * most two rounds' storage live at once). Cycles terminate naturally:
+    * each round is a SET (distinct), and a closed walk adds no new pairs.
+    * The closure's OUTPUT may be Θ(V²) on dense graphs — that is the
+    * operator's contract, not a plan defect; when one endpoint is fixed,
+    * use [[graft.engine.Graphs.reachable]] (frontier BFS from a source)
+    * instead of materializing all pairs. */
+  def closure(triples: DataFrame, predicate: Term,
+              sVar: String = "s", oVar: String = "o",
+              reflexive: Boolean = false, maxIter: Int = 20): DataFrame = {
+    require(sVar != oVar, s"closure: sVar and oVar must differ (got '$sVar')")
+    import graft.ops.GraphAlgos.releaseLocalCheckpoint
+    val edges = triples.filter(col("p") === Terms.constTerm(predicate))
+      .select(col("s").as("a"), col("o").as("b")).distinct()
+    var paths = edges.localCheckpoint()
+    var n = paths.count()
+    var i = 0
+    var converged = n == 0
+    while (i < maxIter && !converged) {
+      val hop = paths.as("x").join(paths.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"))
+      val next = paths.unionAll(hop).distinct().localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      releaseLocalCheckpoint(paths)
+      paths = next; n = m; i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"closure did not converge after $maxIter doubling rounds — a " +
+          "diameter beyond ~2^maxIter hops; raise maxIter if truly needed")
+    val out =
+      if (!reflexive) paths
+      else {
+        val verts = paths.select(col("a"))
+          .unionAll(paths.select(col("b").as("a"))).distinct()
+        paths.unionAll(verts.select(col("a"), col("a").as("b"))).distinct()
+      }
+    out.select(col("a").as(sVar), col("b").as(oVar))
   }
 
   /** INCREMENTAL BGP over a streaming triple source: pattern `streamedIdx`

@@ -141,4 +141,125 @@ class BgpSpec extends AnyFunSuite {
     assert(planned(1) == p3) // 'a' solved after p2 -> p3 has fewest unsolved
     assert(planned(2) == p1)
   }
+
+  // ------------------------------------------------------ solution algebra
+
+  private def sol(q: Bgp.Pattern) = Bgp.execute(spark, triples, q)
+
+  test("OPTIONAL extends matches and leaves non-matches unbound (LeftJoin)") {
+    // everyone with a name, optionally who they know
+    val base = sol(Bgp.Pattern(Seq(pat(v("who"), iri(ex + "name"), v("n")))))
+    val opt = sol(Bgp.Pattern(Seq(pat(v("who"), iri(ex + "knows"), v("o")))))
+    val r = Bgp.values(Bgp.optional(base, opt)).collect()
+      .map(x => (x.getAs[String]("who"), Option(x.getAs[String]("o")))).toSet
+    assert(r == Set(
+      (ex + "alice") -> Some(ex + "bob"),
+      (ex + "bob") -> Some(ex + "carol"),
+      (ex + "carol") -> None)) // carol knows nobody: o stays unbound
+  }
+
+  test("OPTIONAL with disjoint domains is a left-padded cross product") {
+    val base = sol(Bgp.Pattern(Seq(pat(iri(ex + "alice"), iri(ex + "name"), v("n")))))
+    val opt = sol(Bgp.Pattern(Seq(pat(iri(ex + "bob"), iri(ex + "knows"), v("k")))))
+    assert(Bgp.optional(base, opt).count() == 1)
+    // empty optional side still keeps every base row (all-null padding)
+    val none = sol(Bgp.Pattern(Seq(pat(iri(ex + "carol"), iri(ex + "knows"), v("k")))))
+    val padded = Bgp.values(Bgp.optional(base, none)).collect()
+    assert(padded.length == 1 && padded.head.isNullAt(1))
+  }
+
+  test("UNION aligns by variable name, missing vars unbound") {
+    val a = sol(Bgp.Pattern(Seq(pat(v("who"), iri(ex + "knows"), v("o")))))
+    val b = sol(Bgp.Pattern(Seq(pat(v("who"), iri(ex + "name"), v("n")))))
+    val u = Bgp.values(Bgp.union(a, b))
+    assert(u.columns.sorted.toSeq == Seq("n", "o", "who"))
+    assert(u.count() == 5) // 2 knows + 3 name, bag semantics
+    assert(u.filter("o IS NULL").count() == 3 && u.filter("n IS NULL").count() == 2)
+  }
+
+  test("MINUS removes on shared vars; disjoint domains remove NOTHING (§8.3.3)") {
+    val all = sol(Bgp.Pattern(Seq(pat(v("who"), iri(ex + "name"), v("n")))))
+    val knowers = sol(Bgp.Pattern(Seq(pat(v("who"), iri(ex + "knows"), v("k")))))
+    val r = Bgp.values(Bgp.minus(all, knowers)).collect()
+    assert(r.map(_.getAs[String]("who")).toSet == Set(ex + "carol"))
+    // the spec gotcha: no shared variable -> nothing removed
+    val disjoint = sol(Bgp.Pattern(Seq(pat(v("x"), iri(ex + "knows"), v("y")))))
+    assert(Bgp.minus(all, disjoint).count() == all.count())
+  }
+
+  test("EXISTS / NOT EXISTS: semi/anti; disjoint domains DO eliminate") {
+    val all = sol(Bgp.Pattern(Seq(pat(v("who"), iri(ex + "name"), v("n")))))
+    val knowers = sol(Bgp.Pattern(Seq(pat(v("who"), iri(ex + "knows"), v("k")))))
+    assert(Bgp.values(Bgp.exists(all, knowers)).collect()
+      .map(_.getAs[String]("who")).toSet == Set(ex + "alice", ex + "bob"))
+    assert(Bgp.values(Bgp.notExists(all, knowers)).collect()
+      .map(_.getAs[String]("who")).toSet == Set(ex + "carol"))
+    // NOT EXISTS diverges from MINUS on disjoint domains: it eliminates
+    val disjoint = sol(Bgp.Pattern(Seq(pat(v("x"), iri(ex + "knows"), v("y")))))
+    assert(Bgp.notExists(all, disjoint).count() == 0)
+    assert(Bgp.exists(all, disjoint).count() == all.count())
+  }
+
+  test("joinSolutions composes a closure frame with a BGP result") {
+    val names = sol(Bgp.Pattern(Seq(pat(v("who"), iri(ex + "name"), v("n")))))
+    val cl = Bgp.closure(triples, Term.iri(ex + "knows"), sVar = "who", oVar = "dst")
+    val r = Bgp.values(Bgp.joinSolutions(names, cl)).collect()
+      .map(x => (x.getAs[String]("who"), x.getAs[String]("dst"))).toSet
+    assert(r == Set(
+      (ex + "alice") -> (ex + "bob"), (ex + "alice") -> (ex + "carol"),
+      (ex + "bob") -> (ex + "carol")))
+  }
+
+  test("closure: p+ on a chain, p* adds zero-hop pairs") {
+    val plus = Bgp.values(Bgp.closure(triples, Term.iri(ex + "knows"))).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(plus == Set(
+      (ex + "alice") -> (ex + "bob"), (ex + "bob") -> (ex + "carol"),
+      (ex + "alice") -> (ex + "carol")))
+    val star = Bgp.values(Bgp.closure(triples, Term.iri(ex + "knows"),
+      reflexive = true)).collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(star == plus ++ Set(ex + "alice", ex + "bob", ex + "carol").map(x => x -> x))
+  }
+
+  test("closure terminates on cycles and covers all intra-cycle pairs") {
+    import spark.implicits._
+    val p = Term.iri(ex + "next")
+    val cyc = Seq(
+      Triple(Term.iri(ex + "n1"), p, Term.iri(ex + "n2")),
+      Triple(Term.iri(ex + "n2"), p, Term.iri(ex + "n3")),
+      Triple(Term.iri(ex + "n3"), p, Term.iri(ex + "n1"))).toDF()
+    val r = Bgp.values(Bgp.closure(cyc, p)).collect()
+    // every ordered pair incl. self-loops through the cycle: 3x3
+    assert(r.length == 9)
+  }
+
+  test("closure on an absent predicate is empty") {
+    assert(Bgp.closure(triples, Term.iri(ex + "nope")).count() == 0)
+  }
+
+  test("closure fuzz: path doubling matches an in-memory reference closure") {
+    import spark.implicits._
+    val p = Term.iri(ex + "e")
+    val rnd = new scala.util.Random(42) // seeded: deterministic failures
+    for (trial <- 0 until 8) {
+      val n = 4 + rnd.nextInt(8) // 4-11 nodes
+      val m = 3 + rnd.nextInt(16) // 3-18 edges, duplicates/cycles welcome
+      val edges = Seq.fill(m)((rnd.nextInt(n), rnd.nextInt(n)))
+      // in-memory reference: iterate-to-fixpoint pair composition
+      var ref = edges.toSet
+      var grew = true
+      while (grew) {
+        val next = ref ++ (for ((a, b) <- ref; (c, d) <- ref if b == c) yield (a, d))
+        grew = next.size != ref.size
+        ref = next
+      }
+      val df = edges.map { case (a, b) =>
+        Triple(Term.iri(s"$ex$a"), p, Term.iri(s"$ex$b"))
+      }.toDF()
+      val got = Bgp.values(Bgp.closure(df, p)).collect()
+        .map(r => (r.getString(0).stripPrefix(ex).toInt,
+          r.getString(1).stripPrefix(ex).toInt)).toSet
+      assert(got == ref, s"trial $trial: n=$n edges=$edges")
+    }
+  }
 }
