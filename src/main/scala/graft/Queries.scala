@@ -958,6 +958,30 @@ object Queries {
       Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc
              |FROM documents WHERE lang='en' AND doc_id % 2 = 0""".stripMargin)),
 
+    // GRAPH ?g quad pattern: per-source named graphs (the per-document
+    // named-graph layout of a web KG); both patterns must match INSIDE one
+    // graph, so the oracle is a self-join on the graph key — cross-graph
+    // (en, de) pairs must NOT appear
+    "rdf_bgp_graph" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val quads = docs.select(
+          Terms.iri(concat(lit("http://graft.dev/graph/"), col("source"))).as("g"),
+          Terms.iri(concat(lit(WebKg.docNs), col("doc_id"))).as("s"),
+          Terms.iri(lit(WebKg.pLang)).as("p"),
+          Terms.strLit(col("lang")).as("o"))
+        import Bgp.dsl._
+        val q = Bgp.Pattern(Seq(
+          pat(v("a"), iri(WebKg.pLang), lit("en")),
+          pat(v("b"), iri(WebKg.pLang), lit("de"))))
+        Bgp.values(Bgp.executeGraph(s, quads, v("gr"), q))
+      },
+      Some("""SELECT 'http://graft.dev/graph/'||d1.source AS gr,
+             |'http://graft.dev/doc/'||d1.doc_id AS a,
+             |'http://graft.dev/doc/'||d2.doc_id AS b
+             |FROM documents d1 JOIN documents d2 ON d1.source = d2.source
+             |WHERE d1.lang = 'en' AND d2.lang = 'de'""".stripMargin)),
+
     // transitive property path p+ (path-doubled closure): chain edges
     // doc i -> doc i+1 for doc_id % 10 < 4 (a 4-hop chain per decade);
     // the oracle recomputes the closure with a recursive CTE

@@ -110,7 +110,8 @@ object Bgp {
     * one parsed struct column, then its sub-nodes filter/bind against the
     * parsed fields (the reference's nested match_triple unification,
     * bgp/helper.ex:113-127). */
-  private def scan(triples: DataFrame, p: TriplePattern): DataFrame = {
+  private def scan(triples: DataFrame, p: TriplePattern,
+                   graph: Option[Node] = None): DataFrame = {
     var df = triples
     val bindings = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
     var qtCount = 0
@@ -123,6 +124,7 @@ object Bgp {
         df = df.withColumn(name, Terms.parseQuoted(expr("value")))
         walk(qs, col(name)("s")); walk(qp, col(name)("p")); walk(qo, col(name)("o"))
     }
+    for (gn <- graph) walk(gn, col("g"))
     for ((pos, node) <- p.nodes) walk(node, col(pos))
     // repeated variables -> self-equality constraints
     val grouped = bindings.groupBy(_._1)
@@ -153,6 +155,63 @@ object Bgp {
       solved ++= p.vars
     }
     (solution, solved)
+  }
+
+  /** The quad-level join chain: like [[executeAll]] but over a NAMED-graph
+    * quad frame with every pattern additionally matching `graph` against
+    * the `g` column, so the graph variable joins across patterns (two
+    * patterns only combine within one graph). */
+  private def executeAllQuads(named: DataFrame, graph: Node,
+                              bgp: Pattern): (DataFrame, Set[String]) = {
+    val gVars = varsOf(graph)
+    val ordered = plan(bgp.patterns)
+    var solution: DataFrame = null
+    var solved = Set.empty[String]
+    for (p <- ordered) {
+      val sc = scan(named, p, Some(graph))
+      val vars = (p.vars ++ gVars).distinct
+      if (solution == null) solution = sc
+      else {
+        val shared = vars.filter(solved)
+        solution =
+          if (shared.nonEmpty) solution.join(sc, shared, "inner")
+          else solution.crossJoin(sc).drop("__exists")
+      }
+      solved ++= vars
+    }
+    (solution, solved)
+  }
+
+  /** GRAPH pattern over a QUAD frame (columns g/s/p/o as term structs,
+    * g NULL = the default graph): SPARQL's `GRAPH graph { bgp }`. Every
+    * triple pattern matches inside the SAME graph denoted by `graph` — a
+    * bound term pins the block to one named graph; a variable ranges over
+    * the dataset's NAMED graphs only (`g IS NOT NULL`, SPARQL §13.3: the
+    * default graph is not visible to GRAPH) and binds into the solution
+    * like any other variable, joining across patterns. The empty BGP
+    * enumerates the named graphs when `graph` is a variable (one solution
+    * per graph) and yields one empty solution when bound.
+    *
+    * Compose multiple GRAPH blocks (or a GRAPH block with a default-graph
+    * BGP) with [[joinSolutions]]/[[optional]]/[[minus]]; query the default
+    * graph itself with [[execute]] over `quads.filter(col("g").isNull)`.
+    * Same plan shape as [[execute]]: pre-ordered equi-join chain, the
+    * graph variable is just one more join key — per-document named graphs
+    * make it the partition-aligned key at corpus scale. */
+  def executeGraph(spark: SparkSession, quads: DataFrame, graph: Node,
+                   bgp: Pattern): DataFrame = {
+    val named = quads.filter(col("g").isNotNull)
+    (graph, bgp.patterns.isEmpty) match {
+      case (V(gv), true) =>
+        val graphs = named.select(col("g").as(gv)).distinct()
+        if (gv.startsWith("_")) graphs.select().limit(1) else graphs
+      case (_, true) => spark.range(1).drop("id")
+      case _ =>
+        val (solution, solved) = executeAllQuads(named, graph, bgp)
+        val projected = solved.toSeq.sorted.filterNot(_.startsWith("_"))
+        if (projected.isEmpty) solution.select().limit(1)
+        else solution.select(projected.map(col): _*).drop("__exists")
+    }
   }
 
   /** Execute a BGP against a triple table (columns s/p/o as term structs).

@@ -237,6 +237,54 @@ class BgpSpec extends AnyFunSuite {
     assert(Bgp.closure(triples, Term.iri(ex + "nope")).count() == 0)
   }
 
+  // ------------------------------------------------------- GRAPH patterns
+
+  private def quads = {
+    import spark.implicits._
+    import graft.core.Quad
+    val name = Term.iri(ex + "name")
+    Seq(
+      Quad(Term.iri(ex + "alice"), name, Term.str("Alice"), Term.iri(ex + "g1")),
+      Quad(Term.iri(ex + "bob"), name, Term.str("Bob"), Term.iri(ex + "g1")),
+      Quad(Term.iri(ex + "carol"), name, Term.str("Carol"), Term.iri(ex + "g2")),
+      Quad(Term.iri(ex + "alice"), Term.iri(ex + "knows"), Term.iri(ex + "bob"),
+        Term.iri(ex + "g1")),
+      Quad(Term.iri(ex + "carol"), Term.iri(ex + "knows"), Term.iri(ex + "alice"),
+        Term.iri(ex + "g2")),
+      // default graph: must be invisible to GRAPH patterns
+      Quad(Term.iri(ex + "dave"), name, Term.str("Dave"), null)
+    ).toDF()
+  }
+
+  test("GRAPH with bound name pins the block to one named graph") {
+    val q = Bgp.Pattern(Seq(pat(v("s"), iri(ex + "name"), v("n"))))
+    val r = Bgp.values(Bgp.executeGraph(spark, quads, iri(ex + "g2"), q)).collect()
+    assert(r.map(_.getAs[String]("n")).toSeq == Seq("Carol"))
+  }
+
+  test("GRAPH variable joins patterns WITHIN one graph and binds the name") {
+    // who knows someone AND has a name in the SAME graph?
+    val q = Bgp.Pattern(Seq(
+      pat(v("who"), iri(ex + "knows"), v("o")),
+      pat(v("who"), iri(ex + "name"), v("n"))))
+    val r = Bgp.values(Bgp.executeGraph(spark, quads, v("gr"), q)).collect()
+      .map(x => (x.getAs[String]("gr"), x.getAs[String]("n"))).toSet
+    // carol's knows-edge is in g2 where she also has a name; alice's pair
+    // is in g1; carol->alice does NOT pick up alice's g1 name (cross-graph)
+    assert(r == Set((ex + "g1") -> "Alice", (ex + "g2") -> "Carol"))
+  }
+
+  test("GRAPH never sees the default graph; empty BGP enumerates graphs") {
+    val q = Bgp.Pattern(Seq(pat(v("s"), iri(ex + "name"), v("n"))))
+    val all = Bgp.values(Bgp.executeGraph(spark, quads, v("gr"), q)).collect()
+    assert(!all.exists(_.getAs[String]("n") == "Dave"))
+    val graphs = Bgp.values(Bgp.executeGraph(spark, quads, v("gr"),
+      Bgp.Pattern(Seq.empty))).collect().map(_.getString(0)).toSet
+    assert(graphs == Set(ex + "g1", ex + "g2"))
+    assert(Bgp.executeGraph(spark, quads, iri(ex + "g1"),
+      Bgp.Pattern(Seq.empty)).count() == 1)
+  }
+
   test("closure fuzz: path doubling matches an in-memory reference closure") {
     import spark.implicits._
     val p = Term.iri(ex + "e")
