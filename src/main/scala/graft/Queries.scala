@@ -7,6 +7,7 @@ import graft.core.Vocab
 import graft.engine.{Bgp, Terms}
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.pipeline.WebKg
+import graft.sparql.Sparql
 
 /** The oracle-checked query registry: every operator claimed in SURVEY.md §2
   * appears here as a Spark implementation plus (where SQL-expressible) an
@@ -46,6 +47,31 @@ object Queries {
       Bgp.Pattern(Seq(pat(v("doc"), iri(titleP), v("t")))))
     (base, opt)
   }
+
+  /** Shared triple table of the sparql_* family — one deterministic fact
+    * set per document: lang / source / nchars (xsd:integer) for every doc,
+    * a title only for EVEN doc_ids (gives OPTIONAL/EXISTS both outcomes),
+    * and next-chain edges for doc_id % 10 < 4 (the rdf_bgp_closure
+    * geometry, so paths have multi-hop chains to walk). */
+  private def sparqlDocTriples(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val sCol = Terms.iri(concat(lit(WebKg.docNs), col("doc_id")))
+    def p(iri: String) = Terms.iri(lit(iri))
+    docs.select(sCol.as("s"), p(WebKg.pLang).as("p"),
+        Terms.strLit(col("lang")).as("o"))
+      .unionAll(docs.select(sCol.as("s"), p(WebKg.vocab + "source").as("p"),
+        Terms.strLit(col("source")).as("o")))
+      .unionAll(docs.select(sCol.as("s"), p(WebKg.vocab + "nchars").as("p"),
+        Terms.typedLit(col("n_chars").cast("string"), xsdInt).as("o")))
+      .unionAll(docs.filter(col("doc_id") % 2 === 0)
+        .select(sCol.as("s"), p(WebKg.pTitle).as("p"),
+          Terms.strLit(concat(lit("T"), col("doc_id"))).as("o")))
+      .unionAll(docs.filter(col("doc_id") % 10 < 4)
+        .select(sCol.as("s"), p(WebKg.vocab + "next").as("p"),
+          Terms.iri(concat(lit(WebKg.docNs), col("doc_id") + 1)).as("o")))
+  }
+
+  private val sparqlPrefix = s"PREFIX v: <${WebKg.vocab}>\n"
 
   // shared by kg_entity_link_fuzzy (broadcast dictionary) and
   // kg_entity_link_big (shuffled big-dictionary path): identical semantics,
@@ -1005,6 +1031,106 @@ object Queries {
              |  SELECT cl.a, e.b FROM cl JOIN e ON cl.b = e.a)
              |SELECT 'http://graft.dev/doc/'||a AS src,
              |'http://graft.dev/doc/'||b AS dst FROM cl""".stripMargin)),
+
+    // --- SPARQL text frontend (graft.sparql): full query strings parsed,
+    // compiled onto the solution algebra + Column expressions, and checked
+    // against plain-SQL oracles over the same shared triple construction
+    // (sparqlDocTriples). Each query exercises a distinct algebra shape.
+    "sparql_select" -> Q(
+      (s, d) => Sparql.selectValues(s, sparqlDocTriples(s, d), sparqlPrefix +
+        """SELECT ?doc ?n WHERE {
+          |  ?doc v:lang "en" ; v:source "src7" ; v:nchars ?n
+          |  FILTER(?n > 300)
+          |}""".stripMargin),
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc,
+             |  CAST(n_chars AS VARCHAR) AS n FROM documents
+             |WHERE lang='en' AND source='src7' AND n_chars > 300""".stripMargin)),
+
+    "sparql_agg" -> Q(
+      (s, d) => Sparql.selectValues(s, sparqlDocTriples(s, d), sparqlPrefix +
+        """SELECT ?lang (COUNT(*) AS ?n) (SUM(?c) AS ?chars) (MIN(?c) AS ?lo)
+          |WHERE { ?d v:lang ?lang ; v:nchars ?c }
+          |GROUP BY ?lang HAVING(COUNT(*) > 10)""".stripMargin),
+      Some("""SELECT lang, CAST(count(*) AS VARCHAR) AS n,
+             |  CAST(sum(n_chars) AS VARCHAR) AS chars,
+             |  CAST(min(n_chars) AS VARCHAR) AS lo
+             |FROM documents GROUP BY lang HAVING count(*) > 10""".stripMargin)),
+
+    "sparql_optional_bind" -> Q(
+      (s, d) => Sparql.selectValues(s, sparqlDocTriples(s, d), sparqlPrefix +
+        """SELECT ?doc ?label WHERE {
+          |  ?doc v:lang "en" OPTIONAL { ?doc v:title ?t }
+          |  BIND(COALESCE(?t, "untitled") AS ?label)
+          |}""".stripMargin),
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'T'||doc_id ELSE 'untitled' END AS label
+             |FROM documents WHERE lang='en'""".stripMargin)),
+
+    "sparql_path_seq" -> Q(
+      (s, d) => Sparql.selectValues(s, sparqlDocTriples(s, d), sparqlPrefix +
+        "SELECT ?src ?dst WHERE { ?src v:next/v:next ?dst }"),
+      Some("""WITH e AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+             |  WHERE doc_id % 10 < 4)
+             |SELECT 'http://graft.dev/doc/'||e1.a AS src,
+             |  'http://graft.dev/doc/'||e2.b AS dst
+             |FROM e e1 JOIN e e2 ON e1.b = e2.a""".stripMargin)),
+
+    "sparql_not_exists" -> Q(
+      (s, d) => Sparql.selectValues(s, sparqlDocTriples(s, d), sparqlPrefix +
+        """SELECT ?doc WHERE {
+          |  ?doc v:lang "en" FILTER NOT EXISTS { ?doc v:title ?t }
+          |}""".stripMargin),
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc FROM documents
+             |WHERE lang='en' AND doc_id % 2 = 1""".stripMargin)),
+
+    "sparql_values_filter" -> Q(
+      (s, d) => Sparql.selectValues(s, sparqlDocTriples(s, d), sparqlPrefix +
+        """SELECT ?doc ?src WHERE {
+          |  ?doc v:source ?src ; v:nchars ?n .
+          |  VALUES ?src { "src1" "src3" }
+          |  FILTER(STRSTARTS(STR(?doc), "http://graft.dev/doc/1") && ?n > 100)
+          |}""".stripMargin),
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, source AS src
+             |FROM documents WHERE source IN ('src1','src3')
+             |  AND CAST(doc_id AS VARCHAR) LIKE '1%' AND n_chars > 100""".stripMargin)),
+
+    "sparql_topk" -> Q(
+      (s, d) => Sparql.selectValues(s, sparqlDocTriples(s, d), sparqlPrefix +
+        """SELECT ?doc ?n WHERE { ?doc v:nchars ?n ; v:lang "en" }
+          |ORDER BY DESC(?n) ?doc LIMIT 50""".stripMargin),
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc,
+             |  CAST(n_chars AS VARCHAR) AS n FROM documents WHERE lang='en'
+             |ORDER BY n_chars DESC, 'http://graft.dev/doc/'||doc_id LIMIT 50""".stripMargin)),
+
+    "sparql_subselect" -> Q(
+      (s, d) => Sparql.selectValues(s, sparqlDocTriples(s, d), sparqlPrefix +
+        """SELECT ?doc ?cnt WHERE {
+          |  ?doc v:lang "en" ; v:source ?src .
+          |  { SELECT ?src (COUNT(*) AS ?cnt) WHERE { ?d v:source ?src } GROUP BY ?src }
+          |}""".stripMargin),
+      Some("""SELECT 'http://graft.dev/doc/'||d.doc_id AS doc,
+             |  CAST(c.n AS VARCHAR) AS cnt
+             |FROM documents d
+             |JOIN (SELECT source, count(*) AS n FROM documents GROUP BY source) c
+             |  ON d.source = c.source WHERE d.lang='en'""".stripMargin)),
+
+    // CONSTRUCT: the produced graph, aggregated per predicate so the result
+    // is compact and SQL-checkable (same verification shape as
+    // rdf_turtle_roundtrip)
+    "sparql_construct" -> Q(
+      (s, d) => {
+        val g = Sparql.query(s, sparqlDocTriples(s, d), sparqlPrefix +
+          """CONSTRUCT { ?doc v:label ?t . ?doc a v:Doc }
+            |WHERE { ?doc v:title ?t ; v:lang "en" }""".stripMargin)
+        g.groupBy(col("p")("value").as("p"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("o")("value")).as("n_obj"))
+      },
+      Some("""SELECT 'http://graft.dev/vocab#label' AS p, count(*) AS n,
+             |  count(DISTINCT doc_id) AS n_obj
+             |FROM documents WHERE lang='en' AND doc_id % 2 = 0
+             |UNION ALL
+             |SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', count(*), 1
+             |FROM documents WHERE lang='en' AND doc_id % 2 = 0""".stripMargin)),
 
     // XSD bounded-integer subtypes driver-visible: facet validation, cast
     // into a bounded target, and EBV, all through the Scala datatype kernel

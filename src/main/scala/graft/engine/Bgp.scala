@@ -137,9 +137,10 @@ object Bgp {
 
   /** The join chain WITHOUT the final projection: returns the solution
     * frame still carrying underscore-prefixed (hidden) variables plus the
-    * solved-variable set — callers that join further (executeIncremental)
-    * need the hidden vars as join keys before projecting them away. */
-  private def executeAll(triples: DataFrame, bgp: Pattern): (DataFrame, Set[String]) = {
+    * solved-variable set — callers that join further (executeIncremental,
+    * the SPARQL frontend's path composition) need the hidden vars as join
+    * keys before projecting them away. */
+  private[graft] def executeAll(triples: DataFrame, bgp: Pattern): (DataFrame, Set[String]) = {
     val ordered = plan(bgp.patterns)
     var solution: DataFrame = null
     var solved = Set.empty[String]
@@ -338,9 +339,29 @@ object Bgp {
               sVar: String = "s", oVar: String = "o",
               reflexive: Boolean = false, maxIter: Int = 20): DataFrame = {
     require(sVar != oVar, s"closure: sVar and oVar must differ (got '$sVar')")
-    import graft.ops.GraphAlgos.releaseLocalCheckpoint
     val edges = triples.filter(col("p") === Terms.constTerm(predicate))
-      .select(col("s").as("a"), col("o").as("b")).distinct()
+      .select(col("s").as("a"), col("o").as("b"))
+    val out = closurePairs(edges, reflexiveOver = None, maxIter = maxIter,
+      reflexiveVerts = reflexive)
+    out.select(col("a").as(sVar), col("b").as(oVar))
+  }
+
+  /** [[closure]] generalized to an arbitrary edge frame (columns `a`, `b`
+    * of term structs) — the building block the SPARQL frontend's property
+    * paths compose over (a path's edge set may itself be a join / union /
+    * inverse, not one predicate scan). Same path-doubling shape and
+    * checkpoint lifecycle as [[closure]]. Zero-length expansion:
+    * `reflexiveOver = Some(nodes)` adds (n, n) for every node in the given
+    * frame (SPARQL `p*`'s zero-length path ranges over the GRAPH's terms,
+    * §9.3 — pass the graph's subject∪object set); `reflexiveVerts = true`
+    * instead uses the edge set's own vertex set (the [[closure]]
+    * contract). */
+  private[graft] def closurePairs(edgesIn: DataFrame,
+                                  reflexiveOver: Option[DataFrame],
+                                  maxIter: Int = 20,
+                                  reflexiveVerts: Boolean = false): DataFrame = {
+    import graft.ops.GraphAlgos.releaseLocalCheckpoint
+    val edges = edgesIn.select(col("a"), col("b")).distinct()
     var paths = edges.localCheckpoint()
     var n = paths.count()
     var i = 0
@@ -358,14 +379,15 @@ object Bgp {
       throw new IllegalStateException(
         s"closure did not converge after $maxIter doubling rounds — a " +
           "diameter beyond ~2^maxIter hops; raise maxIter if truly needed")
-    val out =
-      if (!reflexive) paths
-      else {
+    reflexiveOver match {
+      case Some(nodes) =>
+        paths.unionAll(nodes.select(col("a"), col("a").as("b"))).distinct()
+      case None if reflexiveVerts =>
         val verts = paths.select(col("a"))
           .unionAll(paths.select(col("b").as("a"))).distinct()
         paths.unionAll(verts.select(col("a"), col("a").as("b"))).distinct()
-      }
-    out.select(col("a").as(sVar), col("b").as(oVar))
+      case None => paths
+    }
   }
 
   /** INCREMENTAL BGP over a streaming triple source: pattern `streamedIdx`

@@ -1,0 +1,551 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+import graft.core.{Term, TermKind, Vocab, XsdOps}
+import graft.engine.{Bgp, Terms}
+import graft.engine.Bgp.{Bound, Node, V}
+import Ast._
+
+/** SPARQL query engine: query text -> the solution algebra
+  * ([[graft.engine.Bgp]]) + Column-compiled expressions ([[SparqlExpr]]),
+  * executed as ONE declarative DataFrame plan per query (Catalyst/AQE pick
+  * the physical joins; nothing here collects to the driver except ASK's
+  * final existence probe).
+  *
+  * Dataset contract: `data` is a TRIPLE frame (term-struct columns s/p/o —
+  * the default graph) or a QUAD frame (s/p/o/g, g NULL = default graph;
+  * GRAPH patterns need the quad shape). Pass any frame produced by
+  * [[graft.engine.RdfIO]] / [[graft.pipeline.WebKg]].
+  *
+  * Algebra shapes (each maps to one scalable join): BGP -> pre-planned
+  * equi-join chain; OPTIONAL -> left join; MINUS -> left-anti on shared
+  * vars; UNION -> unionByName; FILTER (NOT) EXISTS -> a flag column from a
+  * distinct-build left join (usable anywhere in an expression, not just at
+  * the filter top level); property paths -> composed pair frames with
+  * path-doubled closure for `+`/`*`; GROUP BY -> hash aggregation with
+  * exact integer SUM and order-insensitive deterministic GROUP_CONCAT.
+  *
+  * Documented divergences (each the same scalable-equi-join tradeoff the
+  * algebra layer documents at `Bgp.scala:249-257`): unbound shared
+  * variables never match in joins (well-designed patterns unaffected); a
+  * FILTER inside OPTIONAL referencing only outer variables evaluates
+  * before the left join, not inside it; GROUP_CONCAT output is sorted
+  * (the spec leaves order undefined — sorted is the only deterministic
+  * distributed choice); paths under `GRAPH ?var` are unsupported (bound
+  * GRAPH names work).
+  */
+object Sparql {
+
+  final case class SparqlEngineError(msg: String)
+      extends RuntimeException(msg)
+
+  // ------------------------------------------------------------- public API
+  /** Parse + execute any query form. SELECT -> one term-struct column per
+    * projected variable; ASK -> single boolean column `ask`; CONSTRUCT /
+    * DESCRIBE -> a triple frame (s/p/o). */
+  def query(spark: SparkSession, data: DataFrame, text: String,
+            base: String = null): DataFrame =
+    SparqlParser.parse(text, base) match {
+      case q: Select => runSelect(spark, data, q)
+      case q: Ast.Ask =>
+        spark.range(1).select(lit(ask(spark, data, q)).as("ask"))
+      case q: Construct => runConstruct(spark, data, q)
+      case q: Describe => runDescribe(spark, data, q)
+    }
+
+  /** SELECT: solutions as term-struct columns. */
+  def select(spark: SparkSession, data: DataFrame, text: String,
+             base: String = null): DataFrame =
+    SparqlParser.parse(text, base) match {
+      case q: Select => runSelect(spark, data, q)
+      case _ => throw SparqlEngineError("not a SELECT query")
+    }
+
+  /** SELECT flattened to lexical values (the `Bgp.values` convention). */
+  def selectValues(spark: SparkSession, data: DataFrame, text: String,
+                   base: String = null): DataFrame =
+    Bgp.values(select(spark, data, text, base))
+
+  /** ASK as a driver-side boolean. */
+  def askQuery(spark: SparkSession, data: DataFrame, text: String,
+               base: String = null): Boolean =
+    SparqlParser.parse(text, base) match {
+      case q: Ast.Ask => ask(spark, data, q)
+      case _ => throw SparqlEngineError("not an ASK query")
+    }
+
+  // ------------------------------------------------------------ the dataset
+  private final case class Ctx(spark: SparkSession, data: DataFrame) {
+    val isQuads: Boolean = data.columns.contains("g")
+    /** Default graph for pattern matching. */
+    lazy val triples: DataFrame =
+      if (isQuads) data.filter(col("g").isNull).select("s", "p", "o")
+      else data.select("s", "p", "o")
+    def quads: DataFrame =
+      if (isQuads) data
+      else throw SparqlEngineError(
+        "GRAPH patterns need a quad frame (columns s/p/o/g)")
+    def unit: DataFrame = spark.range(1).drop("id")
+  }
+
+  private def env(sol: DataFrame): Map[String, Column] =
+    sol.columns.iterator.map(c => c -> sol(c)).toMap
+
+  // ---------------------------------------------------------------- groups
+  /** Evaluate a group pattern. `gctx` is the enclosing GRAPH node (None =
+    * default graph). Hidden (underscore) variables are dropped at group
+    * exit — they scope to the group like the query bnodes they encode. */
+  private def evalGroup(ctx: Ctx, g: Group, gctx: Option[Node]): DataFrame = {
+    var sol: DataFrame = null
+    def cur: DataFrame = if (sol == null) ctx.unit else sol
+    val filters = Seq.newBuilder[Expr]
+    for (elem <- g.elems) elem match {
+      case EBgp(tps) => sol = joinInto(sol, evalBgp(ctx, tps, gctx))
+      case EGroup(sub) => sol = joinInto(sol, evalGroup(ctx, sub, gctx))
+      case ESubSelect(q) => sol = joinInto(sol, runSelect(ctx.spark, ctx.data, q))
+      case EOptional(sub) => sol = Bgp.optional(cur, evalGroup(ctx, sub, gctx))
+      case EMinusG(sub) => sol = Bgp.minus(cur, evalGroup(ctx, sub, gctx))
+      case EUnion(alts) =>
+        sol = joinInto(sol, alts.map(evalGroup(ctx, _, gctx)).reduce(Bgp.union))
+      case EGraphG(name, sub) =>
+        if (gctx.isDefined)
+          throw SparqlEngineError("nested GRAPH blocks are not supported")
+        sol = joinInto(sol, evalGraphBlock(ctx, name, sub))
+      case EFilter(e) => filters += e
+      case EBind(e, v) =>
+        val base = cur
+        if (base.columns.contains(v))
+          throw SparqlEngineError(s"BIND would rebind already-bound ?$v")
+        sol = base.withColumn(v, SparqlExpr.compile(e, env(base)))
+      case EValues(vars, rows) =>
+        sol = joinInto(sol, valuesFrame(ctx.spark, vars, rows))
+    }
+    // FILTERs scope to the whole group (§18.2.2.2): apply after assembly
+    var out = cur
+    for (f <- filters.result()) {
+      val (rewritten, sol2) = rewriteExists(ctx, f, out, gctx)
+      out = sol2.filter(SparqlExpr.compileBool(rewritten, env(sol2)))
+      out = dropByPrefix(out, "__ex")
+    }
+    dropByPrefix(out, "_")
+  }
+
+  private def joinInto(sol: DataFrame, next: DataFrame): DataFrame =
+    if (sol == null) next else Bgp.joinSolutions(sol, next)
+
+  private def dropByPrefix(df: DataFrame, prefix: String): DataFrame = {
+    val doomed = df.columns.filter(_.startsWith(prefix))
+    if (doomed.isEmpty) df else df.drop(doomed.toIndexedSeq: _*)
+  }
+
+  /** GRAPH name { sub }: bound name pins one named graph (the sub-group
+    * evaluates over its triples, full feature set); a variable ranges over
+    * named graphs — each BGP matches within one graph and the variable
+    * joins across patterns (Bgp.executeGraph). */
+  private def evalGraphBlock(ctx: Ctx, name: Node, sub: Group): DataFrame =
+    name match {
+      case Bound(t) =>
+        val pinned = ctx.quads.filter(col("g") === Terms.constTerm(t))
+          .select("s", "p", "o")
+        evalGroup(Ctx(ctx.spark, pinned), sub, gctx = None)
+      case v @ V(_) => evalGroup(ctx, sub, gctx = Some(v))
+      case other =>
+        throw SparqlEngineError(s"GRAPH needs a variable or IRI, got $other")
+    }
+
+  // ------------------------------------------------------------------ BGPs
+  /** One BGP element: plain patterns run through the engine's greedy
+    * planner as a single join chain; each path pattern becomes its own
+    * pair frame; everything equi-joins on shared (incl. hidden) vars. */
+  private def evalBgp(ctx: Ctx, tps: Seq[TP], gctx: Option[Node]): DataFrame = {
+    val plain = tps.collect { case TP(s, Left(p), o) => Bgp.TriplePattern(s, p, o) }
+    val paths = tps.collect { case TP(s, Right(p), o) => (s, p, o) }
+    gctx match {
+      case Some(gv) =>
+        if (paths.nonEmpty)
+          throw SparqlEngineError(
+            "property paths under GRAPH ?var are not supported — pin the graph or lift the path out")
+        Bgp.executeGraph(ctx.spark, ctx.quads, gv, Bgp.Pattern(plain))
+      case None =>
+        var sol: DataFrame = null
+        if (plain.nonEmpty) {
+          val (frame, _) = Bgp.executeAll(ctx.triples, Bgp.Pattern(plain))
+          sol = frame
+        }
+        for ((s, p, o) <- paths)
+          sol = joinInto(sol, evalPath(ctx, s, p, o))
+        if (sol == null) ctx.unit else sol
+    }
+  }
+
+  // ------------------------------------------------------------------ paths
+  /** Pair frame (columns a, b) of endpoints connected by `p`. */
+  private def pathPairs(ctx: Ctx, p: Path): DataFrame = p match {
+    case PLink(t) =>
+      ctx.triples.filter(col("p") === Terms.constTerm(t))
+        .select(col("s").as("a"), col("o").as("b"))
+    case PInv(q) =>
+      pathPairs(ctx, q).select(col("b").as("a"), col("a").as("b"))
+    case PSeq(q, r) =>
+      val l = pathPairs(ctx, q).select(col("a"), col("b").as("__m"))
+      val rr = pathPairs(ctx, r).select(col("a").as("__m"), col("b"))
+      l.join(rr, "__m").select(col("a"), col("b"))
+    case PAlt(q, r) => pathPairs(ctx, q).unionAll(pathPairs(ctx, r))
+    case PNeg(iris) =>
+      val hits = iris.map(t => col("p") === Terms.constTerm(t))
+        .reduce(_ || _)
+      ctx.triples.filter(!hits).select(col("s").as("a"), col("o").as("b"))
+    case PMod(q, '+') =>
+      Bgp.closurePairs(pathPairs(ctx, q), reflexiveOver = None)
+    case PMod(q, '*') =>
+      Bgp.closurePairs(pathPairs(ctx, q), reflexiveOver = Some(graphNodes(ctx)))
+    case PMod(q, '?') =>
+      pathPairs(ctx, q)
+        .unionAll(graphNodes(ctx).select(col("a"), col("a").as("b")))
+        .distinct()
+    case PMod(_, m) => throw SparqlEngineError(s"unknown path modifier $m")
+  }
+
+  /** Zero-length-path universe: every subject and object in the graph
+    * (SPARQL §9.3). One distinct over two pruned columns. */
+  private def graphNodes(ctx: Ctx): DataFrame =
+    ctx.triples.select(col("s").as("a"))
+      .unionAll(ctx.triples.select(col("o").as("a"))).distinct()
+
+  /** Bind a pair frame's endpoints to the pattern's subject/object. */
+  private def evalPath(ctx: Ctx, s: Node, p: Path, o: Node): DataFrame = {
+    var pairs = pathPairs(ctx, p)
+    def bindEnd(n: Node, c: String): Option[String] = n match {
+      case Bound(t) => pairs = pairs.filter(col(c) === Terms.constTerm(t)); None
+      case V(name) => Some(name)
+      case other =>
+        throw SparqlEngineError(s"quoted-triple patterns cannot anchor a property path ($other)")
+    }
+    (bindEnd(s, "a"), bindEnd(o, "b")) match {
+      case (Some(sv), Some(ov)) if sv == ov =>
+        pairs.filter(col("a") === col("b")).select(col("a").as(sv))
+      case (Some(sv), Some(ov)) =>
+        pairs.select(col("a").as(sv), col("b").as(ov))
+      case (Some(sv), None) => pairs.select(col("a").as(sv))
+      case (None, Some(ov)) => pairs.select(col("b").as(ov))
+      case (None, None) =>
+        // both ends bound: an existence test — at most one solution
+        pairs.select(lit(1).as("__exists")).limit(1).drop("__exists")
+    }
+  }
+
+  // ------------------------------------------------------------- EXISTS
+  /** Replace every (NOT) EXISTS in `e` with a boolean-term flag column
+    * computed by ONE distinct-build left join per EXISTS — the flag is an
+    * ordinary column, so EXISTS composes anywhere in an expression (the
+    * top-level-only shortcut via left-semi would not). */
+  private def rewriteExists(ctx: Ctx, e: Expr, solIn: DataFrame,
+                            gctx: Option[Node]): (Expr, DataFrame) = {
+    var sol = solIn
+    var n = 0
+    def walk(x: Expr): Expr = x match {
+      case EExists(g, negated) =>
+        val sub = evalGroup(ctx, g, gctx)
+        val shared = sol.columns.toSet.intersect(sub.columns.toSet).toSeq.sorted
+        val flag = s"__ex$n"; n += 1
+        val marker = Terms.constTerm(Term.bool(true))
+        sol =
+          if (shared.nonEmpty) {
+            val build = sub.select(shared.map(col): _*).distinct()
+              .withColumn(flag, marker)
+            sol.join(build, shared, "left")
+          } else {
+            val build = sub.limit(1).select(marker.as(flag))
+            sol.join(build, lit(true), "left")
+          }
+        val present = ECall("COALESCE",
+          Seq(EVar(flag), EConst(Term.bool(false))))
+        if (negated) ENot(present) else present
+      case EBin(op, l, r) => EBin(op, walk(l), walk(r))
+      case ENot(y) => ENot(walk(y))
+      case ENeg(y) => ENeg(walk(y))
+      case EIn(y, list, neg) => EIn(walk(y), list.map(walk), neg)
+      case ECall(fn, args) => ECall(fn, args.map(walk))
+      case other => other
+    }
+    val rewritten = walk(e)
+    (rewritten, sol)
+  }
+
+  // ------------------------------------------------------------- VALUES
+  private def valuesFrame(spark: SparkSession, vars: Seq[String],
+                          rows: Seq[Seq[Option[Term]]]): DataFrame = {
+    val schema = StructType(vars.map(v =>
+      StructField(v, Terms.termSchema, nullable = true)))
+    val data = rows.map { cells =>
+      Row(cells.map(_.map(t => Row(t.kind, t.value, t.datatype, t.lang)).orNull): _*)
+    }
+    spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
+  }
+
+  // ------------------------------------------------------------- SELECT
+  /** The engine's term order (`XsdOps.sortKey` semantics) as PURE Column
+    * keys — no UDF, so ORDER BY / MIN / MAX stay inside whole-stage
+    * codegen: (class, numeric value, NT-string tiebreak). Unbound sorts
+    * first (empty class), then terms by kind, numerics by value ("N" <
+    * "S"), everything else by its N-Triples form. Numeric order rides a
+    * double — two distinct numerics beyond 2^53 that collapse to one
+    * double fall back to lexical tiebreak (the Scala `XsdOps.sortKey` is
+    * exact there; SPARQL leaves equal-value order undefined anyway). */
+  private def sortKeyCols(t: Column): Seq[Column] = {
+    val num = SparqlExpr.numD(t)
+    val cls = when(t.isNull, lit(""))
+      .when(num.isNotNull, concat(t("kind").cast("string"), lit("|N")))
+      .otherwise(concat(t("kind").cast("string"), lit("|S")))
+    Seq(cls, num, Terms.ntString(t))
+  }
+
+  private def sortKeyOf(t: Column): Column = struct(sortKeyCols(t): _*)
+
+  private def runSelect(spark: SparkSession, data: DataFrame, q: Select): DataFrame = {
+    val ctx = Ctx(spark, data)
+    var sol = evalGroup(ctx, q.where, gctx = None)
+    val hasAgg = q.groupBy.nonEmpty ||
+      (q.projection.map(_._1) ++ q.having ++ q.orderBy.map(_._1))
+        .exists(containsAgg)
+
+    if (hasAgg) sol = aggregate(ctx, sol, q)
+    else {
+      // non-aggregate projection expressions materialize as columns
+      for ((e, Some(alias)) <- q.projection) {
+        if (sol.columns.contains(alias))
+          throw SparqlEngineError(s"SELECT expression would rebind ?$alias")
+        sol = sol.withColumn(alias, SparqlExpr.compile(e, env(sol)))
+      }
+    }
+
+    // HAVING without aggregate context is handled inside aggregate()
+    if (!hasAgg && q.having.nonEmpty)
+      throw SparqlEngineError("HAVING requires aggregation")
+
+    val wantDistinct = q.distinct || q.reduced
+    // plain queries order BEFORE projection (order exprs may use
+    // non-projected vars); DISTINCT queries order AFTER the distinct (the
+    // spec restricts their order exprs to projected vars — §15.1), so the
+    // shuffle cannot scramble the requested order
+    if (q.orderBy.nonEmpty && !hasAgg && !wantDistinct)
+      sol = applyOrder(sol, q.orderBy, Map.empty)
+
+    // projection
+    val names: Seq[String] =
+      if (q.projection.isEmpty) {
+        val visible = sol.columns.filterNot(_.startsWith("_")).toSet
+        val ordered = q.mentionOrder.filter(visible)
+        ordered ++ visible.diff(ordered.toSet).toSeq.sorted
+      } else q.projection.map {
+        case (EVar(n), None) => n
+        case (_, Some(a)) => a
+        case (e, None) =>
+          throw SparqlEngineError(s"SELECT expression needs AS: $e")
+      }
+    // a projected var the WHERE never binds is legal SPARQL: all-NULL column
+    var out = names.foldLeft(sol)((d, n) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, SparqlExpr.nullTerm))
+    out = out.select(names.map(col): _*)
+
+    if (wantDistinct) {
+      out = out.distinct()
+      if (q.orderBy.nonEmpty && !hasAgg) out = applyOrder(out, q.orderBy, Map.empty)
+    }
+    for (off <- q.offset) out = out.offset(off.toInt)
+    for (lim <- q.limit) out = out.limit(lim.toInt)
+    out
+  }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case _: EAgg => true
+    case EBin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case ENot(x) => containsAgg(x)
+    case ENeg(x) => containsAgg(x)
+    case EIn(x, list, _) => containsAgg(x) || list.exists(containsAgg)
+    case ECall(_, args) => args.exists(containsAgg)
+    case _ => false
+  }
+
+  private def collectAggs(e: Expr): Seq[EAgg] = e match {
+    case a: EAgg => Seq(a)
+    case EBin(_, l, r) => collectAggs(l) ++ collectAggs(r)
+    case ENot(x) => collectAggs(x)
+    case ENeg(x) => collectAggs(x)
+    case EIn(x, list, _) => collectAggs(x) ++ list.flatMap(collectAggs)
+    case ECall(_, args) => args.flatMap(collectAggs)
+    case _ => Nil
+  }
+
+  private def substAggs(e: Expr, table: Map[EAgg, String]): Expr = e match {
+    case a: EAgg => EVar(table(a))
+    case EBin(op, l, r) => EBin(op, substAggs(l, table), substAggs(r, table))
+    case ENot(x) => ENot(substAggs(x, table))
+    case ENeg(x) => ENeg(substAggs(x, table))
+    case EIn(x, list, neg) => EIn(substAggs(x, table), list.map(substAggs(_, table)), neg)
+    case ECall(fn, args) => ECall(fn, args.map(substAggs(_, table)))
+    case other => other
+  }
+
+  /** GROUP BY + aggregates. Output: one column per group key (by its var
+    * name) and per aggregate (by `__aggN`), then projection / HAVING /
+    * ORDER BY compile against those. */
+  private def aggregate(ctx: Ctx, solIn: DataFrame, q: Select): DataFrame = {
+    var sol = solIn
+    // group keys: ?var, or (expr AS ?v) materialized first
+    val keys: Seq[String] = q.groupBy.map {
+      case (EVar(n), None) => n
+      case (e, Some(alias)) =>
+        sol = sol.withColumn(alias, SparqlExpr.compile(e, env(sol)))
+        alias
+      case (e, None) =>
+        throw SparqlEngineError(s"GROUP BY expression needs AS ?var: $e")
+    }
+
+    val allExprs = q.projection.map(_._1) ++ q.having ++ q.orderBy.map(_._1)
+    val aggs = allExprs.flatMap(collectAggs).distinct
+    val table: Map[EAgg, String] =
+      aggs.zipWithIndex.map { case (a, i) => a -> s"__agg$i" }.toMap
+
+    val aggCols: Seq[Column] = aggs.map { a =>
+      compileAgg(a, sol).as(table(a))
+    }
+    if (aggCols.isEmpty)
+      throw SparqlEngineError("aggregation context without aggregates")
+    var out = sol.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+
+    // projection expressions (group keys project by name)
+    val projTable = table
+    for ((e, aliasOpt) <- q.projection) e match {
+      case EVar(n) =>
+        if (!keys.contains(n))
+          throw SparqlEngineError(s"?$n is projected but not a GROUP BY key")
+        for (a <- aliasOpt) out = out.withColumn(a, col(n))
+      case other =>
+        val alias = aliasOpt.getOrElse(
+          throw SparqlEngineError(s"aggregate projection needs AS: $other"))
+        out = out.withColumn(alias,
+          SparqlExpr.compile(substAggs(other, projTable), env(out)))
+    }
+    for (h <- q.having)
+      out = out.filter(SparqlExpr.compileBool(substAggs(h, projTable), env(out)))
+    if (q.orderBy.nonEmpty) out = applyOrder(out, q.orderBy, projTable)
+    dropByPrefix(out, "__agg")
+  }
+
+  /** One aggregate over the pre-aggregation solution frame. */
+  private def compileAgg(a: EAgg, sol: DataFrame): Column = {
+    val argCol = a.arg.map(e => SparqlExpr.compile(e, env(sol)))
+    def arg = argCol.getOrElse(
+      throw SparqlEngineError(s"${a.fn} needs an argument"))
+    a.fn match {
+      case "COUNT" =>
+        val c = argCol match {
+          case None => count(lit(1))
+          case Some(t) => if (a.distinct) count_distinct(t) else count(t)
+        }
+        Terms.typedLit(c.cast("string"), Vocab.xsdInteger)
+      case "SUM" | "AVG" =>
+        val t = arg
+        val dbl = SparqlExpr.numD(t)
+        val lng = when(t("datatype").isin(
+          graft.core.Xsd.integerFamily.toSeq.sorted: _*), t("value").try_cast("long"))
+        val bound = count(t)
+        val numeric = count(dbl)
+        val ints = count(lng)
+        val sumD = if (a.distinct) sum_distinct(dbl) else sum(dbl)
+        val sumL = if (a.distinct) sum_distinct(lng) else sum(lng)
+        if (a.fn == "SUM")
+          when(bound =!= numeric, SparqlExpr.nullTerm) // non-numeric in group = error
+            .when(bound === ints,
+              Terms.typedLit(coalesce(sumL, lit(0L)).cast("string"), Vocab.xsdInteger))
+            .otherwise(Terms.typedLit(sumD.cast("string"), Vocab.xsdDouble))
+        else {
+          val avgD =
+            if (a.distinct) sum_distinct(dbl) / count_distinct(dbl)
+            else avg(dbl)
+          when(bound =!= numeric, SparqlExpr.nullTerm)
+            .when(bound === 0, Terms.typedLit(lit("0"), Vocab.xsdInteger))
+            .otherwise(Terms.typedLit(avgD.cast("string"), Vocab.xsdDouble))
+        }
+      case "MIN" => min_by(arg, sortKeyOf(arg))
+      case "MAX" => max_by(arg, sortKeyOf(arg))
+      case "SAMPLE" => min_by(arg, sortKeyOf(arg)) // deterministic pick
+      case "GROUP_CONCAT" =>
+        val sep = a.separator.getOrElse(" ")
+        val vals = arg("value")
+        val gathered =
+          if (a.distinct) collect_set(vals) else collect_list(vals)
+        // sorted for determinism: the spec leaves concatenation order open
+        Terms.strLit(array_join(sort_array(gathered), sep))
+      case other => throw SparqlEngineError(s"unknown aggregate $other")
+    }
+  }
+
+  private def applyOrder(sol: DataFrame, orderBy: Seq[(Expr, Boolean)],
+                         aggTable: Map[EAgg, String]): DataFrame = {
+    val keys = orderBy.flatMap { case (e, asc) =>
+      val t = SparqlExpr.compile(substAggs(e, aggTable), env(sol))
+      sortKeyCols(t).map(k => if (asc) k.asc_nulls_first else k.desc_nulls_last)
+    }
+    sol.orderBy(keys: _*)
+  }
+
+  // ---------------------------------------------------------- ASK/CONSTRUCT
+  private def ask(spark: SparkSession, data: DataFrame, q: Ast.Ask): Boolean =
+    !evalGroup(Ctx(spark, data), q.where, gctx = None).isEmpty
+
+  private def runConstruct(spark: SparkSession, data: DataFrame,
+                           q: Construct): DataFrame = {
+    val ctx = Ctx(spark, data)
+    var sol = evalGroup(ctx, q.where, gctx = None)
+    for (off <- q.offset) sol = sol.offset(off.toInt)
+    for (lim <- q.limit) sol = sol.limit(lim.toInt)
+    // template bnodes (hidden _bn* vars unbound by WHERE) become fresh
+    // per-solution labels: label = bnodeVar + per-row id (unique within
+    // this query's execution — the standard's fresh-bnode-per-solution)
+    val rowId = monotonically_increasing_id().cast("string")
+    val withId = sol.withColumn("__row", rowId)
+    def nodeCol(n: Node): Column = n match {
+      case Bound(t) => Terms.constTerm(t)
+      case V(name) if withId.columns.contains(name) => col(name)
+      case V(name) if name.startsWith("_bn") =>
+        Terms.bnode(concat(lit(name.stripPrefix("_") + "r"), col("__row")))
+      case V(name) =>
+        throw SparqlEngineError(s"CONSTRUCT template var ?$name is never bound")
+      case other =>
+        throw SparqlEngineError(s"unsupported CONSTRUCT template node $other")
+    }
+    val parts = q.template.map { case (s, p, o) =>
+      withId.select(nodeCol(s).as("s"), nodeCol(p).as("p"), nodeCol(o).as("o"))
+    }
+    parts.reduce(_ unionAll _)
+      .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      .filter(col("s")("kind") =!= TermKind.LITERAL &&
+        col("p")("kind") === TermKind.IRI)
+      .distinct()
+  }
+
+  private def runDescribe(spark: SparkSession, data: DataFrame,
+                          q: Describe): DataFrame = {
+    val ctx = Ctx(spark, data)
+    val iriNodes = valuesFrame(spark, Seq("__n"),
+      q.iris.map(t => Seq(Option(t))))
+    val varNodes = q.where match {
+      case Some(g) =>
+        val sol = evalGroup(ctx, g, gctx = None)
+        q.vars.filter(sol.columns.contains).map(v => sol.select(col(v).as("__n")))
+      case None =>
+        if (q.vars.nonEmpty)
+          throw SparqlEngineError("DESCRIBE ?var needs a WHERE clause")
+        Nil
+    }
+    val nodes = (iriNodes +: varNodes).reduce(_ unionAll _)
+      .filter(col("__n").isNotNull).distinct()
+    // subject-based description (the reference's Graph.description shape)
+    ctx.triples.join(nodes, ctx.triples("s") === nodes("__n"), "left_semi")
+  }
+}

@@ -166,32 +166,53 @@ object SparqlExpr {
   }
 
   // -------------------------------------------------------------- compile
+  /** Is this AST node boolean-valued (compilable via [[compileBool]])? */
+  private def isBoolExpr(e: Expr): Boolean = e match {
+    case EBin("||" | "&&" | "=" | "!=" | "<" | "<=" | ">" | ">=", _, _) => true
+    case ENot(_) | EIn(_, _, _) => true
+    case _ => false
+  }
+
+  /** Boolean-valued compilation: a three-valued BooleanType Column. This
+    * path is LOAD-BEARING for plan size, not a convenience: logical
+    * operators compose raw booleans here, where the term-struct route
+    * (`ebv(boolTerm(x))`) would re-reference each operand subtree a dozen
+    * times per nesting level — Catalyst traversals do not memoize shared
+    * subtrees, so that multiplies analysis cost exponentially with
+    * expression depth (measured: a two-level FILTER took minutes before
+    * this split, milliseconds after). FILTER compiles through this
+    * directly: NULL (error) rows drop, exactly SQL WHERE. */
+  def compileBool(e: Expr, env: Map[String, Column]): Column = e match {
+    case EBin("||", l, r) => compileBool(l, env) || compileBool(r, env)
+    case EBin("&&", l, r) => compileBool(l, env) && compileBool(r, env)
+    case EBin("=", l, r) => rdfEquals(compile(l, env), compile(r, env))
+    case EBin("!=", l, r) => !rdfEquals(compile(l, env), compile(r, env))
+    case EBin(op @ ("<" | "<=" | ">" | ">="), l, r) =>
+      rdfCompare(op, compile(l, env), compile(r, env))
+    case ENot(x) => !compileBool(x, env)
+    case EIn(x, list, negated) =>
+      val t = compile(x, env)
+      val hits = list.map(i => rdfEquals(t, compile(i, env)))
+      val any = hits.foldLeft(lit(false))(_ || _) // Kleene OR: matches IN's error table
+      if (negated) !any else any
+    case other => ebv(compile(other, env))
+  }
+
   /** Compile an expression against `env` (variable -> term column). Vars
     * absent from `env` are unbound (NULL). EExists must be rewritten to a
     * flag variable by the translator before compiling. */
   def compile(e: Expr, env: Map[String, Column]): Column = e match {
+    case b if isBoolExpr(b) => boolTerm(compileBool(b, env))
     case EVar(n) => env.getOrElse(n, nullTerm)
     case EConst(t) => Terms.constTerm(t)
-    case EBin("||", l, r) => boolTerm(ebv(compile(l, env)) || ebv(compile(r, env)))
-    case EBin("&&", l, r) => boolTerm(ebv(compile(l, env)) && ebv(compile(r, env)))
-    case EBin("=", l, r) => boolTerm(rdfEquals(compile(l, env), compile(r, env)))
-    case EBin("!=", l, r) => boolTerm(!rdfEquals(compile(l, env), compile(r, env)))
-    case EBin(op @ ("<" | "<=" | ">" | ">="), l, r) =>
-      boolTerm(rdfCompare(op, compile(l, env), compile(r, env)))
     case EBin(op @ ("+" | "-" | "*" | "/"), l, r) =>
       arith(op, compile(l, env), compile(r, env))
     case EBin(op, _, _) => throw SparqlCompileError(s"unknown operator $op")
-    case ENot(x) => boolTerm(!ebv(compile(x, env)))
     case ENeg(x) =>
       val t = compile(x, env)
       when(isIntegerT(t), intTerm(-numL(t)))
         .when(isNumeric(t), dblTerm(-numD(t)))
         .otherwise(nullTerm)
-    case EIn(x, list, negated) =>
-      val t = compile(x, env)
-      val hits = list.map(i => rdfEquals(t, compile(i, env)))
-      val any = hits.foldLeft(lit(false))(_ || _) // Kleene OR: matches IN's error table
-      boolTerm(if (negated) !any else any)
     case EExists(_, _) =>
       throw SparqlCompileError(
         "EXISTS reached the expression compiler — the translator must rewrite it to a flag column")
@@ -199,6 +220,7 @@ object SparqlExpr {
       throw SparqlCompileError(
         s"aggregate $fn outside an aggregation context (GROUP BY / aggregate projection)")
     case ECall(fn, args) => call(fn, args.map(compile(_, env)), args, env)
+    case other => throw SparqlCompileError(s"unexpected expression $other")
   }
 
   // --------------------------------------------------------------- builtins
@@ -252,7 +274,7 @@ object SparqlExpr {
       case "COALESCE" => if (as.isEmpty) nullTerm else coalesce(as: _*)
       case "IF" =>
         arity(3)
-        val c = ebv(a0)
+        val c = compileBool(raw(0), env) // no term round-trip for the condition
         when(c, a1).when(!c, a2).otherwise(nullTerm)
       case "SAMETERM" => arity(2); boolTerm(when(a0.isNull || a1.isNull, nullBool).otherwise(a0 === a1))
       case "ISIRI" | "ISURI" => arity(1); boolTerm(when(a0.isNull, nullBool).otherwise(kindOf(a0) === TermKind.IRI))

@@ -1,0 +1,238 @@
+package graft.sparql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Quad, Term, Triple}
+
+class SparqlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val ex = "http://ex.org/"
+  private def i(s: String) = Term.iri(ex + s)
+
+  private def triples: DataFrame = {
+    import spark.implicits._
+    Seq(
+      Triple(i("alice"), i("knows"), i("bob")),
+      Triple(i("bob"), i("knows"), i("carol")),
+      Triple(i("alice"), i("likes"), i("dave")),
+      Triple(i("alice"), i("name"), Term.str("Alice")),
+      Triple(i("bob"), i("name"), Term.str("Bob")),
+      Triple(i("carol"), i("name"), Term.str("Carol")),
+      Triple(i("dave"), i("name"), Term.str("Dave")),
+      Triple(i("alice"), i("age"), Term.int(30)),
+      Triple(i("bob"), i("age"), Term.int(25)),
+      Triple(i("carol"), i("age"), Term.int(35)),
+      Triple(i("dave"), i("age"), Term.int(25))
+    ).toDF()
+  }
+
+  private def quads: DataFrame = {
+    import spark.implicits._
+    Seq(
+      Quad(i("alice"), i("name"), Term.str("Alice"), null),
+      Quad(i("alice"), i("knows"), i("bob"), i("g1")),
+      Quad(i("bob"), i("knows"), i("carol"), i("g1")),
+      Quad(i("alice"), i("knows"), i("carol"), i("g2"))
+    ).toDF()
+  }
+
+  private val P = s"PREFIX : <$ex>\nPREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+  /** Run a SELECT and flatten to value strings, as a set of row lists
+    * (null stays null). */
+  private def vals(q: String, data: DataFrame = triples): Set[List[String]] =
+    graft.engine.Bgp.values(Sparql.select(spark, data, P + q))
+      .collect().map(r => (0 until r.length).map(j =>
+        if (r.isNullAt(j)) null else r.getString(j)).toList).toSet
+
+  private def valsOrdered(q: String, data: DataFrame = triples): List[List[String]] =
+    graft.engine.Bgp.values(Sparql.select(spark, data, P + q))
+      .collect().map(r => (0 until r.length).map(j =>
+        if (r.isNullAt(j)) null else r.getString(j)).toList).toList
+
+  private def cols(q: String, data: DataFrame = triples): Seq[String] =
+    Sparql.select(spark, data, P + q).columns.toSeq
+
+  test("basic BGP with filter and projection") {
+    val r = vals("SELECT ?n WHERE { ?p :age ?a ; :name ?n FILTER(?a > 26) }")
+    assert(r == Set(List("Alice"), List("Carol")))
+  }
+
+  test("SELECT * follows textual mention order") {
+    assert(cols("SELECT * WHERE { ?who :name ?n . ?who :age ?a }")
+      == Seq("who", "n", "a"))
+  }
+
+  test("OPTIONAL leaves unmatched rows with NULL (unbound)") {
+    val r = vals(
+      """SELECT ?n ?friend WHERE {
+        |  ?p :name ?n OPTIONAL { ?p :knows ?friend }
+        |}""".stripMargin)
+    assert(r == Set(
+      List("Alice", ex + "bob"), List("Bob", ex + "carol"),
+      List("Carol", null), List("Dave", null)))
+  }
+
+  test("UNION aligns columns by name") {
+    val r = vals(
+      "SELECT ?x WHERE { { ?x :knows :bob } UNION { ?x :knows :carol } }")
+    assert(r == Set(List(ex + "alice"), List(ex + "bob")))
+  }
+
+  test("MINUS removes compatible solutions") {
+    val r = vals(
+      "SELECT ?p WHERE { ?p :age ?a MINUS { ?p :knows ?y } }")
+    assert(r == Set(List(ex + "carol"), List(ex + "dave")))
+  }
+
+  test("FILTER EXISTS / NOT EXISTS, also nested inside an expression") {
+    val r1 = vals("SELECT ?n WHERE { ?p :name ?n FILTER EXISTS { ?p :knows ?q } }")
+    assert(r1 == Set(List("Alice"), List("Bob")))
+    val r2 = vals("SELECT ?n WHERE { ?p :name ?n FILTER NOT EXISTS { ?p :knows ?q } }")
+    assert(r2 == Set(List("Carol"), List("Dave")))
+    // EXISTS composed with || — needs the flag-column form
+    val r3 = vals(
+      """SELECT ?n WHERE { ?p :name ?n ; :age ?a
+        |  FILTER(?a >= 35 || EXISTS { ?p :knows ?q }) }""".stripMargin)
+    assert(r3 == Set(List("Alice"), List("Bob"), List("Carol")))
+  }
+
+  test("BIND and SELECT expressions") {
+    val r = vals(
+      """SELECT ?n ?y WHERE {
+        |  ?p :name ?n ; :age ?a BIND(?a + 10 AS ?y) FILTER(?y <= 35)
+        |}""".stripMargin)
+    assert(r == Set(List("Bob", "35"), List("Dave", "35")))
+    val r2 = vals(
+      "SELECT (UCASE(?n) AS ?u) WHERE { :alice :name ?n }")
+    assert(r2 == Set(List("ALICE")))
+  }
+
+  test("VALUES constrains and can introduce unbound cells") {
+    val r = vals(
+      """SELECT ?p ?a WHERE {
+        |  ?p :age ?a VALUES ?p { :alice :carol }
+        |}""".stripMargin)
+    assert(r == Set(List(ex + "alice", "30"), List(ex + "carol", "35")))
+  }
+
+  test("property paths: sequence, alternative, inverse") {
+    assert(vals("SELECT ?x WHERE { :alice :knows/:knows ?x }")
+      == Set(List(ex + "carol")))
+    assert(vals("SELECT ?x WHERE { :alice :knows|:likes ?x }")
+      == Set(List(ex + "bob"), List(ex + "dave")))
+    assert(vals("SELECT ?x WHERE { :carol ^:knows ?x }")
+      == Set(List(ex + "bob")))
+    assert(vals("SELECT ?x WHERE { :alice :knows/:name ?x }")
+      == Set(List("Bob")))
+  }
+
+  test("property paths: + * ? and negated sets") {
+    assert(vals("SELECT ?x WHERE { :alice :knows+ ?x }")
+      == Set(List(ex + "bob"), List(ex + "carol")))
+    // p* includes the zero-length path: alice herself
+    assert(vals("SELECT ?x WHERE { :alice :knows* ?x }")
+      == Set(List(ex + "alice"), List(ex + "bob"), List(ex + "carol")))
+    assert(vals("SELECT ?x WHERE { :alice :knows? ?x }")
+      == Set(List(ex + "alice"), List(ex + "bob")))
+    // everything alice relates to EXCEPT via knows/name/age
+    assert(vals("SELECT ?x WHERE { :alice !(:knows|:name|:age) ?x }")
+      == Set(List(ex + "dave")))
+  }
+
+  test("aggregates with GROUP BY and HAVING") {
+    val r = vals(
+      """SELECT ?a (COUNT(*) AS ?n) (GROUP_CONCAT(?name; SEPARATOR=",") AS ?who)
+        |WHERE { ?p :age ?a ; :name ?name }
+        |GROUP BY ?a HAVING(COUNT(*) > 1)""".stripMargin)
+    assert(r == Set(List("25", "2", "Bob,Dave")))
+  }
+
+  test("global aggregates: SUM exact, AVG double, MIN/MAX by term order") {
+    val r = vals(
+      """SELECT (SUM(?a) AS ?s) (AVG(?a) AS ?m) (MIN(?a) AS ?lo) (MAX(?a) AS ?hi)
+        |WHERE { ?p :age ?a }""".stripMargin)
+    assert(r == Set(List("115", "28.75", "25", "35")))
+    val d = vals("SELECT (COUNT(DISTINCT ?a) AS ?n) (SUM(DISTINCT ?a) AS ?s) WHERE { ?p :age ?a }")
+    assert(d == Set(List("3", "90")))
+  }
+
+  test("ORDER BY / LIMIT / OFFSET / DISTINCT") {
+    val r = valsOrdered(
+      "SELECT ?n WHERE { ?p :name ?n ; :age ?a } ORDER BY DESC(?a) ?n LIMIT 3")
+    assert(r == List(List("Carol"), List("Alice"), List("Bob")))
+    val off = valsOrdered(
+      "SELECT ?n WHERE { ?p :name ?n ; :age ?a } ORDER BY ?a ?n OFFSET 1 LIMIT 2")
+    assert(off == List(List("Dave"), List("Alice")))
+    val d = vals("SELECT DISTINCT ?a WHERE { ?p :age ?a }")
+    assert(d == Set(List("25"), List("30"), List("35")))
+  }
+
+  test("subselect composes with the outer group") {
+    val r = vals(
+      """SELECT ?n ?cnt WHERE {
+        |  ?p :name ?n .
+        |  { SELECT ?p (COUNT(*) AS ?cnt) WHERE { ?p :knows ?q } GROUP BY ?p }
+        |}""".stripMargin)
+    assert(r == Set(List("Alice", "1"), List("Bob", "1")))
+  }
+
+  test("GRAPH with bound name and with a variable") {
+    val r1 = vals("SELECT ?x WHERE { GRAPH :g2 { :alice :knows ?x } }", quads)
+    assert(r1 == Set(List(ex + "carol")))
+    val r2 = vals("SELECT ?g WHERE { GRAPH ?g { ?s :knows ?o } }", quads)
+    assert(r2 == Set(List(ex + "g1"), List(ex + "g2")))
+    // default graph is not visible to GRAPH ?g
+    val r3 = vals("SELECT ?g ?s WHERE { GRAPH ?g { ?s :name ?n } }", quads)
+    assert(r3.isEmpty)
+  }
+
+  test("ASK") {
+    assert(Sparql.askQuery(spark, triples, P + "ASK { :alice :knows :bob }"))
+    assert(!Sparql.askQuery(spark, triples, P + "ASK { :bob :knows :alice }"))
+    val df = Sparql.query(spark, triples, P + "ASK { ?s :age 35 }")
+    assert(df.collect().head.getBoolean(0))
+  }
+
+  test("CONSTRUCT builds a deduplicated graph, with template bnodes") {
+    val g = Sparql.query(spark, triples, P +
+      """CONSTRUCT { ?p :aged ?a . ?p :profiled true }
+        |WHERE { ?p :age ?a FILTER(?a = 25) }""".stripMargin)
+    assert(g.count() == 4)
+    assert(g.filter(g("p")("value") === ex + "profiled").count() == 2)
+    // template bnode: one fresh bnode per solution row
+    val b = Sparql.query(spark, triples, P +
+      "CONSTRUCT { ?p :card [ :v ?a ] } WHERE { ?p :age ?a }")
+    assert(b.count() == 8) // 4 solutions × 2 template triples
+    assert(b.filter(b("o")("kind") === graft.core.TermKind.BNODE)
+      .select(b("o")("value")).distinct().count() == 4)
+  }
+
+  test("DESCRIBE returns subject descriptions") {
+    val d = Sparql.query(spark, triples, P +
+      "DESCRIBE ?p WHERE { ?p :age 35 }")
+    assert(d.count() == 2) // carol: name + age
+    val d2 = Sparql.query(spark, triples, P + "DESCRIBE :dave")
+    assert(d2.count() == 2)
+  }
+
+  test("projected-but-never-bound variable yields an all-NULL column") {
+    val r = vals("SELECT ?n ?ghost WHERE { :alice :name ?n }")
+    assert(r == Set(List("Alice", null)))
+  }
+
+  test("bnodes in patterns act as hidden joined variables") {
+    val r = vals("SELECT ?n WHERE { [ :knows ?q ] :name ?n . ?q :name \"Carol\" }")
+    assert(r == Set(List("Bob")))
+  }
+
+  test("IN filter and arithmetic in FILTER") {
+    val r = vals(
+      "SELECT ?n WHERE { ?p :name ?n ; :age ?a FILTER(?a IN (25, 35) && ?a * 2 < 60) }")
+    assert(r == Set(List("Bob"), List("Dave")))
+  }
+}
