@@ -24,7 +24,8 @@ object Bench {
     "sample_temperature",
     "embed_cosine_topk", "rdf_bgp", "kg_extract",
     "kg_dedup", "kg_dict_encode", "kg_latest_crawl", "kg_domain_stats",
-    "graph_pagerank", "dedup_clusters", "sample_stratified")
+    "graph_pagerank", "dedup_clusters", "sample_stratified",
+    "sparql_select", "sparql_agg", "sparql_subselect")
 
   private def session(cores: Int): SparkSession =
     BenchSession.local(cores, s"graft-bench-$cores",
