@@ -1132,6 +1132,28 @@ object Queries {
              |SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', count(*), 1
              |FROM documents WHERE lang='en' AND doc_id % 2 = 0""".stripMargin)),
 
+    // SPARQL UPDATE: a DELETE/INSERT rewrite applied functionally, result
+    // verified per predicate (the update's effect is exactly one predicate
+    // swapped on the English documents)
+    "sparql_update" -> Q(
+      (s, d) => {
+        val updated = Sparql.update(s, sparqlDocTriples(s, d), sparqlPrefix +
+          """DELETE { ?d v:lang "en" }
+            |INSERT { ?d v:english true }
+            |WHERE { ?d v:lang "en" }""".stripMargin)
+        updated.groupBy(col("p")("value").as("p")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'http://graft.dev/vocab#lang' AS p, count(*) AS n
+             |  FROM documents WHERE lang<>'en'
+             |UNION ALL SELECT 'http://graft.dev/vocab#english', count(*)
+             |  FROM documents WHERE lang='en'
+             |UNION ALL SELECT 'http://graft.dev/vocab#source', count(*) FROM documents
+             |UNION ALL SELECT 'http://graft.dev/vocab#nchars', count(*) FROM documents
+             |UNION ALL SELECT 'http://graft.dev/vocab#title', count(*)
+             |  FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL SELECT 'http://graft.dev/vocab#next', count(*)
+             |  FROM documents WHERE doc_id % 10 < 4""".stripMargin)),
+
     // XSD bounded-integer subtypes driver-visible: facet validation, cast
     // into a bounded target, and EBV, all through the Scala datatype kernel
     // (UDFs on purpose — the query verifies the kernel's semantics against

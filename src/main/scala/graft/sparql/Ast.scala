@@ -98,4 +98,29 @@ object Ast {
   /** DESCRIBE of explicit IRIs and/or variables bound by the WHERE group. */
   final case class Describe(vars: Seq[String], iris: Seq[Term],
                             where: Option[Group]) extends Query
+
+  // ------------------------------------------------------------- update ops
+  /** One template/data quad; `g` None = the default graph (or the
+    * enclosing WITH graph). */
+  final case class QuadPat(s: Node, p: Node, o: Node, g: Option[Node])
+
+  sealed trait UpdateOp
+  /** INSERT DATA — ground quads; bnode labels are fresh once per op. */
+  final case class InsertData(quads: Seq[QuadPat]) extends UpdateOp
+  /** DELETE DATA — ground quads, bnodes forbidden (spec §3.1.2). */
+  final case class DeleteData(quads: Seq[QuadPat]) extends UpdateOp
+  /** DELETE WHERE — the quad pattern is both the match and the template. */
+  final case class DeleteWhere(quads: Seq[QuadPat]) extends UpdateOp
+  /** DELETE/INSERT ... WHERE; `withGraph` is the WITH target (scopes the
+    * WHERE and un-GRAPHed template quads). */
+  final case class Modify(del: Seq[QuadPat], ins: Seq[QuadPat], where: Group,
+                          withGraph: Option[Term]) extends UpdateOp
+  /** CLEAR/DROP; target ∈ {GRAPH, DEFAULT, NAMED, ALL}. */
+  final case class ClearOp(target: String, graph: Option[Term]) extends UpdateOp
+  /** ADD / MOVE / COPY; None = DEFAULT graph. */
+  final case class GraphCopy(op: String, from: Option[Term],
+                             to: Option[Term]) extends UpdateOp
+
+  /** A ';'-separated update request, applied left to right. */
+  final case class UpdateScript(ops: Seq[UpdateOp])
 }

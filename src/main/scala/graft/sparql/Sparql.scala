@@ -529,6 +529,172 @@ object Sparql {
       .distinct()
   }
 
+  // ------------------------------------------------------------------ UPDATE
+  /** SPARQL 1.1 Update, FUNCTIONALLY: applies the request's operations left
+    * to right and returns the NEW frame (the engine's immutable-frame
+    * convention — `Graphs.put/delete` style — not an in-place store
+    * mutation). Input may be a triple frame (s/p/o) or quad frame
+    * (s/p/o/g); the result has the same shape, except that an update
+    * inserting into a named graph promotes a triple frame to quads.
+    *
+    * Each operation is set-semantic (the reference's dedup-on-add store):
+    * INSERT = unionAll + distinct, DELETE = one null-safe left-anti hash
+    * join on (s,p,o,g). INSERT DATA bnode labels mint fresh labels once
+    * per operation; template bnodes in Modify INSERT mint per solution
+    * (the CONSTRUCT rule). WITH pins the WHERE and un-GRAPHed template
+    * quads to one named graph. CLEAR/DROP/ADD/MOVE/COPY are partition
+    * filters / unions on the graph column. */
+  def update(spark: SparkSession, data: DataFrame, text: String,
+             base: String = null): DataFrame = {
+    val script = SparqlParser.parseUpdate(text, base)
+    val hadG = data.columns.contains("g")
+    var frame =
+      if (hadG) data.select("s", "p", "o", "g")
+      else data.select(col("s"), col("p"), col("o"),
+        lit(null).cast(Terms.termSchema).as("g"))
+    for (op <- script.ops) frame = applyUpdate(spark, frame, op)
+    if (hadG) frame
+    else {
+      // demote back to a triple frame when nothing lives in a named graph
+      // (cheap: one isNotNull existence probe)
+      if (frame.filter(col("g").isNotNull).isEmpty) frame.select("s", "p", "o")
+      else frame
+    }
+  }
+
+  private def applyUpdate(spark: SparkSession, quads: DataFrame,
+                          op: UpdateOp): DataFrame = op match {
+    case InsertData(qs) =>
+      insertQuads(quads, instantiateGround(spark, qs, freshBnodes = true))
+    case DeleteData(qs) =>
+      deleteQuads(quads, instantiateGround(spark, qs, freshBnodes = false))
+    case DeleteWhere(qs) =>
+      // the pattern is both match and template: evaluate it as a group
+      val where = quadPatternGroup(qs)
+      val sol = evalQuadGroup(spark, quads, where, None)
+      deleteQuads(quads, instantiateTemplate(qs, sol, freshBnodes = false))
+    case Modify(del, ins, where, withGraph) =>
+      val sol = evalQuadGroup(spark, quads, where, withGraph)
+      val pinned: Option[Node] = withGraph.map(Bound(_))
+      val delPinned = del.map(q => q.copy(g = q.g.orElse(pinned)))
+      val insPinned = ins.map(q => q.copy(g = q.g.orElse(pinned)))
+      val afterDel =
+        if (delPinned.isEmpty) quads
+        else deleteQuads(quads,
+          instantiateTemplate(delPinned, sol, freshBnodes = false))
+      if (insPinned.isEmpty) afterDel
+      else insertQuads(afterDel,
+        instantiateTemplate(insPinned, sol, freshBnodes = true))
+    case ClearOp("NOOP", _) => quads
+    case ClearOp("DEFAULT", _) => quads.filter(col("g").isNotNull)
+    case ClearOp("NAMED", _) => quads.filter(col("g").isNull)
+    case ClearOp("ALL", _) => quads.limit(0)
+    case ClearOp("GRAPH", Some(g)) =>
+      quads.filter(!(col("g") <=> Terms.constTerm(g)))
+    case ClearOp(t, _) => throw SparqlEngineError(s"unknown CLEAR target $t")
+    case GraphCopy(op2, from, to) =>
+      if (from == to) quads
+      else {
+        def gCol(t: Option[Term]): Column =
+          t.map(Terms.constTerm).getOrElse(lit(null).cast(Terms.termSchema))
+        val src = quads.filter(col("g") <=> gCol(from))
+          .select(col("s"), col("p"), col("o"), gCol(to).as("g"))
+        val base = op2 match {
+          case "ADD" => quads
+          case "COPY" => quads.filter(!(col("g") <=> gCol(to)))
+          case "MOVE" => quads.filter(!(col("g") <=> gCol(to)) &&
+            !(col("g") <=> gCol(from)))
+          case other => throw SparqlEngineError(s"unknown graph op $other")
+        }
+        base.unionAll(src).distinct()
+      }
+  }
+
+  /** WHERE evaluation for updates: quad-aware — un-GRAPHed patterns match
+    * the default graph (or the WITH graph). Under WITH the frame is scoped
+    * to the pinned graph, so property paths work there but a nested GRAPH
+    * block sees no other named graphs (documented narrowing of WITH). */
+  private def evalQuadGroup(spark: SparkSession, quads: DataFrame,
+                            where: Group, withGraph: Option[Term]): DataFrame = {
+    val scoped = withGraph match {
+      case Some(g) => quads.filter(col("g") <=> Terms.constTerm(g))
+        .select(col("s"), col("p"), col("o"),
+          lit(null).cast(Terms.termSchema).as("g"))
+      case None => quads
+    }
+    evalGroup(Ctx(spark, scoped), where, gctx = None)
+  }
+
+  /** A DELETE WHERE pattern as a group: un-GRAPHed quads form one BGP;
+    * GRAPH'd quads become GRAPH blocks. */
+  private def quadPatternGroup(qs: Seq[QuadPat]): Group = {
+    val (plain, graphed) = qs.partition(_.g.isEmpty)
+    val elems = Seq.newBuilder[Element]
+    if (plain.nonEmpty)
+      elems += EBgp(plain.map(q => TP(q.s, Left(q.p), q.o)))
+    for ((gn, group) <- graphed.groupBy(_.g.get))
+      elems += EGraphG(gn, Group(Seq(EBgp(group.map(q => TP(q.s, Left(q.p), q.o))))))
+    Group(elems.result())
+  }
+
+  /** Ground quads (INSERT/DELETE DATA) as a one-row-per-quad frame; bnode
+    * labels mint fresh uuid-based labels once per operation. */
+  private def instantiateGround(spark: SparkSession, qs: Seq[QuadPat],
+                                freshBnodes: Boolean): DataFrame = {
+    val mint = java.util.UUID.randomUUID().toString.replace("-", "")
+    def term(n: Node): Term = n match {
+      case Bound(t) => t
+      case V(name) if name.startsWith("_bn") && freshBnodes =>
+        Term.bnode(name.stripPrefix("_") + mint)
+      case other => throw SparqlEngineError(s"non-ground node in DATA block: $other")
+    }
+    val rows = qs.map { q =>
+      Seq(Option(term(q.s)), Option(term(q.p)), Option(term(q.o)),
+        q.g.map(term))
+    }
+    valuesFrame(spark, Seq("s", "p", "o", "g"), rows)
+  }
+
+  /** Template instantiation over solutions (the CONSTRUCT rule, quad-level). */
+  private def instantiateTemplate(qs: Seq[QuadPat], sol: DataFrame,
+                                  freshBnodes: Boolean): DataFrame = {
+    val withId = sol.withColumn("__row",
+      monotonically_increasing_id().cast("string"))
+    def nodeCol(n: Node): Column = n match {
+      case Bound(t) => Terms.constTerm(t)
+      case V(name) if withId.columns.contains(name) => col(name)
+      case V(name) if name.startsWith("_bn") && freshBnodes =>
+        Terms.bnode(concat(lit(name.stripPrefix("_") + "r"), col("__row")))
+      case V(name) =>
+        throw SparqlEngineError(s"update template var ?$name is never bound")
+      case other =>
+        throw SparqlEngineError(s"unsupported update template node $other")
+    }
+    val parts = qs.map { q =>
+      withId.select(nodeCol(q.s).as("s"), nodeCol(q.p).as("p"),
+        nodeCol(q.o).as("o"),
+        q.g.map(nodeCol).getOrElse(lit(null).cast(Terms.termSchema)).as("g"))
+    }
+    parts.reduce(_ unionAll _)
+      .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      .filter(col("s")("kind") =!= TermKind.LITERAL &&
+        col("p")("kind") === TermKind.IRI)
+      .distinct()
+  }
+
+  private def insertQuads(quads: DataFrame, add: DataFrame): DataFrame =
+    quads.unionAll(add.select("s", "p", "o", "g")).distinct()
+
+  /** One null-safe left-anti hash join on (s,p,o,g). */
+  private def deleteQuads(quads: DataFrame, del: DataFrame): DataFrame = {
+    val d = del.select(col("s").as("__ds"), col("p").as("__dp"),
+      col("o").as("__do"), col("g").as("__dg"))
+    quads.join(d,
+      quads("s") === d("__ds") && quads("p") === d("__dp") &&
+        quads("o") === d("__do") && (quads("g") <=> d("__dg")),
+      "left_anti")
+  }
+
   private def runDescribe(spark: SparkSession, data: DataFrame,
                           q: Describe): DataFrame = {
     val ctx = Ctx(spark, data)

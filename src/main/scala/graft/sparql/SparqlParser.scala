@@ -30,6 +30,12 @@ object SparqlParser {
     new Parser(query, toks, Option(base)).parseQuery()
   }
 
+  /** Parse a SPARQL 1.1 Update request (';'-separated operations). */
+  def parseUpdate(update: String, base: String = null): UpdateScript = {
+    val toks = new Lexer(update).tokenize()
+    new Parser(update, toks, Option(base)).parseUpdateScript()
+  }
+
   // ------------------------------------------------------------------ tokens
   private[sparql] sealed trait Tok { def pos: Int }
   private[sparql] final case class TIri(v: String, pos: Int) extends Tok
@@ -392,6 +398,160 @@ object SparqlParser {
 
     private def noDataset(): Unit =
       if (isWord("FROM")) err("FROM dataset clauses are not supported — pass the dataset as a DataFrame")
+
+    // ---------------------------------------------------------------- update
+    def parseUpdateScript(): UpdateScript = {
+      val ops = Vector.newBuilder[UpdateOp]
+      var go = true
+      while (go) {
+        prologue() // each operation may carry its own PREFIX/BASE block
+        if (peek.isInstanceOf[TEof]) go = false
+        else {
+          ops += updateOp()
+          if (!takePunct(";")) go = false
+        }
+      }
+      peek match {
+        case TEof(_) => UpdateScript(ops.result())
+        case t => err("expected ';' between update operations or end of input", t)
+      }
+    }
+
+    private def updateOp(): UpdateOp = {
+      if (takeWord("INSERT")) {
+        if (takeWord("DATA")) InsertData(quadBlock(ground = true))
+        else modify(del = Nil, withGraph = None, needInsert = true)
+      }
+      else if (takeWord("DELETE")) {
+        if (takeWord("DATA")) {
+          val qs = quadBlock(ground = true)
+          for (q <- qs; n <- Seq(q.s, q.o)) n match {
+            case V(name) if name.startsWith("_bn") =>
+              err("blank nodes are not allowed in DELETE DATA")
+            case _ => ()
+          }
+          DeleteData(qs)
+        }
+        else if (takeWord("WHERE")) DeleteWhere(quadBlock(ground = false))
+        else {
+          val del = quadBlock(ground = false)
+          for (q <- del; n <- Seq(q.s, q.o)) n match {
+            case V(name) if name.startsWith("_bn") =>
+              err("blank nodes are not allowed in DELETE templates")
+            case _ => ()
+          }
+          if (takeWord("INSERT")) modify(del, withGraph = None, needInsert = true)
+          else modify(del, withGraph = None, needInsert = false, insParsed = Some(Nil))
+        }
+      }
+      else if (takeWord("WITH")) {
+        val g = expectIriTerm()
+        if (takeWord("DELETE")) {
+          if (takeWord("WHERE")) {
+            // WITH g DELETE WHERE: pin every un-GRAPHed quad to g
+            val qs = quadBlock(ground = false)
+            DeleteWhere(qs.map(q => q.copy(g = q.g.orElse(Some(Bound(g))))))
+          } else {
+            val del = quadBlock(ground = false)
+            if (takeWord("INSERT")) modify(del, Some(g), needInsert = true)
+            else modify(del, Some(g), needInsert = false, insParsed = Some(Nil))
+          }
+        } else if (takeWord("INSERT")) modify(Nil, Some(g), needInsert = true)
+        else err("WITH needs a DELETE or INSERT clause")
+      }
+      else if (isWord("CLEAR") || isWord("DROP")) { i += 1; clearOp() }
+      else if (isWord("ADD") || isWord("MOVE") || isWord("COPY")) {
+        val op = peek.asInstanceOf[TWord].w.toUpperCase; i += 1
+        takeWord("SILENT")
+        val from = graphOrDefault()
+        expectWord("TO")
+        val to = graphOrDefault()
+        GraphCopy(op, from, to)
+      }
+      else if (takeWord("CREATE")) {
+        takeWord("SILENT"); expectWord("GRAPH"); expectIriTerm()
+        // graphs exist implicitly in the quad-frame model: CREATE is a no-op
+        ClearOp("NOOP", None)
+      }
+      else if (isWord("LOAD")) err("LOAD is not supported — read data with RdfIO and pass it as a DataFrame")
+      else err("expected an update operation (INSERT/DELETE/WITH/CLEAR/DROP/ADD/MOVE/COPY/CREATE)")
+    }
+
+    private def modify(del: Seq[QuadPat], withGraph: Option[Term],
+                       needInsert: Boolean,
+                       insParsed: Option[Seq[QuadPat]] = None): Modify = {
+      val ins = insParsed.getOrElse {
+        if (needInsert) quadBlock(ground = false) else Nil
+      }
+      if (isWord("USING")) err("USING dataset clauses are not supported")
+      expectWord("WHERE")
+      val where = groupGraphPattern()
+      Modify(del, ins, where, withGraph)
+    }
+
+    private def clearOp(): ClearOp = {
+      takeWord("SILENT")
+      if (takeWord("DEFAULT")) ClearOp("DEFAULT", None)
+      else if (takeWord("NAMED")) ClearOp("NAMED", None)
+      else if (takeWord("ALL")) ClearOp("ALL", None)
+      else if (takeWord("GRAPH")) ClearOp("GRAPH", Some(expectIriTerm()))
+      else err("CLEAR/DROP needs GRAPH <iri>, DEFAULT, NAMED or ALL")
+    }
+
+    private def graphOrDefault(): Option[Term] =
+      if (takeWord("DEFAULT")) None
+      else { takeWord("GRAPH"); Some(expectIriTerm()) }
+
+    private def expectIriTerm(): Term = peek match {
+      case TIri(v, _) => i += 1; Term.iri(resolveIri(v))
+      case t @ TPName(p, l, _) => i += 1; Term.iri(resolvePName(p, l, t))
+      case _ => err("expected an IRI")
+    }
+
+    /** `{ triples (GRAPH g { triples })* }` — the QuadData / QuadPattern
+      * production. `ground = true` rejects variables (INSERT/DELETE DATA);
+      * bnode-derived hidden vars stay (fresh-label semantics applied by the
+      * translator). */
+    private def quadBlock(ground: Boolean): Seq[QuadPat] = {
+      expectPunct("{")
+      val out = Vector.newBuilder[QuadPat]
+      def harvest(g: Option[Node]): Unit = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[TP]
+        val saved = tps
+        tps = buf
+        while (startsTriples) {
+          triplesSameSubject()
+          while (takePunct(".")) ()
+        }
+        tps = saved
+        for (tp <- buf) tp.p match {
+          case Left(p) =>
+            if (ground) for (n <- Seq(tp.s, p, tp.o) ++ g) n match {
+              case V(name) if !name.startsWith("_bn") =>
+                err(s"variables are not allowed in DATA blocks (?$name)")
+              case _ => ()
+            }
+            out += QuadPat(tp.s, p, tp.o, g)
+          case Right(_) => err("property paths are not allowed in update templates")
+        }
+      }
+      var go = true
+      while (go) {
+        harvest(None)
+        if (takeWord("GRAPH")) {
+          val gn: Node = peek match {
+            case TVar(n, _) if !ground => i += 1; mention(n); V(n)
+            case _ => Bound(expectIriTerm())
+          }
+          expectPunct("{")
+          harvest(Some(gn))
+          expectPunct("}")
+          while (takePunct(".")) ()
+        } else go = false
+      }
+      expectPunct("}")
+      out.result()
+    }
 
     private def trailingValues(q: Query): Query =
       if (!isWord("VALUES")) q
