@@ -355,20 +355,29 @@ object Bgp {
     * frame (SPARQL `p*`'s zero-length path ranges over the GRAPH's terms,
     * §9.3 — pass the graph's subject∪object set); `reflexiveVerts = true`
     * instead uses the edge set's own vertex set (the [[closure]]
-    * contract). */
+    * contract). `key` names optional extra grouping columns (e.g. the
+    * graph term for per-named-graph closure): hops compose only within
+    * equal key values, every output row keeps its key, and the
+    * `reflexiveOver` frame must carry the same key columns. */
   private[graft] def closurePairs(edgesIn: DataFrame,
                                   reflexiveOver: Option[DataFrame],
                                   maxIter: Int = 20,
-                                  reflexiveVerts: Boolean = false): DataFrame = {
+                                  reflexiveVerts: Boolean = false,
+                                  key: Seq[String] = Nil): DataFrame = {
     import graft.ops.GraphAlgos.releaseLocalCheckpoint
-    val edges = edgesIn.select(col("a"), col("b")).distinct()
+    val keyCols = key.map(col)
+    val outCols = col("a") +: col("b") +: keyCols
+    val edges = edgesIn.select(outCols: _*).distinct()
     var paths = edges.localCheckpoint()
     var n = paths.count()
     var i = 0
     var converged = n == 0
     while (i < maxIter && !converged) {
-      val hop = paths.as("x").join(paths.as("y"), col("x.b") === col("y.a"))
-        .select(col("x.a").as("a"), col("y.b").as("b"))
+      val cond = (col("x.b") === col("y.a")) +:
+        key.map(k => col(s"x.$k") === col(s"y.$k"))
+      val hop = paths.as("x").join(paths.as("y"), cond.reduce(_ && _))
+        .select(col("x.a").as("a") +: col("y.b").as("b") +:
+          key.map(k => col(s"x.$k").as(k)): _*)
       val next = paths.unionAll(hop).distinct().localCheckpoint()
       val m = next.count()
       converged = m == n
@@ -381,11 +390,13 @@ object Bgp {
           "diameter beyond ~2^maxIter hops; raise maxIter if truly needed")
     reflexiveOver match {
       case Some(nodes) =>
-        paths.unionAll(nodes.select(col("a"), col("a").as("b"))).distinct()
+        paths.unionAll(
+          nodes.select(col("a") +: col("a").as("b") +: keyCols: _*)).distinct()
       case None if reflexiveVerts =>
-        val verts = paths.select(col("a"))
-          .unionAll(paths.select(col("b").as("a"))).distinct()
-        paths.unionAll(verts.select(col("a"), col("a").as("b"))).distinct()
+        val verts = paths.select(col("a") +: keyCols: _*)
+          .unionAll(paths.select(col("b").as("a") +: keyCols: _*)).distinct()
+        paths.unionAll(
+          verts.select(col("a") +: col("a").as("b") +: keyCols: _*)).distinct()
       case None => paths
     }
   }

@@ -33,8 +33,9 @@ import Ast._
   * FILTER inside OPTIONAL referencing only outer variables evaluates
   * before the left join, not inside it; GROUP_CONCAT output is sorted
   * (the spec leaves order undefined — sorted is the only deterministic
-  * distributed choice); paths under `GRAPH ?var` are unsupported (bound
-  * GRAPH names work).
+  * distributed choice). Paths under `GRAPH ?var` run as per-graph pair
+  * frames (closures double within one graph, keyed by the graph term);
+  * nested GRAPH blocks re-scope against the root dataset and join in.
   */
 object Sparql {
 
@@ -77,17 +78,25 @@ object Sparql {
     }
 
   // ------------------------------------------------------------ the dataset
-  private final case class Ctx(spark: SparkSession, data: DataFrame) {
+  /** `data` is the ACTIVE graph (pinned to one named graph inside a bound
+    * `GRAPH <iri>` block); `root` stays the whole dataset so nested GRAPH
+    * blocks re-scope against the full set of named graphs (§13.3). */
+  private final case class Ctx(spark: SparkSession, data: DataFrame,
+                               root: DataFrame) {
     val isQuads: Boolean = data.columns.contains("g")
     /** Default graph for pattern matching. */
     lazy val triples: DataFrame =
       if (isQuads) data.filter(col("g").isNull).select("s", "p", "o")
       else data.select("s", "p", "o")
     def quads: DataFrame =
-      if (isQuads) data
+      if (root.columns.contains("g")) root
       else throw SparqlEngineError(
         "GRAPH patterns need a quad frame (columns s/p/o/g)")
     def unit: DataFrame = spark.range(1).drop("id")
+  }
+  private object Ctx {
+    def apply(spark: SparkSession, data: DataFrame): Ctx =
+      Ctx(spark, data, data)
   }
 
   private def env(sol: DataFrame): Map[String, Column] =
@@ -110,8 +119,10 @@ object Sparql {
       case EUnion(alts) =>
         sol = joinInto(sol, alts.map(evalGroup(ctx, _, gctx)).reduce(Bgp.union))
       case EGraphG(name, sub) =>
-        if (gctx.isDefined)
-          throw SparqlEngineError("nested GRAPH blocks are not supported")
+        // nested GRAPH re-scopes the active graph against the ROOT
+        // dataset's named graphs (§13.3) and joins into the enclosing
+        // solution on shared variables — the outer gctx does not apply
+        // inside the nested block.
         sol = joinInto(sol, evalGraphBlock(ctx, name, sub))
       case EFilter(e) => filters += e
       case EBind(e, v) =>
@@ -149,7 +160,7 @@ object Sparql {
       case Bound(t) =>
         val pinned = ctx.quads.filter(col("g") === Terms.constTerm(t))
           .select("s", "p", "o")
-        evalGroup(Ctx(ctx.spark, pinned), sub, gctx = None)
+        evalGroup(Ctx(ctx.spark, pinned, ctx.root), sub, gctx = None)
       case v @ V(_) => evalGroup(ctx, sub, gctx = Some(v))
       case other =>
         throw SparqlEngineError(s"GRAPH needs a variable or IRI, got $other")
@@ -164,10 +175,16 @@ object Sparql {
     val paths = tps.collect { case TP(s, Right(p), o) => (s, p, o) }
     gctx match {
       case Some(gv) =>
-        if (paths.nonEmpty)
-          throw SparqlEngineError(
-            "property paths under GRAPH ?var are not supported — pin the graph or lift the path out")
-        Bgp.executeGraph(ctx.spark, ctx.quads, gv, Bgp.Pattern(plain))
+        // plain patterns match within ONE named graph (executeGraph);
+        // each path pattern becomes a per-graph pair frame carrying the
+        // graph term, bound to the same graph variable so everything
+        // equi-joins on it (within-one-graph semantics, §13.3).
+        var sol: DataFrame = null
+        if (plain.nonEmpty || paths.isEmpty)
+          sol = Bgp.executeGraph(ctx.spark, ctx.quads, gv, Bgp.Pattern(plain))
+        for ((s, p, o) <- paths)
+          sol = joinInto(sol, evalPathG(ctx, s, p, o, gv))
+        sol
       case None =>
         var sol: DataFrame = null
         if (plain.nonEmpty) {
@@ -234,6 +251,96 @@ object Sparql {
         // both ends bound: an existence test — at most one solution
         pairs.select(lit(1).as("__exists")).limit(1).drop("__exists")
     }
+  }
+
+  // ------------------------------------------- paths under GRAPH ?var
+  /** Per-named-graph pair frame (columns a, b, g): endpoints connected by
+    * `p` WITHIN one named graph — sequences compose and closures double
+    * only where the graph term matches, so `GRAPH ?g { :x :p+ ?y }` never
+    * crosses graph boundaries. */
+  private def pathPairsG(ctx: Ctx, p: Path): DataFrame = {
+    val named = ctx.quads.filter(col("g").isNotNull)
+    p match {
+      case PLink(t) =>
+        named.filter(col("p") === Terms.constTerm(t))
+          .select(col("s").as("a"), col("o").as("b"), col("g"))
+      case PInv(q) =>
+        pathPairsG(ctx, q).select(col("b").as("a"), col("a").as("b"), col("g"))
+      case PSeq(q, r) =>
+        val l = pathPairsG(ctx, q)
+          .select(col("a"), col("b").as("__m"), col("g"))
+        val rr = pathPairsG(ctx, r)
+          .select(col("a").as("__m"), col("b"), col("g").as("__gr"))
+        l.join(rr, l("__m") === rr("__m") && l("g") === rr("__gr"))
+          .select(l("a"), rr("b"), l("g"))
+      case PAlt(q, r) => pathPairsG(ctx, q).unionAll(pathPairsG(ctx, r))
+      case PNeg(iris) =>
+        val hits = iris.map(t => col("p") === Terms.constTerm(t))
+          .reduce(_ || _)
+        named.filter(!hits)
+          .select(col("s").as("a"), col("o").as("b"), col("g"))
+      case PMod(q, '+') =>
+        Bgp.closurePairs(pathPairsG(ctx, q), reflexiveOver = None,
+          key = Seq("g"))
+      case PMod(q, '*') =>
+        Bgp.closurePairs(pathPairsG(ctx, q),
+          reflexiveOver = Some(graphNodesG(ctx)), key = Seq("g"))
+      case PMod(q, '?') =>
+        pathPairsG(ctx, q)
+          .unionAll(graphNodesG(ctx)
+            .select(col("a"), col("a").as("b"), col("g")))
+          .distinct()
+      case PMod(_, m) => throw SparqlEngineError(s"unknown path modifier $m")
+    }
+  }
+
+  /** Zero-length-path universe per named graph: every subject and object
+    * OF that graph (columns a, g). */
+  private def graphNodesG(ctx: Ctx): DataFrame = {
+    val named = ctx.quads.filter(col("g").isNotNull)
+    named.select(col("s").as("a"), col("g"))
+      .unionAll(named.select(col("o").as("a"), col("g"))).distinct()
+  }
+
+  /** Bind a per-graph pair frame's endpoints and graph term to the
+    * pattern's subject/object and the GRAPH variable. An endpoint that
+    * REUSES the graph variable name becomes an equality filter against
+    * the graph term (so `GRAPH ?g { ?g :p ?y }` never projects `g`
+    * twice). */
+  private def evalPathG(ctx: Ctx, s: Node, p: Path, o: Node,
+                        gv: Node): DataFrame = {
+    var pairs = pathPairsG(ctx, p)
+    val gName: Option[String] = gv match {
+      case V(name) => Some(name)
+      case Bound(t) =>
+        pairs = pairs.filter(col("g") === Terms.constTerm(t)); None
+      case other =>
+        throw SparqlEngineError(s"GRAPH needs a variable or IRI, got $other")
+    }
+    def bindEnd(n: Node, c: String): Option[String] = n match {
+      case Bound(t) => pairs = pairs.filter(col(c) === Terms.constTerm(t)); None
+      case V(name) if gName.contains(name) =>
+        pairs = pairs.filter(col(c) === col("g")); None
+      case V(name) => Some(name)
+      case other =>
+        throw SparqlEngineError(s"quoted-triple patterns cannot anchor a property path ($other)")
+    }
+    val sEnd = bindEnd(s, "a")
+    val oEnd = bindEnd(o, "b")
+    val ends: Seq[Column] = (sEnd, oEnd) match {
+      case (Some(sv), Some(ov)) if sv == ov =>
+        pairs = pairs.filter(col("a") === col("b"))
+        Seq(col("a").as(sv))
+      case (Some(sv), Some(ov)) => Seq(col("a").as(sv), col("b").as(ov))
+      case (Some(sv), None) => Seq(col("a").as(sv))
+      case (None, Some(ov)) => Seq(col("b").as(ov))
+      case (None, None) => Nil
+    }
+    val proj = ends ++ gName.map(n => col("g").as(n))
+    if (proj.isEmpty)
+      // both ends and the graph bound: an existence test
+      pairs.select(lit(1).as("__exists")).limit(1).drop("__exists")
+    else pairs.select(proj: _*)
   }
 
   // ------------------------------------------------------------- EXISTS
@@ -611,9 +718,9 @@ object Sparql {
   }
 
   /** WHERE evaluation for updates: quad-aware — un-GRAPHed patterns match
-    * the default graph (or the WITH graph). Under WITH the frame is scoped
-    * to the pinned graph, so property paths work there but a nested GRAPH
-    * block sees no other named graphs (documented narrowing of WITH). */
+    * the default graph (or the WITH graph, which rebinds the active
+    * default graph only: GRAPH blocks inside the WHERE still range over
+    * the dataset's named graphs, per SPARQL Update §3.1.3). */
   private def evalQuadGroup(spark: SparkSession, quads: DataFrame,
                             where: Group, withGraph: Option[Term]): DataFrame = {
     val scoped = withGraph match {
@@ -622,7 +729,7 @@ object Sparql {
           lit(null).cast(Terms.termSchema).as("g"))
       case None => quads
     }
-    evalGroup(Ctx(spark, scoped), where, gctx = None)
+    evalGroup(Ctx(spark, scoped, quads), where, gctx = None)
   }
 
   /** A DELETE WHERE pattern as a group: un-GRAPHed quads form one BGP;

@@ -1003,22 +1003,36 @@ object SparqlParser {
       case TPunct("(", _) => i += 1; val p = pathAlternative(); expectPunct(")"); p
       case TPunct("!", _) =>
         i += 1
+        val fwd = Vector.newBuilder[Term]
+        val rev = Vector.newBuilder[Term]
+        def member(): Unit =
+          if (takePunct("^")) rev += negSetIri() else fwd += negSetIri()
         if (takePunct("(")) {
-          val iris = Vector.newBuilder[Term]
-          iris += negSetIri()
-          while (takePunct("|")) iris += negSetIri()
+          member()
+          while (takePunct("|")) member()
           expectPunct(")")
-          PNeg(iris.result())
-        } else PNeg(Seq(negSetIri()))
+        } else member()
+        negSet(fwd.result(), rev.result())
       case t => err("expected a property path element", t)
     }
+
+    /** SPARQL §18.2.2.4: a mixed negated property set splits into the
+      * forward NPS over the forward members and the INVERSE of the NPS
+      * over the `^`-members — `!(:p|^:q)` ≡ `!(:p) | ^(!(:q))` with each
+      * side present only when its member list is non-empty. */
+    private def negSet(fwd: Seq[Term], rev: Seq[Term]): Path =
+      (fwd.nonEmpty, rev.nonEmpty) match {
+        case (true, false) => PNeg(fwd)
+        case (false, true) => PInv(PNeg(rev))
+        case (true, true) => PAlt(PNeg(fwd), PInv(PNeg(rev)))
+        case (false, false) => err("empty negated property set")
+      }
 
     private def negSetIri(): Term = peek match {
       case TIri(v, _) => i += 1; Term.iri(resolveIri(v))
       case t @ TPName(p, l, _) => i += 1; Term.iri(resolvePName(p, l, t))
       case TWord("a", _) => i += 1; Term.iri(Vocab.rdfType)
-      case TPunct("^", _) => err("inverse links inside negated property sets are not supported")
-      case t => err("negated property sets take forward IRI links only", t)
+      case t => err("negated property sets take IRI links (optionally ^-inverted)", t)
     }
 
     // ---------------------------------------------------------- expressions

@@ -126,6 +126,22 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(p(7) == Right(PMod(PSeq(PLink(l), PLink(r)), '+')))
   }
 
+  test("negated property sets split inverse members (§18.2.2.4)") {
+    val q = sel(
+      """PREFIX : <http://ex/>
+        |SELECT * WHERE {
+        |  ?a !(^:p) ?b .
+        |  ?a !(:p|^:q) ?c .
+        |  ?a !(^:p|:q|^:r) ?d
+        |}""".stripMargin)
+    def p(i: Int) = bgp(q.where)(i).p
+    val l = Term.iri("http://ex/p"); val r = Term.iri("http://ex/q")
+    val s = Term.iri("http://ex/r")
+    assert(p(0) == Right(PInv(PNeg(Seq(l)))))
+    assert(p(1) == Right(PAlt(PNeg(Seq(l)), PInv(PNeg(Seq(r))))))
+    assert(p(2) == Right(PAlt(PNeg(Seq(r)), PInv(PNeg(Seq(l, s))))))
+  }
+
   test("a plain iri path collapses to a Bound node (BGP-native shape)") {
     val q = sel("SELECT * WHERE { ?a <http://ex/p> ?b }")
     assert(bgp(q.where).head.p == Left(Bound(Term.iri("http://ex/p"))))

@@ -191,6 +191,70 @@ class SparqlSpec extends AnyFunSuite {
     assert(r3.isEmpty)
   }
 
+  test("negated property sets with inverse members") {
+    import spark.implicits._
+    val edges = Seq(
+      Triple(i("a"), i("p1"), i("b")),
+      Triple(i("b"), i("p2"), i("c"))).toDF()
+    // forward-only NPS: predicate not in the set
+    val r1 = vals("SELECT ?x ?y WHERE { ?x !(:p1) ?y }", edges)
+    assert(r1 == Set(List(ex + "b", ex + "c")))
+    // pure inverse NPS: inverse of the triples whose predicate is NOT p1
+    val r2 = vals("SELECT ?x ?y WHERE { ?x !(^:p1) ?y }", edges)
+    assert(r2 == Set(List(ex + "c", ex + "b")))
+    // mixed: forward part over !p1 UNION inverse part over !p2
+    val r3 = vals("SELECT ?x ?y WHERE { ?x !(:p1|^:p2) ?y }", edges)
+    assert(r3 == Set(List(ex + "b", ex + "c"), List(ex + "b", ex + "a")))
+  }
+
+  test("nested GRAPH blocks re-scope and join on shared variables") {
+    // variable outer, bound inner: inner matches in g1 regardless of ?g
+    val r1 = vals(
+      """SELECT ?g ?s ?x WHERE {
+        |  GRAPH ?g { ?s :knows :carol GRAPH :g1 { :alice :knows ?x } }
+        |}""".stripMargin, quads)
+    assert(r1 == Set(
+      List(ex + "g1", ex + "bob", ex + "bob"),
+      List(ex + "g2", ex + "alice", ex + "bob")))
+    // bound outer, variable inner: inner ranges over ALL named graphs
+    val r2 = vals(
+      """SELECT ?h ?y WHERE {
+        |  GRAPH :g2 { ?s :knows ?o GRAPH ?h { ?y :knows :carol } }
+        |}""".stripMargin, quads)
+    assert(r2 == Set(
+      List(ex + "g1", ex + "bob"), List(ex + "g2", ex + "alice")))
+    // shared graph variable: inner and outer bind the SAME ?g
+    val r3 = vals(
+      """SELECT ?g WHERE {
+        |  GRAPH ?g { :alice :knows ?o GRAPH ?g { ?s :knows :carol } }
+        |}""".stripMargin, quads)
+    assert(r3 == Set(List(ex + "g1"), List(ex + "g2")))
+  }
+
+  test("property paths under GRAPH ?var stay within one named graph") {
+    // g1 chains alice->bob->carol; g2 has only alice->carol
+    val r1 = vals(
+      "SELECT ?g ?x WHERE { GRAPH ?g { :alice :knows+ ?x } }", quads)
+    assert(r1 == Set(
+      List(ex + "g1", ex + "bob"), List(ex + "g1", ex + "carol"),
+      List(ex + "g2", ex + "carol")))
+    // zero-or-more: reflexive over each graph's OWN nodes
+    val r2 = vals(
+      "SELECT ?g ?x WHERE { GRAPH ?g { :bob :knows* ?x } }", quads)
+    assert(r2 == Set(
+      List(ex + "g1", ex + "bob"), List(ex + "g1", ex + "carol")))
+    // sequence composes within one graph only (no cross-graph hop)
+    val r3 = vals(
+      "SELECT ?g ?x WHERE { GRAPH ?g { :alice :knows/:knows ?x } }", quads)
+    assert(r3 == Set(List(ex + "g1", ex + "carol")))
+    // a path joins with a plain pattern on the graph variable
+    val r4 = vals(
+      """SELECT ?g ?x WHERE {
+        |  GRAPH ?g { :alice :knows+ ?x . ?x :knows ?z }
+        |}""".stripMargin, quads)
+    assert(r4 == Set(List(ex + "g1", ex + "bob")))
+  }
+
   test("ASK") {
     assert(Sparql.askQuery(spark, triples, P + "ASK { :alice :knows :bob }"))
     assert(!Sparql.askQuery(spark, triples, P + "ASK { :bob :knows :alice }"))
