@@ -91,6 +91,14 @@ object Ast {
 
   final case class Ask(where: Group) extends Query
 
+  /** A query with FROM / FROM NAMED dataset clauses: the inner query runs
+    * over a dataset assembled from the data frame's named graphs —
+    * default graph = RDF merge of `fromDefault`, named graphs restricted
+    * to `fromNamed` (§13.2: when either clause appears, the dataset is
+    * EXACTLY as specified). Only produced at the top level. */
+  final case class Scoped(q: Query, fromDefault: Seq[Term],
+                          fromNamed: Seq[Term]) extends Query
+
   /** CONSTRUCT; template bnode labels become per-solution fresh labels. */
   final case class Construct(template: Seq[(Node, Node, Node)], where: Group,
                              limit: Option[Long], offset: Option[Long]) extends Query

@@ -47,20 +47,24 @@ object Sparql {
     * projected variable; ASK -> single boolean column `ask`; CONSTRUCT /
     * DESCRIBE -> a triple frame (s/p/o). */
   def query(spark: SparkSession, data: DataFrame, text: String,
-            base: String = null): DataFrame =
-    SparqlParser.parse(text, base) match {
-      case q: Select => runSelect(spark, data, q)
+            base: String = null): DataFrame = {
+    val (q, scoped) = applyDataset(data, SparqlParser.parse(text, base))
+    q match {
+      case q: Select => runSelect(spark, scoped, q)
       case q: Ast.Ask =>
-        spark.range(1).select(lit(ask(spark, data, q)).as("ask"))
-      case q: Construct => runConstruct(spark, data, q)
-      case q: Describe => runDescribe(spark, data, q)
+        spark.range(1).select(lit(ask(spark, scoped, q)).as("ask"))
+      case q: Construct => runConstruct(spark, scoped, q)
+      case q: Describe => runDescribe(spark, scoped, q)
+      case q: Scoped =>
+        throw SparqlEngineError(s"nested dataset scope: $q") // unreachable
     }
+  }
 
   /** SELECT: solutions as term-struct columns. */
   def select(spark: SparkSession, data: DataFrame, text: String,
              base: String = null): DataFrame =
-    SparqlParser.parse(text, base) match {
-      case q: Select => runSelect(spark, data, q)
+    applyDataset(data, SparqlParser.parse(text, base)) match {
+      case (q: Select, scoped) => runSelect(spark, scoped, q)
       case _ => throw SparqlEngineError("not a SELECT query")
     }
 
@@ -72,9 +76,34 @@ object Sparql {
   /** ASK as a driver-side boolean. */
   def askQuery(spark: SparkSession, data: DataFrame, text: String,
                base: String = null): Boolean =
-    SparqlParser.parse(text, base) match {
-      case q: Ast.Ask => ask(spark, data, q)
+    applyDataset(data, SparqlParser.parse(text, base)) match {
+      case (q: Ast.Ask, scoped) => ask(spark, scoped, q)
       case _ => throw SparqlEngineError("not an ASK query")
+    }
+
+  /** FROM / FROM NAMED (§13.2): assemble the query dataset from the quad
+    * frame's named graphs. The default graph becomes the set-union (RDF
+    * merge; bnode labels are kept as-is, the engine's graph-union
+    * convention) of the FROM graphs; FROM NAMED restricts the visible
+    * named graphs. When either clause appears the dataset is EXACTLY as
+    * specified — FROM alone leaves no named graphs, FROM NAMED alone
+    * leaves an empty default graph. */
+  private def applyDataset(data: DataFrame, q: Query): (Query, DataFrame) =
+    q match {
+      case Scoped(inner, dflt, named) =>
+        if (!data.columns.contains("g"))
+          throw SparqlEngineError(
+            "FROM dataset clauses need a quad frame (columns s/p/o/g) to select graphs from")
+        def inSet(ts: Seq[Term]): Column =
+          ts.map(t => col("g") === Terms.constTerm(t))
+            .reduceOption(_ || _).getOrElse(lit(false))
+        val defGraph = data.filter(inSet(dflt))
+          .select(col("s"), col("p"), col("o"),
+            lit(null).cast(Terms.termSchema).as("g"))
+          .distinct()
+        val namedQ = data.filter(inSet(named)).select("s", "p", "o", "g")
+        (inner, defGraph.unionByName(namedQ))
+      case other => (other, data)
     }
 
   // ------------------------------------------------------------ the dataset

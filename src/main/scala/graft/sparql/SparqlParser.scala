@@ -12,8 +12,9 @@ import Ast._
   * negated sets), OPTIONAL / UNION / MINUS / GRAPH / FILTER / BIND /
   * VALUES / sub-SELECT, the full expression grammar with precedence,
   * aggregates, and solution modifiers (GROUP BY / HAVING / ORDER BY /
-  * LIMIT / OFFSET). SERVICE and FROM (dataset clauses) are rejected with a
-  * clear message — the engine is handed its dataset as a DataFrame.
+  * LIMIT / OFFSET). FROM / FROM NAMED dataset clauses parse to a [[Ast.Scoped]]
+  * wrapper that [[Sparql]] resolves against the quad frame's named graphs;
+  * SERVICE is rejected with a clear message (no federation endpoint).
   *
   * Prefixed names and relative IRIs resolve at parse time against the
   * prologue (PREFIX/BASE), so the AST carries only absolute terms.
@@ -385,19 +386,38 @@ object SparqlParser {
       prologue()
       val q =
         if (isWord("SELECT")) selectQuery(sub = false)
-        else if (isWord("ASK")) { i += 1; noDataset(); Ast.Ask(groupGraphPattern()) }
+        else if (isWord("ASK")) { i += 1; datasetClause(); Ast.Ask(groupGraphPattern()) }
         else if (isWord("CONSTRUCT")) constructQuery()
         else if (isWord("DESCRIBE")) describeQuery()
         else err("expected SELECT, ASK, CONSTRUCT or DESCRIBE")
       val withVals = trailingValues(q)
+      val scoped =
+        if (dsDefault.nonEmpty || dsNamed.nonEmpty)
+          Scoped(withVals, dsDefault, dsNamed)
+        else withVals
       peek match {
-        case TEof(_) => withVals
+        case TEof(_) => scoped
         case t => err("unexpected trailing input", t)
       }
     }
 
-    private def noDataset(): Unit =
-      if (isWord("FROM")) err("FROM dataset clauses are not supported — pass the dataset as a DataFrame")
+    // FROM / FROM NAMED clauses, collected where the grammar allows them
+    // (top-level query forms only) and attached to the query as a Scoped
+    // wrapper by parseQuery.
+    private var dsDefault = Vector.empty[Term]
+    private var dsNamed = Vector.empty[Term]
+    private def datasetClause(sub: Boolean = false): Unit =
+      while (isWord("FROM")) {
+        if (sub) err("FROM is not allowed in a subquery")
+        i += 1
+        val named = takeWord("NAMED")
+        val t = peek match {
+          case TIri(v, _) => i += 1; Term.iri(resolveIri(v))
+          case tk @ TPName(p, l, _) => i += 1; Term.iri(resolvePName(p, l, tk))
+          case tk => err("FROM needs an IRI", tk)
+        }
+        if (named) dsNamed :+= t else dsDefault :+= t
+      }
 
     // ---------------------------------------------------------------- update
     def parseUpdateScript(): UpdateScript = {
@@ -564,6 +584,7 @@ object SparqlParser {
           case c: Construct => c.copy(where = add(c.where))
           case d: Describe =>
             d.copy(where = Some(add(d.where.getOrElse(Group(Nil)))))
+          case s: Scoped => s // unreachable: Scoped wraps AFTER trailingValues
         }
       }
 
@@ -588,7 +609,7 @@ object SparqlParser {
         }
         if (proj.isEmpty) err("SELECT needs at least one variable or (expr AS ?v)")
       }
-      noDataset()
+      datasetClause(sub)
       val where = { takeWord("WHERE"); groupGraphPattern() }
       // solution modifiers
       var groupBy = Vector.empty[(Expr, Option[String])]
@@ -657,7 +678,7 @@ object SparqlParser {
         case Right(_) => err("property paths are not allowed in CONSTRUCT templates")
       }
       expectPunct("}")
-      noDataset()
+      datasetClause()
       takeWord("WHERE")
       val where = groupGraphPattern()
       var limit: Option[Long] = None
@@ -684,7 +705,7 @@ object SparqlParser {
         case _ => go = false
       }
       if (vars.isEmpty && iris.isEmpty) err("DESCRIBE needs at least one IRI or ?var")
-      noDataset()
+      datasetClause()
       val where =
         if (takeWord("WHERE") || isPunct("{")) Some(groupGraphPattern()) else None
       Describe(vars, iris, where)

@@ -252,16 +252,30 @@ class SparqlParserSpec extends AnyFunSuite {
     assert(q.mentionOrder == Seq("b", "a", "c"))
   }
 
-  test("errors: undeclared prefix, FROM, SERVICE, unterminated") {
+  test("errors: undeclared prefix, subquery FROM, SERVICE, unterminated") {
     def fails(s: String, frag: String): Unit = {
       val e = intercept[SparqlParser.SparqlParseError](SparqlParser.parse(s))
       assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
     }
     fails("SELECT * WHERE { ?s foo:p 1 }", "undeclared prefix")
-    fails("SELECT * FROM <http://g> WHERE { ?s ?p ?o }", "FROM")
+    fails("SELECT * WHERE { { SELECT * FROM <http://g> WHERE { ?s ?p ?o } } }",
+      "FROM is not allowed in a subquery")
     fails("SELECT * WHERE { SERVICE <http://x> { ?s ?p ?o } }", "SERVICE")
     fails("SELECT * WHERE { ?s ?p \"x }", "unterminated")
     fails("SELECT * WHERE { ?s <rel> ?o }", "no BASE")
+  }
+
+  test("FROM / FROM NAMED parse to a Scoped wrapper") {
+    val q = SparqlParser.parse(
+      "SELECT * FROM <http://g1> FROM NAMED <http://g2> FROM <http://g3> " +
+        "WHERE { ?s ?p ?o }")
+    q match {
+      case Scoped(inner, dflt, named) =>
+        assert(inner.isInstanceOf[Select])
+        assert(dflt == Seq(Term.iri("http://g1"), Term.iri("http://g3")))
+        assert(named == Seq(Term.iri("http://g2")))
+      case other => fail(s"expected Scoped, got $other")
+    }
   }
 
   test("comments and case-insensitive keywords") {

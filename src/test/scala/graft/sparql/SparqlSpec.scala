@@ -255,6 +255,39 @@ class SparqlSpec extends AnyFunSuite {
     assert(r4 == Set(List(ex + "g1", ex + "bob")))
   }
 
+  test("FROM / FROM NAMED assemble the query dataset from named graphs") {
+    // FROM :g1 — the default graph becomes g1's triples; the frame's own
+    // default graph (alice name Alice) is NOT part of the dataset
+    val r1 = vals("SELECT ?s FROM :g1 WHERE { ?s :knows ?o }", quads)
+    assert(r1 == Set(List(ex + "alice"), List(ex + "bob")))
+    val r1b = vals("SELECT ?n FROM :g1 WHERE { ?s :name ?n }", quads)
+    assert(r1b.isEmpty)
+    // FROM merges multiple graphs (set semantics)
+    val r2 = vals(
+      "SELECT ?s ?o FROM :g1 FROM :g2 WHERE { ?s :knows ?o }", quads)
+    assert(r2.size == 3)
+    // FROM NAMED restricts GRAPH ?g to the listed graphs only
+    val r3 = vals(
+      "SELECT ?g ?s FROM NAMED :g2 WHERE { GRAPH ?g { ?s :knows ?o } }",
+      quads)
+    assert(r3 == Set(List(ex + "g2", ex + "alice")))
+    // FROM NAMED alone leaves an EMPTY default graph
+    val r4 = vals(
+      "SELECT ?n FROM NAMED :g1 WHERE { ?s :name ?n }", quads)
+    assert(r4.isEmpty)
+    // FROM + FROM NAMED compose
+    val r5 = vals(
+      """SELECT ?s ?g FROM :g2 FROM NAMED :g1 WHERE {
+        |  ?s :knows ?o GRAPH ?g { ?x :knows ?y }
+        |}""".stripMargin, quads)
+    assert(r5 == Set(List(ex + "alice", ex + "g1")))
+    // FROM inside a subquery is a parse error
+    assertThrows[SparqlParser.SparqlParseError] {
+      Sparql.select(spark, quads, P +
+        "SELECT ?s WHERE { { SELECT ?s FROM :g1 WHERE { ?s :knows ?o } } }")
+    }
+  }
+
   test("ASK") {
     assert(Sparql.askQuery(spark, triples, P + "ASK { :alice :knows :bob }"))
     assert(!Sparql.askQuery(spark, triples, P + "ASK { :bob :knows :alice }"))
