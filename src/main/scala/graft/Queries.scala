@@ -71,6 +71,29 @@ object Queries {
           Terms.iri(concat(lit(WebKg.docNs), col("doc_id") + 1)).as("o")))
   }
 
+  /** Quad variant for the FROM / FROM NAMED dataset clauses (§13.2): the
+    * document facts spread over named graphs, plus poison rows that leak
+    * into the result ONLY if dataset scoping is broken — the frame's own
+    * default graph tags EVERY doc as "en" (leaking it into the FROM-merged
+    * default graph inflates the match set) and graph g/extra carries
+    * out-of-range nchars (ignoring the FROM NAMED restriction does too). */
+  private def sparqlDocQuads(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val sCol = Terms.iri(concat(lit(WebKg.docNs), col("doc_id")))
+    def p(iri: String) = Terms.iri(lit(iri))
+    def g(name: String) = Terms.iri(lit("http://graft.dev/g/" + name))
+    docs.select(sCol.as("s"), p(WebKg.pLang).as("p"),
+        Terms.strLit(col("lang")).as("o"), g("lang").as("g"))
+      .unionAll(docs.select(sCol.as("s"), p(WebKg.vocab + "nchars").as("p"),
+        Terms.typedLit(col("n_chars").cast("string"), xsdInt).as("o"),
+        g("meta").as("g")))
+      .unionAll(docs.select(sCol.as("s"), p(WebKg.vocab + "nchars").as("p"),
+        Terms.typedLit(lit("999999999"), xsdInt).as("o"), g("extra").as("g")))
+      .unionAll(docs.select(sCol.as("s"), p(WebKg.pLang).as("p"),
+        Terms.strLit(lit("en")).as("o"),
+        lit(null).cast(Terms.termSchema).as("g")))
+  }
+
   private val sparqlPrefix = s"PREFIX v: <${WebKg.vocab}>\n"
 
   // shared by kg_entity_link_fuzzy (broadcast dictionary) and
@@ -1153,6 +1176,26 @@ object Queries {
              |  FROM documents WHERE doc_id % 2 = 0
              |UNION ALL SELECT 'http://graft.dev/vocab#next', count(*)
              |  FROM documents WHERE doc_id % 10 < 4""".stripMargin)),
+
+    // FROM / FROM NAMED dataset assembly (§13.2) over a QUAD frame: the
+    // default graph becomes exactly the FROM graphs' merge and GRAPH ?g
+    // sees exactly the FROM NAMED graphs. The quad construction plants
+    // poison rows in the frame's own default graph and in an unlisted
+    // named graph, so any scoping leak changes the row set and fails the
+    // oracle (see sparqlDocQuads).
+    "sparql_from_named" -> Q(
+      (s, d) => Sparql.selectValues(s, sparqlDocQuads(s, d), sparqlPrefix +
+        """SELECT ?doc ?n
+          |FROM <http://graft.dev/g/lang>
+          |FROM NAMED <http://graft.dev/g/meta>
+          |WHERE {
+          |  ?doc v:lang "en" .
+          |  GRAPH ?g { ?doc v:nchars ?n }
+          |  FILTER(?n > 250)
+          |}""".stripMargin),
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc,
+             |  CAST(n_chars AS VARCHAR) AS n FROM documents
+             |WHERE lang='en' AND n_chars > 250""".stripMargin)),
 
     // XSD bounded-integer subtypes driver-visible: facet validation, cast
     // into a bounded target, and EBV, all through the Scala datatype kernel
