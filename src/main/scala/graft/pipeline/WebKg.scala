@@ -169,6 +169,25 @@ object WebKg {
     * full triple key (AQE handles skewed predicates). */
   def dedupTriples(triples: DataFrame): DataFrame = triples.dropDuplicates()
 
+  /** Lift FLAT string triples (the store projection written by
+    * [[extractFlat]] + the canonicalize/link stages) to the typed
+    * term-struct shape [[extractTriples]] emits — the input contract of
+    * the SPARQL engine and the graph API. Pure per-row projection, no
+    * shuffle. The flat projection is lossless for this vocabulary: the
+    * IRI-valued predicates are a closed set and the only non-string
+    * literal is `created`'s xsd:dateTime (same dispatch as
+    * [[canonicalizeFlat]]'s IRI-position set). */
+  def termsFromFlat(flat: DataFrame): DataFrame = {
+    val oIsIri = col("p").isin(pType, pLink, pMentions)
+    flat.select(
+      Terms.iri(col("s")).as("s"),
+      Terms.iri(col("p")).as("p"),
+      when(oIsIri, Terms.iri(col("o")))
+        .when(col("p") === pCreated,
+          Terms.typedLit(col("o"), Vocab.xsdDateTime))
+        .otherwise(Terms.strLit(col("o"))).as("o"))
+  }
+
   private val pctNormUdf = udf((s: String) => Iri.normalizePercentEncoding(s))
 
   /** The north star's RDF 1.1 canonicalization stage over FLAT string
