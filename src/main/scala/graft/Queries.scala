@@ -1197,6 +1197,52 @@ object Queries {
              |  CAST(n_chars AS VARCHAR) AS n FROM documents
              |WHERE lang='en' AND n_chars > 250""".stripMargin)),
 
+    // DESCRIBE (§16.4, subject-based CBD like the reference's
+    // Graph.description): every statement about each matched node,
+    // verified per predicate — the oracle rebuilds the same statement
+    // multiset from the documents table's known predicate rules
+    "sparql_describe" -> Q(
+      (s, d) => {
+        val g = Sparql.query(s, sparqlDocTriples(s, d), sparqlPrefix +
+          """DESCRIBE ?doc
+            |WHERE { ?doc v:lang "fr" ; v:nchars ?n FILTER(?n > 300) }""".stripMargin)
+        g.groupBy(col("p")("value").as("p"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("s")("value")).as("n_docs"))
+      },
+      Some("""WITH m AS (SELECT doc_id FROM documents
+             |            WHERE lang='fr' AND n_chars > 300),
+             |tr AS (
+             |  SELECT 'http://graft.dev/vocab#lang' AS p, doc_id FROM m
+             |  UNION ALL SELECT 'http://graft.dev/vocab#source', doc_id FROM m
+             |  UNION ALL SELECT 'http://graft.dev/vocab#nchars', doc_id FROM m
+             |  UNION ALL SELECT 'http://graft.dev/vocab#title', doc_id FROM m
+             |    WHERE doc_id % 2 = 0
+             |  UNION ALL SELECT 'http://graft.dev/vocab#next', doc_id FROM m
+             |    WHERE doc_id % 10 < 4)
+             |SELECT p, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+             |FROM tr GROUP BY p""".stripMargin)),
+
+    // ASK (§16.3): existence probes as one-row boolean frames — a
+    // satisfiable pattern and an unsatisfiable one, labeled and unioned
+    // so BOTH polarities hash against the oracle's EXISTS subqueries
+    "sparql_ask" -> Q(
+      (s, d) => {
+        val data = sparqlDocTriples(s, d)
+        Sparql.query(s, data, sparqlPrefix +
+            """ASK { ?d v:lang "en" ; v:nchars ?n FILTER(?n > 250) }""")
+          .select(lit("en_gt250").as("probe"), col("ask"))
+          .unionAll(Sparql.query(s, data,
+              sparqlPrefix + """ASK { ?d v:lang "zz" }""")
+            .select(lit("zz_any").as("probe"), col("ask")))
+      },
+      Some("""SELECT 'en_gt250' AS probe,
+             |  EXISTS(SELECT 1 FROM documents
+             |         WHERE lang='en' AND n_chars > 250) AS ask
+             |UNION ALL
+             |SELECT 'zz_any',
+             |  EXISTS(SELECT 1 FROM documents WHERE lang='zz')""".stripMargin)),
+
     // XSD bounded-integer subtypes driver-visible: facet validation, cast
     // into a bounded target, and EBV, all through the Scala datatype kernel
     // (UDFs on purpose — the query verifies the kernel's semantics against
