@@ -549,9 +549,12 @@ object Sparql {
     val aggCols: Seq[Column] = aggs.map { a =>
       compileAgg(a, sol).as(table(a))
     }
-    if (aggCols.isEmpty)
-      throw SparqlEngineError("aggregation context without aggregates")
-    var out = sol.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    // GROUP BY with no aggregate anywhere is legal SPARQL (one solution per
+    // distinct key); Spark's agg() needs at least one aggregate, so a dummy
+    // count rides along and dropByPrefix("__agg") removes it below.
+    val aggCols1 =
+      if (aggCols.nonEmpty) aggCols else Seq(count(lit(1)).as("__agg_k"))
+    var out = sol.groupBy(keys.map(col): _*).agg(aggCols1.head, aggCols1.tail: _*)
 
     // projection expressions (group keys project by name)
     val projTable = table
@@ -580,7 +583,12 @@ object Sparql {
     a.fn match {
       case "COUNT" =>
         val c = argCol match {
-          case None => count(lit(1))
+          case None =>
+            // COUNT(*) counts solutions; COUNT(DISTINCT *) distinct ones
+            // (one struct over every visible column — never null itself,
+            // so count_distinct drops nothing)
+            if (a.distinct) count_distinct(struct(sol.columns.map(sol(_)): _*))
+            else count(lit(1))
           case Some(t) => if (a.distinct) count_distinct(t) else count(t)
         }
         Terms.typedLit(c.cast("string"), Vocab.xsdInteger)

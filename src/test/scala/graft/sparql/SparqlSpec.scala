@@ -152,6 +152,23 @@ class SparqlSpec extends AnyFunSuite {
     assert(r == Set(List("25", "2", "Bob,Dave")))
   }
 
+  test("GROUP BY with no aggregate = one solution per distinct key") {
+    val r = vals("SELECT ?a WHERE { ?p :age ?a } GROUP BY ?a")
+    assert(r == Set(List("25"), List("30"), List("35")))
+    // grouped HAVING without aggregates is legal too
+    val h = vals("SELECT ?a WHERE { ?p :age ?a } GROUP BY ?a HAVING(?a > 26)")
+    assert(h == Set(List("30"), List("35")))
+  }
+
+  test("COUNT(DISTINCT *) counts distinct solutions") {
+    // ?p :knows ?q yields 2 distinct solutions; the UNION duplicates them
+    val r = vals(
+      """SELECT (COUNT(DISTINCT *) AS ?n) (COUNT(*) AS ?all) WHERE {
+        |  { ?p :knows ?q } UNION { ?p :knows ?q }
+        |}""".stripMargin)
+    assert(r == Set(List("2", "4")))
+  }
+
   test("global aggregates: SUM exact, AVG double, MIN/MAX by term order") {
     val r = vals(
       """SELECT (SUM(?a) AS ?s) (AVG(?a) AS ?m) (MIN(?a) AS ?lo) (MAX(?a) AS ?hi)
