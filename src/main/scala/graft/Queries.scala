@@ -968,6 +968,35 @@ object Queries {
       Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, CAST(n_chars AS VARCHAR) AS n
              |FROM documents WHERE lang='en' AND source='src7'""".stripMargin)),
 
+    // the SAME BGP as rdf_bgp executed ENTIRELY in id space over the
+    // dictionary-encoded layout (Dict.bgpEncoded): bound positions become
+    // driver-computed 16-byte id filters, the join chain shuffles only
+    // fixed-width ids, and ONLY the two projected vars pay a dictionary
+    // decode join at the plan edge (RDF-3X late materialization). Output
+    // equality with the plain-SQL oracle proves encode -> id-space join ->
+    // late decode is lossless.
+    "rdf_bgp_idspace" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sCol = concat(lit(WebKg.docNs), col("doc_id"))
+        val flat =
+          docs.select(sCol.as("s"), lit(WebKg.pLang).as("p"), col("lang").as("o"))
+            .unionAll(docs.select(sCol.as("s"),
+              lit(WebKg.vocab + "source").as("p"), col("source").as("o")))
+            .unionAll(docs.select(sCol.as("s"),
+              lit(WebKg.vocab + "nchars").as("p"), col("n_chars").cast("string").as("o")))
+        import graft.pipeline.Dict
+        import Dict.{FConst, FPattern, FVar}
+        Dict.bgpEncoded(Dict.encodeFlat(flat), Dict.termDictionary(flat),
+          Seq(
+            FPattern(FVar("doc"), FConst(WebKg.pLang), FConst("en")),
+            FPattern(FVar("doc"), FConst(WebKg.vocab + "source"), FConst("src7")),
+            FPattern(FVar("doc"), FConst(WebKg.vocab + "nchars"), FVar("n"))),
+          project = Seq("doc", "n"))
+      },
+      Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, CAST(n_chars AS VARCHAR) AS n
+             |FROM documents WHERE lang='en' AND source='src7'""".stripMargin)),
+
     // --- SPARQL solution algebra over BGP results (Bgp.optional/union/
     // minus/exists/closure — the group-pattern layer the reference keeps in
     // its separate SPARQL engine). All four share one triple construction:

@@ -200,6 +200,122 @@ object Dict {
     } finally flat.unpersist()
   }
 
+  // ----------------------------------------------------------- id-space BGP
+  /** Flat-string BGP node: a constant term string or a variable. */
+  sealed trait FNode
+  final case class FConst(value: String) extends FNode
+  final case class FVar(name: String) extends FNode
+  final case class FPattern(s: FNode, p: FNode, o: FNode) {
+    def vars: Seq[String] = Seq(s, p, o).collect { case FVar(n) => n }
+  }
+
+  /** BGP join chain executed ENTIRELY in id space — the payoff of the
+    * dictionary layout, and the piece that makes "interior stages stay in
+    * id space" true for queries, not just for dedup:
+    *
+    *   - bound pattern positions become 16-byte binary equality filters
+    *     (ids computed driver-side, zero dictionary lookups to START a
+    *     query — content-hash ids need no id-resolution join, unlike
+    *     dense-id stores);
+    *   - the whole join chain (greedy-planned with the engine's BGP
+    *     heuristic: fewest unsolved vars, bound subject ≫ predicate ≫
+    *     object) shuffles and compares fixed-width 16-byte ids, never a
+    *     term string — at 10^12 triples the exchanges carry 48 B/row
+    *     regardless of how long IRIs are;
+    *   - ONLY the projected variables pay a dictionary decode join, at the
+    *     very edge of the plan (RDF-3X's late materialization); join
+    *     variables that are not projected are never decoded at all.
+    *
+    * When the encoded frame carries the store's `bucket` column and
+    * `numBuckets` is given, a bound SUBJECT additionally prunes to its one
+    * bucket partition (the bucket function is over the subject string, so
+    * the constant's bucket is known driver-side), and the per-file s_id
+    * sort prunes row groups inside it.
+    *
+    * Returns one STRING column per projected variable (flat term strings,
+    * the store's own value convention). */
+  def bgpEncoded(encoded: DataFrame, dict: DataFrame, patterns: Seq[FPattern],
+                 project: Seq[String],
+                 numBuckets: Option[Int] = None): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    require(project.nonEmpty, "need at least one projected variable")
+    val solvable = patterns.flatMap(_.vars).toSet
+    val missing = project.filterNot(solvable)
+    require(missing.isEmpty, s"projected vars never bound: $missing")
+    val hasBucket = numBuckets.isDefined && encoded.columns.contains("bucket")
+
+    // greedy plan — the Bgp.plan heuristic over flat nodes
+    var remaining = patterns.toList
+    var solved = Set.empty[String]
+    val ordered = Seq.newBuilder[FPattern]
+    while (remaining.nonEmpty) {
+      def status(n: FNode): Int = n match {
+        case FConst(_) => 0
+        case FVar(nm) => if (solved(nm)) 1 else 2
+      }
+      def key(p: FPattern): (Int, Int, Int, Int) =
+        (p.vars.distinct.count(!solved(_)), status(p.s), status(p.p), status(p.o))
+      val best = remaining.minBy(key)
+      ordered += best
+      solved ++= best.vars
+      remaining = remaining.filterNot(_ eq best)
+    }
+
+    def scan(p: FPattern): DataFrame = {
+      var df = encoded
+      val bindings = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+      def walk(n: FNode, c: Column, subject: Boolean): Unit = n match {
+        case FConst(v) =>
+          df = df.filter(c === lit(termIdBytes(v)))
+          if (subject && hasBucket)
+            df = df.filter(col("bucket") ===
+              lit(Materialize.bucketOf(v, numBuckets.get)))
+        case FVar(nm) => bindings += nm -> c
+      }
+      walk(p.s, col("s_id"), subject = true)
+      walk(p.p, col("p_id"), subject = false)
+      walk(p.o, col("o_id"), subject = false)
+      val grouped = bindings.groupBy(_._1)
+      for ((_, cs) <- grouped if cs.size > 1; other <- cs.tail)
+        df = df.filter(cs.head._2 === other._2)
+      val proj = grouped.map { case (nm, cs) => cs.head._2.as(nm) }.toSeq
+      if (proj.isEmpty) df.select(lit(1).as("__exists")).limit(1)
+      else df.select(proj: _*)
+    }
+
+    var sol: DataFrame = null
+    var joined = Set.empty[String]
+    for (p <- ordered.result()) {
+      val sc = scan(p)
+      if (sol == null) sol = sc
+      else {
+        val shared = p.vars.distinct.filter(joined)
+        sol =
+          if (shared.nonEmpty) sol.join(sc, shared, "inner")
+          else sol.crossJoin(sc).drop("__exists")
+      }
+      joined ++= p.vars
+    }
+
+    // late materialization: decode projected vars only, at the plan edge
+    var out = sol
+    val termCols = project.zipWithIndex.map { case (v, ix) =>
+      val d = dict.select(col("id").as(s"__did$ix"), col("term").as(s"__dt$ix"))
+      out = out.join(d, out(v) === col(s"__did$ix"))
+      col(s"__dt$ix").as(v)
+    }
+    out.select(termCols: _*)
+  }
+
+  /** [[bgpEncoded]] over a store written by [[materializeEncoded]]:
+    * data scan bucket-pruned for bound subjects, dictionary read only for
+    * the decode edge. */
+  def queryStoreEncoded(spark: SparkSession, root: String,
+                        patterns: Seq[FPattern], project: Seq[String],
+                        numBuckets: Int): DataFrame =
+    bgpEncoded(spark.read.parquet(s"$root/data"),
+      spark.read.parquet(s"$root/dict"), patterns, project, Some(numBuckets))
+
   /** Point lookup of one subject's description against the ENCODED store,
     * decoded back to strings — output-identical to
     * [[Materialize.lookupSubject]] on a plain store over the same triples

@@ -109,6 +109,71 @@ class DictSpec extends AnyFunSuite {
     assert(lookup.length === 2)
   }
 
+  test("bgpEncoded: id-space join chain + late decode match the direct answer") {
+    import Dict.{FConst, FPattern, FVar}
+    val dict = Dict.termDictionary(flat)
+    val enc = Dict.encodeFlat(flat)
+    // { ?d :lang "en" . ?d :title ?t } — doc/1 is the only en doc with a title
+    val r = Dict.bgpEncoded(enc, dict, Seq(
+      FPattern(FVar("d"), FConst("http://graft.dev/vocab#lang"), FConst("en")),
+      FPattern(FVar("d"), FConst("http://graft.dev/vocab#title"), FVar("t"))),
+      project = Seq("d", "t"))
+    assert(r.columns.toSeq === Seq("d", "t"))
+    assert(r.collect().map(x => (x.getString(0), x.getString(1))).toSet ===
+      Set(("https://a.example.org/doc/1", "Doc 1")))
+
+    // join var ?d NOT projected: solution decodes only ?t — exactly one
+    // dictionary-side scan in the plan (late materialization)
+    val tOnly = Dict.bgpEncoded(enc, dict, Seq(
+      FPattern(FVar("d"), FConst("http://graft.dev/vocab#lang"), FConst("en")),
+      FPattern(FVar("d"), FConst("http://graft.dev/vocab#title"), FVar("t"))),
+      project = Seq("t"))
+    assert(tOnly.collect().map(_.getString(0)).toSeq === Seq("Doc 1"))
+
+    // repeated variable inside one pattern: self-equality in id space
+    val self = Dict.bgpEncoded(enc, dict, Seq(
+      FPattern(FVar("x"), FConst("http://graft.dev/vocab#links"), FVar("x"))),
+      project = Seq("x"))
+    assert(self.collect().isEmpty)
+
+    // cross-product shape: a fully-bound existence pattern gates the other
+    val gated = Dict.bgpEncoded(enc, dict, Seq(
+      FPattern(FConst("https://b.example.org/doc/3"),
+        FConst("http://graft.dev/vocab#lang"), FConst("fr")),
+      FPattern(FVar("d"), FConst("http://graft.dev/vocab#title"), FVar("t"))),
+      project = Seq("d"))
+    assert(gated.collect().map(_.getString(0)).toSeq ===
+      Seq("https://a.example.org/doc/1"))
+
+    // a projected var the patterns never bind is rejected
+    val err = intercept[IllegalArgumentException] {
+      Dict.bgpEncoded(enc, dict,
+        Seq(FPattern(FVar("d"), FConst("p"), FConst("o"))), Seq("nope"))
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
+  test("bgpEncoded over a store: bound subject prunes to one bucket partition") {
+    import Dict.{FConst, FPattern, FVar}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dict_bgp").toString
+    val buckets = 4
+    Dict.materializeEncoded(flat, s"$dir/enc", buckets, "b1")
+    val subject = "https://a.example.org/doc/1"
+    val q = Dict.queryStoreEncoded(spark, s"$dir/enc",
+      Seq(FPattern(FConst(subject), FVar("p"), FVar("o"))),
+      project = Seq("p", "o"), numBuckets = buckets)
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSet === Set(
+      ("http://graft.dev/vocab#lang", "en"),
+      ("http://graft.dev/vocab#title", "Doc 1")))
+    // the DATA scan (binary id schema) must carry the bucket partition
+    // filter of the bound subject — one partition read, not all four
+    // (string-match the rendered plan: AQE wraps the physical nodes)
+    val b = Materialize.bucketOf(subject, buckets)
+    val plan = q.queryExecution.executedPlan.toString
+    val pruned = raw"PartitionFilters: \[[^\]]*\(bucket#\d+ = $b\)".r
+    assert(pruned.findFirstIn(plan).isDefined, plan)
+  }
+
   test("dict-table bucket parity: every stored dictionary row sits in bucketOfId(id)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dict_bk").toString
     Dict.materializeEncoded(flat, s"$dir/enc", 4, "b1")
