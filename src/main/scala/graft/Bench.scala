@@ -22,7 +22,7 @@ object Bench {
     "text_tokens", "text_fingerprint", "text_curation", "text_vocab",
     "text_line_dedup", "text_substring_dedup", "text_lm_score",
     "sample_temperature",
-    "embed_cosine_topk", "rdf_bgp", "kg_extract",
+    "embed_cosine_topk", "rdf_bgp", "rdf_bgp_idspace", "kg_extract",
     "kg_dedup", "kg_dict_encode", "kg_latest_crawl", "kg_domain_stats",
     "graph_pagerank", "dedup_clusters", "sample_stratified",
     "sparql_select", "sparql_agg", "sparql_subselect")

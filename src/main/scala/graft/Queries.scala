@@ -48,6 +48,30 @@ object Queries {
     (base, opt)
   }
 
+  /** The rdf_bgp_idspace body, parameterized on the decode mode so
+    * [[graft.Explain]] can dump the non-materializing plan shape
+    * (production uses the two-phase checkpointed decode, whose registry
+    * frame starts at an ExistingRDD stub). */
+  private[graft] def idspaceBgp(s: SparkSession, d: String,
+                                materialize: Boolean): DataFrame = {
+    val docs = t(s, d, "documents")
+    val sCol = concat(lit(WebKg.docNs), col("doc_id"))
+    val flat =
+      docs.select(sCol.as("s"), lit(WebKg.pLang).as("p"), col("lang").as("o"))
+        .unionAll(docs.select(sCol.as("s"),
+          lit(WebKg.vocab + "source").as("p"), col("source").as("o")))
+        .unionAll(docs.select(sCol.as("s"),
+          lit(WebKg.vocab + "nchars").as("p"), col("n_chars").cast("string").as("o")))
+    import graft.pipeline.Dict
+    import Dict.{FConst, FPattern, FVar}
+    Dict.bgpEncoded(Dict.encodeFlat(flat), Dict.termDictionary(flat),
+      Seq(
+        FPattern(FVar("doc"), FConst(WebKg.pLang), FConst("en")),
+        FPattern(FVar("doc"), FConst(WebKg.vocab + "source"), FConst("src7")),
+        FPattern(FVar("doc"), FConst(WebKg.vocab + "nchars"), FVar("n"))),
+      project = Seq("doc", "n"), materialize = materialize)
+  }
+
   /** Shared triple table of the sparql_* family — one deterministic fact
     * set per document: lang / source / nchars (xsd:integer) for every doc,
     * a title only for EVEN doc_ids (gives OPTIONAL/EXISTS both outcomes),
@@ -976,24 +1000,7 @@ object Queries {
     // equality with the plain-SQL oracle proves encode -> id-space join ->
     // late decode is lossless.
     "rdf_bgp_idspace" -> Q(
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val sCol = concat(lit(WebKg.docNs), col("doc_id"))
-        val flat =
-          docs.select(sCol.as("s"), lit(WebKg.pLang).as("p"), col("lang").as("o"))
-            .unionAll(docs.select(sCol.as("s"),
-              lit(WebKg.vocab + "source").as("p"), col("source").as("o")))
-            .unionAll(docs.select(sCol.as("s"),
-              lit(WebKg.vocab + "nchars").as("p"), col("n_chars").cast("string").as("o")))
-        import graft.pipeline.Dict
-        import Dict.{FConst, FPattern, FVar}
-        Dict.bgpEncoded(Dict.encodeFlat(flat), Dict.termDictionary(flat),
-          Seq(
-            FPattern(FVar("doc"), FConst(WebKg.pLang), FConst("en")),
-            FPattern(FVar("doc"), FConst(WebKg.vocab + "source"), FConst("src7")),
-            FPattern(FVar("doc"), FConst(WebKg.vocab + "nchars"), FVar("n"))),
-          project = Seq("doc", "n"))
-      },
+      (s, d) => idspaceBgp(s, d, materialize = true),
       Some("""SELECT 'http://graft.dev/doc/'||doc_id AS doc, CAST(n_chars AS VARCHAR) AS n
              |FROM documents WHERE lang='en' AND source='src7'""".stripMargin)),
 

@@ -232,11 +232,103 @@ object Dict {
     * the constant's bucket is known driver-side), and the per-file s_id
     * sort prunes row groups inside it.
     *
+    * The decode edge is TWO-PHASE (`materialize = true`): the solution
+    * frame materializes once (eager localCheckpoint — fixed-width ids
+    * only), then the DISTINCT projected ids are counted. A result-scale id
+    * set (≤ `broadcastIdsMax`) explicitly BROADCASTS into the dictionary
+    * join so the dictionary streams — it is never shuffled (AQE alone is
+    * not enough: its broadcast conversion happens after both map stages
+    * are scheduled, so the dictionary's shuffle WRITE still runs —
+    * measured as ~500 MB of dead shuffle on a point query, DictProbe) —
+    * and when the dictionary carries the store's `bucket` column, a tiny
+    * id set (≤ `pruneCollectMax`) additionally prunes the dictionary read
+    * to just the ids' own bucket partitions (the point-lookup regime:
+    * 1-2 of 64 partitions read). Above `broadcastIdsMax` the decode is a
+    * plain shuffle join — the honest corpus-scale-result cost. The
+    * resolved (id, term) map, checkpointed once, joins back per projected
+    * variable. A naive single-phase decode (`materialize = false`, kept
+    * for plan inspection) shuffles the ENTIRE dictionary through every
+    * decode join. The returned frame is backed by its checkpoints; callers
+    * in long-lived sessions use [[bgpEncodedReleasable]] and release after
+    * consuming.
+    *
     * Returns one STRING column per projected variable (flat term strings,
     * the store's own value convention). */
   def bgpEncoded(encoded: DataFrame, dict: DataFrame, patterns: Seq[FPattern],
                  project: Seq[String],
-                 numBuckets: Option[Int] = None): DataFrame = {
+                 numBuckets: Option[Int] = None,
+                 materialize: Boolean = true,
+                 distinct: Boolean = false,
+                 broadcastIdsMax: Long = 1000000L,
+                 pruneCollectMax: Long = 8192L): DataFrame =
+    bgpEncodedReleasable(encoded, dict, patterns, project, numBuckets,
+      materialize, distinct, broadcastIdsMax, pruneCollectMax)._1
+
+  /** [[bgpEncoded]] plus a release handle that frees the two checkpoint
+    * blocks (solution ids + decode map) backing the returned frame — call
+    * it after the result is consumed (the [[graft.engine.Bgp]]
+    * executeIncremental convention). A no-op for `materialize = false`. */
+  def bgpEncodedReleasable(encoded: DataFrame, dict: DataFrame,
+                           patterns: Seq[FPattern], project: Seq[String],
+                           numBuckets: Option[Int] = None,
+                           materialize: Boolean = true,
+                           distinct: Boolean = false,
+                           broadcastIdsMax: Long = 1000000L,
+                           pruneCollectMax: Long = 8192L)
+      : (DataFrame, () => Unit) = {
+    val sol0 = bgpEncodedIds(encoded, patterns, project, numBuckets)
+    val sol = if (distinct) sol0.distinct() else sol0
+
+    // late materialization: decode projected vars only, at the plan edge.
+    // Alias names carry '#', which SPARQL variable names cannot, so a
+    // projected var can never collide with the decode-join columns.
+    import graft.ops.GraphAlgos.releaseLocalCheckpoint
+    val (solFrame, mapping, release) =
+      if (!materialize)
+        (sol, dict.select(col("id"), col("term")), () => ())
+      else {
+        val s = sol.localCheckpoint()
+        val ids = project.map(vn => s.select(col(vn).as("id")))
+          .reduce(_ unionAll _).distinct().localCheckpoint()
+        val n = ids.count()
+        val dictSide =
+          if (n <= pruneCollectMax && dict.columns.contains("bucket") &&
+              numBuckets.isDefined) {
+            // point-lookup regime: the ids' own bucket set prunes the
+            // dictionary read to a handful of partitions
+            val buckets = ids.collect()
+              .map(r => bucketOfId(r.getAs[Array[Byte]](0), numBuckets.get))
+              .distinct
+            dict.filter(col("bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+          } else dict
+        val joined =
+          if (n <= broadcastIdsMax)
+            // ids broadcast explicitly: relying on AQE alone still pays
+            // the dictionary's shuffle WRITE before the conversion lands
+            dictSide.join(broadcast(ids), Seq("id"))
+          else dictSide.join(ids, Seq("id")) // corpus-scale result: honest shuffle
+        val m = joined.select(col("id"), col("term")).localCheckpoint()
+        releaseLocalCheckpoint(ids)
+        (s, m, () => { releaseLocalCheckpoint(s); releaseLocalCheckpoint(m) })
+      }
+    var out = solFrame
+    val termCols = project.zipWithIndex.map { case (v, ix) =>
+      val d = mapping.select(col("id").as(s"__did#$ix"), col("term").as(s"__dt#$ix"))
+      out = out.join(d, out(v) === col(s"__did#$ix"))
+      col(s"__dt#$ix").as(v)
+    }
+    (out.select(termCols: _*), release)
+  }
+
+  /** The id-space BGP INTERIOR: the greedy-planned join chain over
+    * (s_id, p_id, o_id) with NO decode — one 16-byte binary column per
+    * projected variable. The composable form for callers that keep
+    * processing in id space (further joins, dedup, set ops) and decode
+    * later, and the probe point for measuring the join chain apart from
+    * the decode edge. */
+  def bgpEncodedIds(encoded: DataFrame, patterns: Seq[FPattern],
+                    project: Seq[String],
+                    numBuckets: Option[Int] = None): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
     require(project.nonEmpty, "need at least one projected variable")
     val solvable = patterns.flatMap(_.vars).toSet
@@ -296,15 +388,7 @@ object Dict {
       }
       joined ++= p.vars
     }
-
-    // late materialization: decode projected vars only, at the plan edge
-    var out = sol
-    val termCols = project.zipWithIndex.map { case (v, ix) =>
-      val d = dict.select(col("id").as(s"__did$ix"), col("term").as(s"__dt$ix"))
-      out = out.join(d, out(v) === col(s"__did$ix"))
-      col(s"__dt$ix").as(v)
-    }
-    out.select(termCols: _*)
+    sol.select(project.map(col): _*)
   }
 
   /** [[bgpEncoded]] over a store written by [[materializeEncoded]]:

@@ -472,11 +472,10 @@ object Sparql {
 
     // projection
     val names: Seq[String] =
-      if (q.projection.isEmpty) {
-        val visible = sol.columns.filterNot(_.startsWith("_")).toSet
-        val ordered = q.mentionOrder.filter(visible)
-        ordered ++ visible.diff(ordered.toSet).toSeq.sorted
-      } else q.projection.map {
+      if (q.projection.isEmpty)
+        starProjection(sol.columns.filterNot(_.startsWith("_")).toSet,
+          q.mentionOrder)
+      else q.projection.map {
         case (EVar(n), None) => n
         case (_, Some(a)) => a
         case (e, None) =>
@@ -494,6 +493,15 @@ object Sparql {
     for (off <- q.offset) out = out.offset(off.toInt)
     for (lim <- q.limit) out = out.limit(lim.toInt)
     out
+  }
+
+  /** The `SELECT *` column rule (one definition for every execution path):
+    * textual first-mention order of the visible variables, then any
+    * remaining visible variables in sorted order. */
+  private[graft] def starProjection(visible: Set[String],
+                                    mentionOrder: Seq[String]): Seq[String] = {
+    val ordered = mentionOrder.filter(visible)
+    ordered ++ visible.diff(ordered.toSet).toSeq.sorted
   }
 
   private def containsAgg(e: Expr): Boolean = e match {

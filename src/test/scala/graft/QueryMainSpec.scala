@@ -65,6 +65,49 @@ class QueryMainSpec extends AnyFunSuite {
     assert(json.contains(""""rows":3"""))
   }
 
+  test("encoded store + values SELECT runs in id space, same answer") {
+    val dir = tmp("idq")
+    Dict.materializeEncoded(WebKg.extractFlat(pagesDf), s"$dir/store", 4, "t1")
+    Materialize.materialize(WebKg.extractFlat(pagesDf), s"$dir/plain", 4, "t1")
+    val q = s"""SELECT ?s ?t WHERE {
+               |  ?s <${WebKg.pTitle}> ?t . ?s <${WebKg.pLang}> "en" }""".stripMargin
+    val json = QueryMain.run(spark, Map(
+      "--store" -> s"$dir/store", "--query-text" -> q,
+      "--out" -> s"$dir/sol", "--format" -> "values", "--buckets" -> "4"))
+    assert(json.contains(""""idspace":true"""), json)
+    val fast = spark.read.parquet(s"$dir/sol").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // reference: the decoded/typed path over the PLAIN store
+    val ref = QueryMain.run(spark, Map(
+      "--store" -> s"$dir/plain", "--query-text" -> q,
+      "--out" -> s"$dir/ref", "--format" -> "values"))
+    assert(!ref.contains(""""idspace""""))
+    val slow = spark.read.parquet(s"$dir/ref").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+    // a shape the id-space path cannot take (ORDER BY) falls back to the
+    // decode-then-typed-engine path on the SAME encoded store
+    val json2 = QueryMain.run(spark, Map(
+      "--store" -> s"$dir/store", "--query-text" -> titleQ,
+      "--out" -> s"$dir/sol2", "--format" -> "values"))
+    assert(!json2.contains(""""idspace"""") && json2.contains(""""rows":3"""))
+    // a constant whose typed lift cannot be proven (IRI under a
+    // string-lifted predicate) falls back — and the typed engine answers 0
+    val irid = s"""SELECT ?s WHERE { ?s <${WebKg.pTitle}> <http://x> }"""
+    val json3 = QueryMain.run(spark, Map(
+      "--store" -> s"$dir/store", "--query-text" -> irid,
+      "--out" -> s"$dir/sol3", "--format" -> "values"))
+    assert(!json3.contains(""""idspace"""") && json3.contains(""""rows":0"""))
+    // a --buckets value smaller than the store's lineage bucket ids aborts
+    val err = intercept[RuntimeException] {
+      QueryMain.run(spark, Map(
+        "--store" -> s"$dir/store", "--query-text" -> q,
+        "--out" -> s"$dir/sol4", "--format" -> "values", "--buckets" -> "1"))
+    }
+    assert(err.getMessage.contains("bucket"))
+  }
+
   test("CONSTRUCT writes sorted deterministic N-Triples") {
     val dir = tmp("construct")
     Materialize.materialize(
@@ -81,6 +124,39 @@ class QueryMainSpec extends AnyFunSuite {
     val lines = spark.read.text(s"$dir/nt").collect().map(_.getString(0))
     assert(lines.forall(_.contains(s"<${WebKg.vocab}name>")))
     assert(lines.sorted.sameElements(lines)) // sorted = true is deterministic
+  }
+
+  test("--update applies SPARQL Update functionally and writes the new graph") {
+    val dir = tmp("upd")
+    Materialize.materialize(WebKg.extractFlat(pagesDf), s"$dir/store", 4, "t1")
+    val before = spark.read.parquet(s"$dir/store/data").count()
+    val upd =
+      s"""DELETE { ?s <${WebKg.pTitle}> ?t } WHERE { ?s <${WebKg.pTitle}> ?t } ;
+         |INSERT DATA { <https://x.example.org/marker> <${WebKg.pTitle}> "Inserted" }""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_qm_upd", ".ru")
+    java.nio.file.Files.writeString(f, upd)
+    val json = QueryMain.run(spark, Map(
+      "--store" -> s"$dir/store", "--update" -> f.toString,
+      "--out" -> s"$dir/updated"))
+    assert(json.contains(""""form":"update""""), json)
+    // 3 titles deleted, 1 triple inserted
+    assert(json.contains(s""""rows":${before - 3 + 1}"""), json)
+    val out = spark.read.parquet(s"$dir/updated")
+    assert(out.columns.toSeq == Seq("s", "p", "o"))
+    // the store itself is untouched (functional update)
+    assert(spark.read.parquet(s"$dir/store/data").count() == before)
+    // the written frame queries directly as --data
+    val check = QueryMain.run(spark, Map(
+      "--data" -> s"$dir/updated", "--data-format" -> "parquet",
+      "--query-text" -> titleQ, "--out" -> s"$dir/sol"))
+    assert(check.contains(""""rows":1"""))
+    // ntriples output of the same update is valid and title-free
+    val json2 = QueryMain.run(spark, Map(
+      "--store" -> s"$dir/store", "--update" -> f.toString,
+      "--out" -> s"$dir/nt", "--format" -> "ntriples"))
+    assert(json2.contains(""""form":"update""""))
+    val back = graft.engine.RdfIO.readGraph(spark, s"$dir/nt", Some("ntriples"))
+    assert(back.count() == before - 3 + 1)
   }
 
   test("ASK needs no --out and reports the boolean in the metrics line") {

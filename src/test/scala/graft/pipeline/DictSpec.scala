@@ -166,10 +166,17 @@ class DictSpec extends AnyFunSuite {
       ("http://graft.dev/vocab#lang", "en"),
       ("http://graft.dev/vocab#title", "Doc 1")))
     // the DATA scan (binary id schema) must carry the bucket partition
-    // filter of the bound subject — one partition read, not all four
-    // (string-match the rendered plan: AQE wraps the physical nodes)
+    // filter of the bound subject — one partition read, not all four.
+    // The production path checkpoints the solution (its executed plan
+    // starts at an ExistingRDD stub), so assert on the single-phase shape,
+    // whose join chain is identical up to the decode edge.
     val b = Materialize.bucketOf(subject, buckets)
-    val plan = q.queryExecution.executedPlan.toString
+    val lazyQ = Dict.bgpEncoded(spark.read.parquet(s"$dir/enc/data"),
+      spark.read.parquet(s"$dir/enc/dict"),
+      Seq(FPattern(FConst(subject), FVar("p"), FVar("o"))),
+      project = Seq("p", "o"), numBuckets = Some(buckets),
+      materialize = false)
+    val plan = lazyQ.queryExecution.executedPlan.toString
     val pruned = raw"PartitionFilters: \[[^\]]*\(bucket#\d+ = $b\)".r
     assert(pruned.findFirstIn(plan).isDefined, plan)
   }
