@@ -29,7 +29,9 @@ import Ast._
   *    (`try_add`/`try_subtract`/`try_multiply`: overflow = error); any
   *    other combination computes in double and yields xsd:double
   *    (xsd:decimal beyond double precision collapses; integer division
-  *    yields xsd:double, not decimal).
+  *    yields xsd:double, not decimal). Comparison (`= != < <= > >=`, IN)
+  *    likewise: integer-vs-integer is exact 64-bit; mixed numeric pairs
+  *    and integers beyond Long range compare in double.
   *  - `"chat"@en = "chat"` compares false rather than raising.
   *  - aggregates are compiled by [[Sparql]], not here.
   */
@@ -114,9 +116,14 @@ object SparqlExpr {
       .otherwise(nullBool)
 
   // ------------------------------------------------------------- comparison
-  /** RDFterm-equal (§17.4.1.7) as a three-valued boolean column. */
+  /** RDFterm-equal (§17.4.1.7) as a three-valued boolean column.
+    * Integer-vs-integer compares EXACTLY in 64-bit (two distinct integers
+    * beyond 2^53 never conflate); only mixed-type numeric pairs — and
+    * integers beyond Long range — ride the double branch. */
   def rdfEquals(a: Column, b: Column): Column =
     when(a.isNull || b.isNull, nullBool)
+      .when(isIntegerT(a) && isIntegerT(b) &&
+        numL(a).isNotNull && numL(b).isNotNull, numL(a) === numL(b))
       .when(isNumeric(a) && isNumeric(b), numD(a) === numD(b))
       .when(isBoolT(a) && isBoolT(b), bv(a) === bv(b))
       .when(isDateTimeT(a) && isDateTimeT(b), ts(a) === ts(b))
@@ -136,6 +143,8 @@ object SparqlExpr {
       case ">=" => l >= r
     }
     when(a.isNull || b.isNull, nullBool)
+      .when(isIntegerT(a) && isIntegerT(b) &&
+        numL(a).isNotNull && numL(b).isNotNull, by(numL(a), numL(b)))
       .when(isNumeric(a) && isNumeric(b), by(numD(a), numD(b)))
       .when(isSimpleStr(a) && isSimpleStr(b), by(v(a), v(b)))
       .when(isBoolT(a) && isBoolT(b), by(bv(a).cast("int"), bv(b).cast("int")))
@@ -253,6 +262,15 @@ object SparqlExpr {
   private def strArg(t: Column): Column =
     when(isStringish(t), v(t)).otherwise(nullStr)
 
+  /** §17.4.3.2 argument compatibility for two-string builtins: both
+    * stringish AND arg2 simple/xsd:string or sharing arg1's language tag.
+    * Never NULL (a non-literal input is simply incompatible). */
+  private def compatible(t1: Column, t2: Column): Column = {
+    val l1 = coalesce(lang(t1), lit(""))
+    val l2 = coalesce(lang(t2), lit(""))
+    isStringish(t1) && isStringish(t2) && (l2 === "" || l2 === l1)
+  }
+
   /** Result carries arg1's language/datatype (XPath string-fn convention). */
   private def likeArg1(t: Column, newValue: Column): Column =
     when(t.isNull || newValue.isNull, nullTerm)
@@ -315,13 +333,34 @@ object SparqlExpr {
       case "STRLEN" => arity(1); intTerm(length(strArg(a0)))
       case "UCASE" => arity(1); likeArg1(a0, upper(strArg(a0)))
       case "LCASE" => arity(1); likeArg1(a0, lower(strArg(a0)))
-      case "CONTAINS" => arity(2); boolTerm(strArg(a0).contains(strArg(a1)))
-      case "STRSTARTS" => arity(2); boolTerm(strArg(a0).startsWith(strArg(a1)))
-      case "STRENDS" => arity(2); boolTerm(strArg(a0).endsWith(strArg(a1)))
+      case "CONTAINS" =>
+        arity(2)
+        boolTerm(when(compatible(a0, a1), v(a0).contains(v(a1))).otherwise(nullBool))
+      case "STRSTARTS" =>
+        arity(2)
+        boolTerm(when(compatible(a0, a1), v(a0).startsWith(v(a1))).otherwise(nullBool))
+      case "STRENDS" =>
+        arity(2)
+        boolTerm(when(compatible(a0, a1), v(a0).endsWith(v(a1))).otherwise(nullBool))
       case "SUBSTR" =>
         arity(2, 3)
-        val len = if (as.length == 3) numL(a2).cast("int") else lit(Int.MaxValue)
-        likeArg1(a0, strArg(a0).substr(numL(a1).cast("int"), len))
+        // XPath fn:substring: positions p with round(start) <= p <
+        // round(start) + round(length), intersected with [1, len] — NOT
+        // Spark substr (whose negative start counts from the string end).
+        // round = XPath round (half-up toward +inf). Bounds clamp keeps
+        // the int casts exact; NaN windows collapse to the empty string.
+        val src = strArg(a0)
+        val rs = floor(numD(a1) + 0.5)
+        val rl = if (as.length == 3) floor(numD(a2) + 0.5) else lit(4.6e18)
+        val from = least(greatest(rs, lit(1.0)), lit(2.147483647e9))
+        val end = least(rs + rl, lit(2.147483647e9)) // exclusive
+        val eff = end - from
+        val bad = src.isNull || rs.isNull ||
+          (if (as.length == 3) numD(a2).isNull else lit(false))
+        val resVal = when(bad, nullStr)
+          .when(eff > 0, substring(src, from.cast("int"), eff.cast("int")))
+          .otherwise(lit(""))
+        likeArg1(a0, resVal)
       case "CONCAT" if as.isEmpty => strTerm(lit(""))
       case "CONCAT" =>
         // lang preserved iff every arg shares it; else plain xsd:string
@@ -336,16 +375,17 @@ object SparqlExpr {
           .otherwise(strTerm(concat(vals: _*)))
       case "STRBEFORE" =>
         arity(2)
-        val idx = locate2(strArg(a0), strArg(a1))
-        when(strArg(a0).isNull || strArg(a1).isNull, nullTerm)
-          .when(length(strArg(a1)) === 0, likeArg1(a0, lit("")))
-          .when(idx > 0, likeArg1(a0, substring(strArg(a0), lit(1), idx - 1)))
+        val h = v(a0); val n = v(a1)
+        val idx = locate2(h, n)
+        when(!compatible(a0, a1), nullTerm)
+          .when(length(n) === 0, likeArg1(a0, lit("")))
+          .when(idx > 0, likeArg1(a0, substring(h, lit(1), idx - 1)))
           .otherwise(strTerm(lit("")))
       case "STRAFTER" =>
         arity(2)
-        val h = strArg(a0); val n = strArg(a1)
+        val h = v(a0); val n = v(a1)
         val idx = locate2(h, n)
-        when(h.isNull || n.isNull, nullTerm)
+        when(!compatible(a0, a1), nullTerm)
           .when(length(n) === 0, likeArg1(a0, h))
           .when(idx > 0, likeArg1(a0, substring(h, idx + length(n), lit(Int.MaxValue))))
           .otherwise(strTerm(lit("")))

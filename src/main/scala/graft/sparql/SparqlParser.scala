@@ -1,7 +1,7 @@
 package graft.sparql
 
 import graft.core.{Iri, Term, Vocab}
-import graft.engine.Bgp.{Bound, Node, V}
+import graft.engine.Bgp.{Bound, Node, QPat, V}
 import Ast._
 
 /** Hand-written SPARQL 1.1 lexer + recursive-descent parser (same house
@@ -138,7 +138,13 @@ object SparqlParser {
           if (i + 1 < in.length && (in.charAt(i + 1) == 'u' || in.charAt(i + 1) == 'U')) {
             val n = if (in.charAt(i + 1) == 'u') 4 else 8
             if (i + 2 + n <= in.length) {
-              val cp = Integer.parseInt(in.substring(i + 2, i + 2 + n), 16)
+              val hex = in.substring(i + 2, i + 2 + n)
+              val cp =
+                try Integer.parseInt(hex, 16)
+                catch { case _: NumberFormatException =>
+                  err(s"bad \\u escape '$hex' in IRI", start) }
+              if (!Character.isValidCodePoint(cp))
+                err(s"code point out of range in IRI: $hex", start)
               sb.appendAll(Character.toChars(cp)); i += 1 + n
             } else ok = false
           } else ok = false
@@ -208,7 +214,12 @@ object SparqlParser {
             case '\'' => sb.append('\''); pos += 1
             case '\\' => sb.append('\\'); pos += 1
             case 'u' => pos += 1; sb.appendAll(Character.toChars(readHex(4)))
-            case 'U' => pos += 1; sb.appendAll(Character.toChars(readHex(8)))
+            case 'U' =>
+              pos += 1
+              val cp = readHex(8)
+              if (!Character.isValidCodePoint(cp))
+                err(f"code point out of range: \\U$cp%08X", pos)
+              sb.appendAll(Character.toChars(cp))
             case c2 => err(s"bad string escape '\\$c2'", pos)
           }
         } else { sb.append(c); pos += 1 }
@@ -281,8 +292,20 @@ object SparqlParser {
       while (!done && !atEnd) {
         val c = peek
         if (localChar(c)) { sb.append(c); pos += 1 }
-        else if (c == '.' && (localChar(peekAt(1)) || peekAt(1) == '.' ||
-            peekAt(1) == '%' || peekAt(1) == '\\')) { sb.append(c); pos += 1 }
+        else if (c == '.') {
+          // dots are interior-only (PN_LOCAL cannot end with '.'): consume
+          // a run of dots only when a local-name char follows the run
+          var j = pos
+          while (j < in.length && in.charAt(j) == '.') j += 1
+          def at(k: Int): Char = if (k < in.length) in.charAt(k) else '\u0000'
+          val cont = j < in.length && {
+            val d = in.charAt(j)
+            localChar(d) || (d == '%' && isHex(at(j + 1)) && isHex(at(j + 2))) ||
+              (d == '\\' && isPnLocalEsc(at(j + 1)))
+          }
+          if (cont) while (pos < j) { sb.append('.'); pos += 1 }
+          else done = true
+        }
         else if (c == '%' && isHex(peekAt(1)) && isHex(peekAt(2))) {
           sb.append(c).append(peekAt(1)).append(peekAt(2)); pos += 3
         } else if (c == '\\' && isPnLocalEsc(peekAt(1))) {
@@ -437,29 +460,31 @@ object SparqlParser {
       }
     }
 
+    /** Blank nodes (hidden `_bn*` vars) are forbidden in every DELETE
+      * context (SPARQL 1.1 Update §3.1.3) — they could never match. */
+    private def rejectBnodes(qs: Seq[QuadPat], ctx: String): Seq[QuadPat] = {
+      for (q <- qs; n <- Seq(q.s, q.o)) n match {
+        case V(name) if name.startsWith("_bn") =>
+          err(s"blank nodes are not allowed in $ctx")
+        case _ => ()
+      }
+      qs
+    }
+
     private def updateOp(): UpdateOp = {
       if (takeWord("INSERT")) {
         if (takeWord("DATA")) InsertData(quadBlock(ground = true))
         else modify(del = Nil, withGraph = None, needInsert = true)
       }
       else if (takeWord("DELETE")) {
-        if (takeWord("DATA")) {
-          val qs = quadBlock(ground = true)
-          for (q <- qs; n <- Seq(q.s, q.o)) n match {
-            case V(name) if name.startsWith("_bn") =>
-              err("blank nodes are not allowed in DELETE DATA")
-            case _ => ()
-          }
-          DeleteData(qs)
-        }
-        else if (takeWord("WHERE")) DeleteWhere(quadBlock(ground = false))
+        if (takeWord("DATA"))
+          DeleteData(rejectBnodes(quadBlock(ground = true), "DELETE DATA"))
+        else if (takeWord("WHERE"))
+          // §3.1.3: the DELETE WHERE pattern is also the delete template,
+          // so blank nodes are forbidden in it like any DELETE template
+          DeleteWhere(rejectBnodes(quadBlock(ground = false), "DELETE WHERE"))
         else {
-          val del = quadBlock(ground = false)
-          for (q <- del; n <- Seq(q.s, q.o)) n match {
-            case V(name) if name.startsWith("_bn") =>
-              err("blank nodes are not allowed in DELETE templates")
-            case _ => ()
-          }
+          val del = rejectBnodes(quadBlock(ground = false), "DELETE templates")
           if (takeWord("INSERT")) modify(del, withGraph = None, needInsert = true)
           else modify(del, withGraph = None, needInsert = false, insParsed = Some(Nil))
         }
@@ -469,10 +494,10 @@ object SparqlParser {
         if (takeWord("DELETE")) {
           if (takeWord("WHERE")) {
             // WITH g DELETE WHERE: pin every un-GRAPHed quad to g
-            val qs = quadBlock(ground = false)
+            val qs = rejectBnodes(quadBlock(ground = false), "DELETE WHERE")
             DeleteWhere(qs.map(q => q.copy(g = q.g.orElse(Some(Bound(g))))))
           } else {
-            val del = quadBlock(ground = false)
+            val del = rejectBnodes(quadBlock(ground = false), "DELETE templates")
             if (takeWord("INSERT")) modify(del, Some(g), needInsert = true)
             else modify(del, Some(g), needInsert = false, insParsed = Some(Nil))
           }
@@ -544,13 +569,24 @@ object SparqlParser {
           while (takePunct(".")) ()
         }
         tps = saved
+        // DATA blocks must be ground (recursing into quoted-triple terms:
+        // a nested variable is the same error, and a nested blank node
+        // would need per-operation minting inside the quoted term, which
+        // the engine does not do — reject both with parse errors here
+        // rather than opaque engine errors later)
+        def checkGround(n: Node, nested: Boolean): Unit = n match {
+          case V(name) if !name.startsWith("_bn") =>
+            err(s"variables are not allowed in DATA blocks (?$name)")
+          case V(_) if nested =>
+            err("blank nodes inside quoted triples are not supported in DATA blocks")
+          case QPat(qs, qp, qo) =>
+            Seq(qs, qp, qo).foreach(checkGround(_, nested = true))
+          case _ => ()
+        }
         for (tp <- buf) tp.p match {
           case Left(p) =>
-            if (ground) for (n <- Seq(tp.s, p, tp.o) ++ g) n match {
-              case V(name) if !name.startsWith("_bn") =>
-                err(s"variables are not allowed in DATA blocks (?$name)")
-              case _ => ()
-            }
+            if (ground)
+              (Seq(tp.s, p, tp.o) ++ g).foreach(checkGround(_, nested = false))
             out += QuadPat(tp.s, p, tp.o, g)
           case Right(_) => err("property paths are not allowed in update templates")
         }
@@ -664,23 +700,36 @@ object SparqlParser {
     private def constructQuery(): Construct = {
       expectWord("CONSTRUCT")
       val template = Vector.newBuilder[(Node, Node, Node)]
-      expectPunct("{")
       val buf = scala.collection.mutable.ArrayBuffer.empty[TP]
-      val saved = tps
-      tps = buf
-      while (!isPunct("}")) {
-        triplesSameSubject()
-        while (takePunct(".")) ()
+      def parseTemplate(): Unit = {
+        expectPunct("{")
+        val saved = tps
+        tps = buf
+        while (!isPunct("}")) {
+          triplesSameSubject()
+          while (takePunct(".")) ()
+        }
+        tps = saved
+        for (tp <- buf) tp.p match {
+          case Left(n) => template += ((tp.s, n, tp.o))
+          case Right(_) => err("property paths are not allowed in CONSTRUCT templates")
+        }
+        expectPunct("}")
       }
-      tps = saved
-      for (tp <- buf) tp.p match {
-        case Left(n) => template += ((tp.s, n, tp.o))
-        case Right(_) => err("property paths are not allowed in CONSTRUCT templates")
-      }
-      expectPunct("}")
-      datasetClause()
-      takeWord("WHERE")
-      val where = groupGraphPattern()
+      // CONSTRUCT WHERE { triples } (§10.2.2): the pattern IS the template
+      val shorthand = !isPunct("{")
+      val where =
+        if (shorthand) {
+          datasetClause()
+          expectWord("WHERE")
+          parseTemplate()
+          Group(Seq(EBgp(buf.toSeq)))
+        } else {
+          parseTemplate()
+          datasetClause()
+          takeWord("WHERE")
+          groupGraphPattern()
+        }
       var limit: Option[Long] = None
       var offset: Option[Long] = None
       var go = true
@@ -696,19 +745,28 @@ object SparqlParser {
       expectWord("DESCRIBE")
       var vars = Vector.empty[String]
       var iris = Vector.empty[Term]
-      if (takePunct("*")) err("DESCRIBE * is not supported — name the variables")
-      var go = true
-      while (go) peek match {
-        case TVar(n, _) => i += 1; mention(n); vars :+= n
-        case TIri(v, _) => i += 1; iris :+= Term.iri(resolveIri(v))
-        case t @ TPName(p, l, _) => i += 1; iris :+= Term.iri(resolvePName(p, l, t))
-        case _ => go = false
+      val star = takePunct("*")
+      if (!star) {
+        var go = true
+        while (go) peek match {
+          case TVar(n, _) => i += 1; mention(n); vars :+= n
+          case TIri(v, _) => i += 1; iris :+= Term.iri(resolveIri(v))
+          case t @ TPName(p, l, _) => i += 1; iris :+= Term.iri(resolvePName(p, l, t))
+          case _ => go = false
+        }
+        if (vars.isEmpty && iris.isEmpty)
+          err("DESCRIBE needs at least one IRI or ?var (or *)")
       }
-      if (vars.isEmpty && iris.isEmpty) err("DESCRIBE needs at least one IRI or ?var")
       datasetClause()
       val where =
         if (takeWord("WHERE") || isPunct("{")) Some(groupGraphPattern()) else None
-      Describe(vars, iris, where)
+      if (star) {
+        // DESCRIBE * = every in-scope variable (the WHERE's visible vars,
+        // in textual mention order — mentions only accumulate from the
+        // DESCRIBE clause and its own WHERE in this query form)
+        if (where.isEmpty) err("DESCRIBE * needs a WHERE clause")
+        Describe(mentions.toSeq, Vector.empty, where)
+      } else Describe(vars, iris, where)
     }
 
     private def expectVar(): String = peek match {
@@ -717,7 +775,11 @@ object SparqlParser {
     }
 
     private def expectInt(): Long = peek match {
-      case TNum(lex, 0, _) => i += 1; lex.toLong
+      case t @ TNum(lex, 0, _) =>
+        i += 1
+        try lex.toLong
+        catch { case _: NumberFormatException =>
+          err(s"integer out of range: $lex", t) }
       case _ => err("expected a non-negative integer")
     }
 
@@ -935,7 +997,7 @@ object SparqlParser {
       if (takePunct(")")) return Bound(Term.iri(Vocab.rdfNil))
       val first = Term.iri(Vocab.rdfFirst)
       val rest = Term.iri(Vocab.rdfRest)
-      val head = V(freshHidden("coll"))
+      val head = V(freshHidden("bncoll"))
       var cur = head
       var done = false
       while (!done) {
@@ -945,7 +1007,7 @@ object SparqlParser {
           tps += TP(cur, Left(Bound(rest)), Bound(Term.iri(Vocab.rdfNil)))
           done = true
         } else {
-          val nxt = V(freshHidden("coll"))
+          val nxt = V(freshHidden("bncoll"))
           tps += TP(cur, Left(Bound(rest)), nxt)
           cur = nxt
         }

@@ -284,4 +284,85 @@ class SparqlParserSpec extends AnyFunSuite {
         |where { ?s ?p ?o } limit 3""".stripMargin)
     assert(q.distinct && q.limit.contains(3L))
   }
+
+  test("CONSTRUCT WHERE shorthand: the pattern is the template") {
+    val q = SparqlParser.parse(
+      "CONSTRUCT WHERE { ?s <http://p> ?o . ?o a <http://C> }")
+      .asInstanceOf[Construct]
+    assert(q.template.length == 2)
+    assert(q.template.head == ((V("s"), Bound(Term.iri("http://p")), V("o"))))
+    assert(bgp(q.where).length == 2)
+    // with a solution modifier
+    val q2 = SparqlParser.parse(
+      "CONSTRUCT WHERE { ?s ?p ?o } LIMIT 5").asInstanceOf[Construct]
+    assert(q2.limit.contains(5L))
+  }
+
+  test("collections are _bn-hidden vars (usable in templates/DATA blocks)") {
+    val q = sel("SELECT * WHERE { ?s <http://p> (1 2) }")
+    val vars = bgp(q.where).flatMap(tp => Seq(tp.s, tp.o)).collect {
+      case V(n) if n.startsWith("_") => n
+    }
+    assert(vars.nonEmpty && vars.forall(_.startsWith("_bn")), vars)
+    // INSERT DATA with a collection is legal SPARQL and must parse
+    val up = SparqlParser.parseUpdate(
+      "INSERT DATA { <http://s> <http://p> (1 2) }")
+    assert(up.ops.length == 1)
+  }
+
+  test("DELETE WHERE rejects blank nodes like any delete template") {
+    val e = intercept[SparqlParser.SparqlParseError] {
+      SparqlParser.parseUpdate("DELETE WHERE { ?s <http://p> [] }")
+    }
+    assert(e.getMessage.contains("blank nodes"))
+    val e2 = intercept[SparqlParser.SparqlParseError] {
+      SparqlParser.parseUpdate(
+        "WITH <http://g> DELETE WHERE { ?s <http://p> _:b }")
+    }
+    assert(e2.getMessage.contains("blank nodes"))
+  }
+
+  test("DATA-block ground check recurses into quoted triples") {
+    val e = intercept[SparqlParser.SparqlParseError] {
+      SparqlParser.parseUpdate(
+        "INSERT DATA { << <http://s> <http://p> ?o >> <http://q> 1 }")
+    }
+    assert(e.getMessage.contains("variables are not allowed"))
+    val e2 = intercept[SparqlParser.SparqlParseError] {
+      SparqlParser.parseUpdate(
+        "INSERT DATA { << <http://s> <http://p> _:b >> <http://q> 1 }")
+    }
+    assert(e2.getMessage.contains("quoted triples"))
+  }
+
+  test("PN_LOCAL cannot end with a dot; interior dot runs are kept") {
+    val q = sel("PREFIX : <http://e/> SELECT * WHERE { :s.s.s :p :a.. }")
+    val tps = bgp(q.where)
+    // :s.s.s keeps interior dots; :a's trailing dots are NOT part of the
+    // name (they lex as statement separators)
+    assert(tps.head.s == Bound(Term.iri("http://e/s.s.s")))
+    assert(tps.head.o == Bound(Term.iri("http://e/a")))
+  }
+
+  test("DESCRIBE * describes every in-scope variable") {
+    val q = SparqlParser.parse(
+      "DESCRIBE * WHERE { ?a <http://p> ?b }").asInstanceOf[Describe]
+    assert(q.vars == Seq("a", "b") && q.iris.isEmpty)
+    intercept[SparqlParser.SparqlParseError] {
+      SparqlParser.parse("DESCRIBE *") // no WHERE: nothing in scope
+    }
+  }
+
+  test("malformed escapes and out-of-range ints raise SparqlParseError") {
+    intercept[SparqlParser.SparqlParseError] {
+      SparqlParser.parse("SELECT * WHERE { <http://e\\uXYZW> ?p ?o }")
+    }
+    intercept[SparqlParser.SparqlParseError] {
+      SparqlParser.parse("SELECT * WHERE { ?s ?p \"\\U00110000\" }")
+    }
+    intercept[SparqlParser.SparqlParseError] {
+      SparqlParser.parse(
+        "SELECT * WHERE { ?s ?p ?o } LIMIT 99999999999999999999")
+    }
+  }
 }

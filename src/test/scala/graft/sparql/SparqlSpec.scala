@@ -326,6 +326,70 @@ class SparqlSpec extends AnyFunSuite {
       .select(b("o")("value")).distinct().count() == 4)
   }
 
+  test("CONSTRUCT WHERE shorthand and collection templates") {
+    val g = Sparql.query(spark, triples, P +
+      "CONSTRUCT WHERE { ?p :knows ?q }")
+    assert(g.count() == 2)
+    assert(g.collect().forall(_.getStruct(1).getString(1) == ex + "knows"))
+    // a collection in a CONSTRUCT template mints fresh rdf:first/rest
+    // chains per solution (the _bncoll hidden vars are template bnodes)
+    val c = Sparql.query(spark, triples, P +
+      "CONSTRUCT { ?p :pair (1 2) } WHERE { ?p :age 25 }")
+    // per solution: 1 pair triple + 2 first + 2 rest = 5; 2 solutions
+    assert(c.count() == 10)
+    assert(c.filter(c("p")("value") ===
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#first").count() == 4)
+  }
+
+  test("integer comparison is exact beyond 2^53") {
+    import spark.implicits._
+    val big = Seq(
+      Triple(i("x"), i("n"), Term.int(9007199254740993L)),
+      Triple(i("y"), i("n"), Term.int(9007199254740992L))).toDF()
+    val r = vals(
+      """SELECT ?s WHERE { ?s :n ?v FILTER(?v = 9007199254740993) }""",
+      big)
+    assert(r == Set(List(ex + "x")))
+    val lt = vals(
+      """SELECT ?s WHERE { ?s :n ?v FILTER(?v < 9007199254740993) }""",
+      big)
+    assert(lt == Set(List(ex + "y")))
+  }
+
+  test("SUBSTR follows XPath substring rules, not Spark substr") {
+    // round(start) window intersected with [1, len]; negative start never
+    // counts from the end
+    val r = vals(
+      """SELECT ?a ?b ?c ?d WHERE { ?p :name ?n FILTER(?n = "Alice")
+        |BIND(SUBSTR("hello", -2, 3) AS ?a)
+        |BIND(SUBSTR("hello", 0, 3) AS ?b)
+        |BIND(SUBSTR("hello", 2) AS ?c)
+        |BIND(SUBSTR("hello", 1.5, 2.6) AS ?d) }""".stripMargin)
+    // XPath: (-2,3) -> "", (0,3) -> "he", (2,inf) -> "ello",
+    // (1.5,2.6) -> round to (2,3) -> positions 2..4 -> "ell"
+    assert(r == Set(List("", "he", "ello", "ell")))
+  }
+
+  test("two-string builtins enforce §17.4.3.2 argument compatibility") {
+    import spark.implicits._
+    val d = Seq(
+      Triple(i("a"), i("v"), Term.langLit("abc", "en")),
+      Triple(i("b"), i("v"), Term.str("abc"))).toDF()
+    // incompatible pair -> type error -> FILTER drops the row
+    val r = vals(
+      """SELECT ?s WHERE { ?s :v ?x FILTER(CONTAINS(?x, "b"@fr)) }""", d)
+    assert(r.isEmpty)
+    // same-language pair stays compatible
+    val ok = vals(
+      """SELECT ?s WHERE { ?s :v ?x FILTER(CONTAINS(?x, "b"@en)) }""", d)
+    assert(ok == Set(List(ex + "a")))
+    // STRAFTER with an incompatible pair is an error (unbound), not ""
+    val sb = vals(
+      """SELECT ?y WHERE { ?s :v ?x
+        |BIND(STRAFTER(?x, "b"@cy) AS ?y) }""".stripMargin, d)
+    assert(sb == Set(List(null.asInstanceOf[String])))
+  }
+
   test("DESCRIBE returns subject descriptions") {
     val d = Sparql.query(spark, triples, P +
       "DESCRIBE ?p WHERE { ?p :age 35 }")
