@@ -2079,6 +2079,7 @@ object Queries {
         val triples = WebKg.extractFlat(WebKg.synthesizeWebPages(t(s, d, "documents")))
         graft.pipeline.Materialize.materialize(triples, root, 16, "verify")
           .orderBy("bucket")
+          .drop("num_buckets") // constant store metadata, not per-bucket stats
       },
       Some(kgPagesSql +
         """, tr AS (

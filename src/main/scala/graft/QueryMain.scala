@@ -248,15 +248,22 @@ object QueryMain {
         q = SparqlParser.parse(text, base)
         (pats, proj) <- idSpaceShape(q)
       } yield {
-        // a too-small --buckets is detectable from the lineage's bucket
-        // ids; a wrong-but-plausible value cannot be (the store records no
-        // bucket count), so the flag's contract is documented loudly
+        // stores record num_buckets in their lineage — validate exactly;
+        // for older stores at least the too-small case is detectable from
+        // the recorded bucket ids
         for (n <- buckets; lin <- Materialize.readLineage(spark, root)) {
-          val maxB = lin.agg(org.apache.spark.sql.functions.max("bucket"))
-            .collect()(0).getAs[Number](0).intValue()
-          if (maxB >= n)
-            sys.error(s"--buckets $n cannot be the store's bucket count: " +
-              s"its lineage records bucket id $maxB")
+          Materialize.lineageBucketCount(lin) match {
+            case Some(stored) =>
+              if (stored != n)
+                sys.error(s"--buckets $n does not match the store's " +
+                  s"recorded bucket count $stored")
+            case None =>
+              val maxB = lin.agg(org.apache.spark.sql.functions.max("bucket"))
+                .collect()(0).getAs[Number](0).intValue()
+              if (maxB >= n)
+                sys.error(s"--buckets $n cannot be the store's bucket count: " +
+                  s"its lineage records bucket id $maxB")
+          }
         }
         val sel = q.asInstanceOf[Ast.Select]
         val (decoded, release) = Dict.bgpEncodedReleasable(

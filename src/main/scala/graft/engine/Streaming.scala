@@ -113,8 +113,11 @@ object Streaming {
       // null ts would leave the bucket's state timeout unset (immortal
       // state); null sig (null text) would pool unrelated docs into one
       // shared (source, band, null) bucket and emit spurious pairs — the
-      // batch plan drops such docs at the explode, so drop both here too
-      .filter(col("ts").isNotNull && col("sig").isNotNull)
+      // batch plan drops such docs at the explode, so drop both here too;
+      // a null/uncastable doc_id would kill the whole query deserializing
+      // into the case class's primitive Long field
+      .filter(col("ts").isNotNull && col("sig").isNotNull &&
+        col("doc_id").isNotNull)
       .as[LshBandRow]
     bands
       .groupByKey(r => (r.source, r.band, r.sig))

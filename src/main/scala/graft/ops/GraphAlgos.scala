@@ -121,11 +121,15 @@ object GraphAlgos {
       i += 1
     }
     und.unpersist()
-    if (!converged)
+    if (!converged) {
+      // no frame is returned on this path, so the caller can never free
+      // the final round's checkpoint — release it before throwing
+      releaseLocalCheckpoint(live)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter rounds — " +
           "with pointer doubling that is a component diameter beyond " +
           "~2^maxIter, i.e. a pathological input; raise maxIter if truly needed")
+    }
     comp
   }
 }

@@ -31,10 +31,13 @@ object Sampling {
     require(weights.nonEmpty)
     val u = hashUniform(col("doc_id"), salt)
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // a NULL doc_id is unattributable: its split stays NULL (it belongs to
+    // no set) rather than falling through every `u < cut` comparison into
+    // the last — typically smallest, most trusted — label
     val labeled = weights.zip(cuts).dropRight(1)
       .foldLeft(when(lit(false), lit(""))) { case (c, ((label, _), cut)) =>
         c.when(u < cut, label)
-      }.otherwise(weights.last._1)
+      }.when(u.isNotNull, weights.last._1)
     docs.select(col("doc_id"), labeled.as("split"))
   }
 
@@ -68,8 +71,14 @@ object Sampling {
   def packShards(docs: DataFrame, budgetTokens: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val withTok = docs.select(col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    GraphAlgos.requireIntegral(docs, Seq("doc_id"), "packShards")
+    // a NULL text is an empty document (0 tokens) — size(split(NULL)) is
+    // NULL, which would otherwise null the shard id (the doc silently
+    // vanishes from every shard) or, under legacy sizeOfNull, shift every
+    // later doc's cumulative sum by -1
+    val withTok = docs.select(col("doc_id").cast("long").as("doc_id"),
+      coalesce(size(TextOps.tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_tokens"))
     val bounds = withTok.agg(min("doc_id"), max("doc_id")).head()
     if (bounds.isNullAt(0))
       return withTok.withColumn("shard", lit(0L)).limit(0)
@@ -86,23 +95,20 @@ object Sampling {
         s"cast(((cast(doc_id as decimal(38,0)) - $lo) * $nBuckets) div $span as int)"))
     // per-bucket totals -> exclusive offsets, in bucket (= id range) order;
     // deterministic because __pid is a pure function of doc_id
-    val partTotals = bucketed.groupBy("__pid")
+    val totalsRows = bucketed.groupBy("__pid")
       .agg(sum("n_tokens").as("t"), count(lit(1)).as("c"))
       .orderBy("__pid").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .map { case (pid, t, c) => ((pid, t), c) } match {
-        case rows =>
-          val counts = rows.map(_._2)
-          if (counts.nonEmpty) {
-            val maxC = counts.max; val avgC = counts.sum / counts.length
-            if (avgC > 0 && maxC > 8 * avgC)
-              System.err.println(
-                s"[packShards] WARN: clustered doc_ids — hottest bucket holds " +
-                  s"$maxC rows vs $avgC average; the per-bucket cumsum will " +
-                  s"straggle. Remap ids densely before packing.")
-          }
-          rows.map(_._1)
-      }
+    val counts = totalsRows.map(_._3)
+    if (counts.nonEmpty) {
+      val maxC = counts.max; val avgC = counts.sum / counts.length
+      if (avgC > 0 && maxC > 8 * avgC)
+        System.err.println(
+          s"[packShards] WARN: clustered doc_ids — hottest bucket holds " +
+            s"$maxC rows vs $avgC average; the per-bucket cumsum will " +
+            s"straggle. Remap ids densely before packing.")
+    }
+    val partTotals = totalsRows.map { case (pid, t, _) => (pid, t) }
     val offsets = partTotals.scanLeft((0, 0L)) {
       case ((_, acc), (pid, t)) => (pid, acc + t)
     }.tail.zip(partTotals).map { case ((pid, cumIncl), (_, t)) =>

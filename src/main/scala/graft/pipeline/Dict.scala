@@ -149,8 +149,6 @@ object Dict {
   def materializeEncoded(flat0: DataFrame, root: String, numBuckets: Int,
                          batchId: String): DataFrame = {
     val spark = flat0.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     // TWO consumers read the flat triples (the id-encoded data pass and the
     // dictionary distinct) — persist so a lazy upstream (extraction over
     // the page table) is computed once, spilling to disk at scale rather
@@ -163,12 +161,13 @@ object Dict {
         termIdCol(col("o")).as("o_id"))
       val remaining = Materialize.readLineage(spark, root) match {
         case Some(lin) =>
+          Materialize.checkBucketCount(lin, numBuckets, root)
           bucketed.join(broadcast(lin.select("bucket").distinct()),
             Seq("bucket"), "left_anti")
         case None => bucketed
       }
       Materialize.writeBucketedData(remaining, root, batchId,
-        Seq("bucket"), "s_id")
+        Seq("bucket"), "s_id", numBuckets)
 
       val terms = termDictionary(flat)
       readDict(spark, root) match {

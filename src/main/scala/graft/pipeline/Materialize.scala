@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *   <root>/data/bucket=<b>/  parquet triples, bucket = pmod(hash(s), B)
   *   <root>/lineage/          one row per completed bucket:
   *                                      (bucket, n_triples, n_subjects,
-  *                                       batch_id, completed_at_batch)
+  *                                       batch_id, num_buckets)
   *
   * Why bucket by hash(s): joins/BGP scans shuffle on subject terms, so
   * subject-hash bucketing co-locates each subject's statements (the
@@ -26,9 +26,6 @@ import org.apache.spark.sql.functions._
   * in-flight buckets — per-partition checkpointing without a coordinator.
   */
 object Materialize {
-
-  final case class Lineage(bucket: Int, n_triples: Long, n_subjects: Long,
-                           batch_id: String)
 
   /** Deterministic md5-derived bucket id. md5 (not Spark's Murmur3 hash)
     * so the layout is cross-engine reproducible — DuckDB computes the same
@@ -65,11 +62,10 @@ object Materialize {
   def materialize(triples: DataFrame, root: String, numBuckets: Int,
                   batchId: String): DataFrame = {
     val spark = triples.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     val bucketed = triples.withColumn("bucket", bucketCol(numBuckets))
     val remaining = readLineage(spark, root) match {
       case Some(lin) =>
+        checkBucketCount(lin, numBuckets, root)
         bucketed.join(broadcast(lin.select("bucket").distinct()), Seq("bucket"), "left_anti")
       case None => bucketed
     }
@@ -106,9 +102,43 @@ object Materialize {
     // only AFTER both cache consumers ran; both (the write and the stats
     // agg) are partitioning-agnostic. (The save/set/restore lives in
     // writeBucketedData, shared by every store layout.)
-    writeBucketedData(remaining, root, batchId, Seq("bucket"), "s")
+    writeBucketedData(remaining, root, batchId, Seq("bucket"), "s", numBuckets)
     readLineage(spark, root).get.filter(col("batch_id") === batchId)
   }
+
+  /** The store's bucket count as recorded in its lineage, when the store
+    * was written by a build that records it (the `num_buckets` column).
+    * Distinct conflicting values mean a corrupted / mixed-layout store. */
+  def lineageBucketCount(lin: DataFrame): Option[Int] =
+    if (!lin.columns.contains("num_buckets")) None
+    else lin.select("num_buckets").distinct().collect()
+      .map(_.getAs[Number](0).intValue()).toSeq match {
+        case Seq(n) => Some(n)
+        case Seq() => None
+        case many => throw new IllegalStateException(
+          s"lineage records conflicting bucket counts ${many.sorted.mkString(",")}" +
+            " — the store root mixes layouts")
+      }
+
+  /** Resume safety: a resume with a DIFFERENT bucket count than the store
+    * was written with silently drops data (the lineage anti-join excludes
+    * bucket IDS, which only mean the same thing under the same count).
+    * Exact check when the lineage records `num_buckets`; for stores from
+    * older builds, at least the too-small case is detectable from the
+    * recorded bucket ids. */
+  private[pipeline] def checkBucketCount(lin: DataFrame, numBuckets: Int,
+                                         root: String): Unit =
+    lineageBucketCount(lin) match {
+      case Some(n) =>
+        require(n == numBuckets,
+          s"store at $root was materialized with $n buckets; resuming with " +
+            s"numBuckets=$numBuckets would silently drop or misplace data")
+      case None =>
+        val maxB = lin.agg(max("bucket")).collect()(0).getAs[Number](0).intValue()
+        require(maxB < numBuckets,
+          s"store at $root records bucket id $maxB in its lineage — it cannot " +
+            s"have been materialized with numBuckets=$numBuckets")
+    }
 
   /** The shared write core of every snapshot/increment store layout:
     * REBALANCE(bucket) + within-partition sort on `subjectCol`, ONE cached
@@ -118,24 +148,34 @@ object Materialize {
     * ([[Dict.materializeEncoded]]) layouts can never drift apart on the
     * skew-split / cached-plan-partitioning dance. */
   private[pipeline] def writeBucketedData(remaining: DataFrame, root: String,
-      batchId: String, partitionCols: Seq[String], subjectCol: String): Unit = {
+      batchId: String, partitionCols: Seq[String], subjectCol: String,
+      numBuckets: Int): Unit = {
     val spark = remaining.sparkSession
     val prevCachedPart = spark.conf
       .get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
     spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // dynamic overwrite scoped to THIS write and restored: left set
+    // session-wide it silently turns every later full-table
+    // partitioned overwrite in the same session into a partial one
+    val prevOverwrite = spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val cached = remaining.hint("rebalance", col("bucket"))
       .sortWithinPartitions(col("bucket"), col(subjectCol)).persist()
     try {
       cached.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
         .parquet(s"$root/data")
-      // metrics from the cached frame: same pass as the write
+      // metrics from the cached frame: same pass as the write; the
+      // recorded num_buckets makes a mismatched resume detectable
       val stats = cached.groupBy("bucket")
         .agg(count(lit(1)).as("n_triples"),
           countDistinct(col(subjectCol)).as("n_subjects"))
         .withColumn("batch_id", lit(batchId))
+        .withColumn("num_buckets", lit(numBuckets))
       stats.write.mode(SaveMode.Append).parquet(s"$root/lineage")
     } finally {
       cached.unpersist()
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevOverwrite)
       spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", prevCachedPart)
     }
   }
@@ -151,11 +191,11 @@ object Materialize {
   def materializeIncrement(triples: DataFrame, root: String, numBuckets: Int,
                            batchId: String): DataFrame = {
     val spark = triples.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val bucketed = triples.withColumn("bucket", bucketCol(numBuckets))
       .withColumn("batch_id", lit(batchId))
     val remaining = readLineage(spark, root) match {
       case Some(lin) =>
+        checkBucketCount(lin, numBuckets, root)
         bucketed.join(
           broadcast(lin.filter(col("batch_id") === batchId)
             .select("bucket").distinct()), Seq("bucket"), "left_anti")
@@ -163,7 +203,8 @@ object Materialize {
     }
     // same sorted skew-splitting layout as `materialize` (see the
     // REBALANCE + canChangeCachedPlanOutputPartitioning comments there)
-    writeBucketedData(remaining, root, batchId, Seq("batch_id", "bucket"), "s")
+    writeBucketedData(remaining, root, batchId, Seq("batch_id", "bucket"), "s",
+      numBuckets)
     readLineage(spark, root).get.filter(col("batch_id") === batchId)
   }
 

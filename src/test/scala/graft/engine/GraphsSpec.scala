@@ -213,6 +213,16 @@ class GraphsSpec extends AnyFunSuite {
     val third = Materialize.materialize(triples, root, numBuckets = 8, batchId = "b3")
     assert(third.count() == 2)
     assert(Materialize.readGraph(spark, root).count() == 100) // idempotent overwrite
+    // a resume with a DIFFERENT bucket count would silently drop data
+    // (bucket ids only mean the same thing under the same count) — the
+    // recorded num_buckets makes it fail fast instead
+    val e = intercept[IllegalArgumentException] {
+      Materialize.materialize(triples, root, numBuckets = 16, batchId = "b4")
+    }
+    assert(e.getMessage.contains("8 buckets"))
+    // the dynamic-overwrite conf is scoped to the write, not the session
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "static") != "dynamic")
   }
 
   test("materialize splits a hot bucket into multiple sorted files") {

@@ -34,6 +34,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(s1.forall { case (id, l) => bigger(id) == l })
   }
 
+  test("null inputs: null doc_id gets a null split; null text packs as 0 tokens; " +
+      "non-integral ids rejected") {
+    import spark.implicits._
+    val d = Seq(Some(1L), Some(2L), None)
+      .map(id => (id.map(java.lang.Long.valueOf).orNull, "w w"))
+      .toDF("doc_id", "text")
+    val split = Sampling.hashSplit(d, Seq("train" -> 0.9, "test" -> 0.1))
+      .collect().map(r => (Option(r.get(0)), Option(r.getString(1))))
+    // the unattributable doc lands in NO split, never in the last label
+    assert(split.count(_._1.isEmpty) == 1)
+    assert(split.filter(_._1.isEmpty).forall(_._2.isEmpty))
+    assert(split.filter(_._1.isDefined).forall(_._2.isDefined))
+
+    val nullText = Seq((0L, "a b c"), (1L, null), (2L, "d e"))
+      .toDF("doc_id", "text")
+    val packed = Sampling.packShards(nullText, budgetTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 is an empty (0-token) doc, present with a valid shard id, and
+    // doc 2's prefix sum is unaffected by it
+    assert(packed(1L) == (0L, 0L), packed)
+    assert(packed(0L) == (3L, 0L) && packed(2L) == (2L, 0L), packed)
+
+    val strIds = Seq(("a", "t"), ("b", "t")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.packShards(strIds, budgetTokens = 4)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("packShards equals the sequential greedy packing") {
     val d = docs(500)
     val got = Sampling.packShards(d, budgetTokens = 100).collect()
