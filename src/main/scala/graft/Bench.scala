@@ -46,6 +46,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the one-line bench JSON is f-interpolated: pin the root locale so a
+    // comma-decimal default locale cannot emit malformed JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 

@@ -88,9 +88,20 @@ object PipelineMain {
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   def main(args: Array[String]): Unit = {
+    // the metrics JSON is f-interpolated: pin the root locale so a
+    // comma-decimal default locale cannot emit malformed JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val opts = parseArgs(args)
     val out = opts.getOrElse("--out", sys.error("required: --out <store root>"))
-    val buckets = opts.getOrElse("--buckets", "64").toInt
+    val buckets = {
+      val v = opts.getOrElse("--buckets", "64")
+      val n =
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          sys.error(s"--buckets must be an integer, got '$v'") }
+      if (n <= 0) sys.error(s"--buckets must be positive, got $n")
+      n
+    }
     // default batch id is unique per invocation: a crashed run resumed
     // with the same command must NOT share the first run's id, or the
     // returned lineage (filtered by batch id) would count the crashed
@@ -330,8 +341,14 @@ object PipelineMain {
         // flag the snapshot stays fully fused into the materialize action
         val extraConsumers = doLink || nearDedup || domainCur || lmFilter ||
           decontam
+        // the extracted text is computed ONCE into the cached snapshot:
+        // every optional gate (domain curation, near-dedup, LM filter,
+        // decontamination, linking) consumes it, and recomputing the
+        // full-html regex per stage would scan the corpus html up to five
+        // times; one cached column trades memory for those passes
         val snap = if (extraConsumers)
-          snap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          snap0.withColumn("__text", WebKg.extractedText)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else snap0
         try {
           if (extraConsumers) timed("snapshot")(snap.count())
@@ -349,12 +366,11 @@ object PipelineMain {
           val pagesDom = if (domainCur) timed("domain_curation") {
             val keepDoms = WebKg.domainStats(
               snap.select(col("url"), col("html"),
-                WebKg.extractedText.as("text")))
+                col("__text").as("text")))
               .filter(col("keep") || col("domain") === "")
               .select("domain").localCheckpoint()
             snap.join(keepDoms,
-              regexp_extract(snap("url"), "^https?://([^/]+)", 1) ===
-                keepDoms("domain"), "left_semi")
+              WebKg.urlHost(snap("url")) === keepDoms("domain"), "left_semi")
           } else snap
           // OPTIONAL page-level near-dedup BEFORE extraction: mirror /
           // boilerplate pages across urls (the snapshot only collapses
@@ -376,7 +392,7 @@ object PipelineMain {
           // itself never re-runs (drop is checkpointed).
           val pagesIn = if (nearDedup) timed("near_dedup") {
             val pd = pagesDom.select(xxhash64(col("url")).as("doc_id"),
-              lit("web").as("source"), WebKg.extractedText.as("text"))
+              lit("web").as("source"), col("__text").as("text"))
             val drop = graft.ops.Dedup.nearDupDropIds(pd)
             pagesDom.join(drop,
               xxhash64(pagesDom("url")) === drop("doc_id"), "left_anti")
@@ -399,7 +415,7 @@ object PipelineMain {
               val ref = spark.read.parquet(opts("--lm-filter")).select("text")
               val drop = graft.ops.TextOps.lmScore(
                   pagesIn.select(xxhash64(col("url")).as("doc_id"),
-                    WebKg.extractedText.as("text")), ref, maxNll)
+                    col("__text").as("text")), ref, maxNll)
                 .filter(!col("keep")).select("doc_id").localCheckpoint()
               pagesIn.join(drop,
                 xxhash64(pagesIn("url")) === drop("doc_id"), "left_anti")
@@ -421,7 +437,7 @@ object PipelineMain {
               val (overlaps, releaseBench) =
                 graft.ops.TextOps.contaminationOverlapsBloomReleasable(
                   pagesLm.select(xxhash64(col("url")).as("doc_id"),
-                    WebKg.extractedText.as("text")), bench, decontamN)
+                    col("__text").as("text")), bench, decontamN)
               val drop = overlaps.select("doc_id").localCheckpoint()
               // the drop set is materialized (localCheckpoint is eager) —
               // the benchmark n-gram checkpoint behind it is dead now
@@ -454,7 +470,7 @@ object PipelineMain {
               // roughly half the link-stage cost. linkMode was validated
               // pre-flight, so this dispatch is total.
               val linkDocs =
-                pagesDecon.select(col("url").as("doc_id"), WebKg.extractedText.as("text"))
+                pagesDecon.select(col("url").as("doc_id"), col("__text").as("text"))
               val mentions = timed("link") {
                 (if (linkMode == "fuzzy")
                   WebKg.entityLinkFuzzyDF(linkDocs, dict,

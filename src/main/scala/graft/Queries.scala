@@ -467,7 +467,7 @@ object Queries {
              |round(len(list_filter(string_split_regex(text,'\s+'),
              |  w -> w='the' OR w='a')) * 1.0 / len(string_split_regex(text,'\s+')), 6)
              |  AS stopword_ratio,
-             |round((length(text) - (length(text)-length(replace(text,' ',''))))
+             |round(length(regexp_replace(text, '\s', '', 'g'))
              |  * 1.0 / len(string_split_regex(text,'\s+')), 6) AS avg_word_len
              |FROM documents""".stripMargin)),
 

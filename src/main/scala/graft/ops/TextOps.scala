@@ -42,13 +42,17 @@ object TextOps {
   def qualityScores(docs: DataFrame): DataFrame = {
     val toks = col("__toks")
     val nTok = size(toks).cast("double")
-    val nSpace = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("double")
+    // word characters = non-WHITESPACE (the same \s the tokenizer splits
+    // on) — subtracting only literal spaces would count tabs/newlines as
+    // word characters and inflate avg_word_len on newline-heavy web text
+    val nWordChars =
+      length(regexp_replace(col("text"), "\\s", "")).cast("double")
     docs.select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         round(size(filter(toks, w => w === "the" || w === "a")) / nTok, 6).as("stopword_ratio"),
-        round((length(col("text")) - nSpace) / nTok, 6).as("avg_word_len"))
+        round(nWordChars / nTok, 6).as("avg_word_len"))
   }
 
   /** Language-ID by stopword-marker counting (n-gram heuristic family):

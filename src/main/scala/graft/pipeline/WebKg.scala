@@ -134,16 +134,29 @@ object WebKg {
         po(pType, lit(cWebPage)),
         po(pTitle, when(col("__hp.title") =!= "", col("__hp.title"))),
         po(pLang, col("lang")),
-        po(pLink, resolveHref(col("__hp.href"), col("s"))),
-        po(pCreated, date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        // a page with no <a href> emits NO links triple: RFC 3986 resolves
+        // the empty reference to the base itself, which would fabricate a
+        // self-link for every link-less page
+        po(pLink, when(col("__hp.href") =!= "",
+          resolveHref(col("__hp.href"), col("s")))),
+        po(pCreated, utcDateTime(col("warc_ts"))),
         po(pTextHash, md5(col("__hp.text"))))).as("po"))
       .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
       .filter(col("o").isNotNull)
   }
 
+  /** The UTC instant of a timestamp column as an xsd:dateTime lexical —
+    * rendered from the UTC wall clock regardless of the session timezone
+    * (date_format alone renders in the SESSION zone, which would mislabel
+    * the instant under any non-UTC session while still stamping 'Z'). */
+  private[pipeline] def utcDateTime(ts: Column): Column =
+    date_format(convert_timezone(lit("UTC"), ts), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
   /** Term-struct extraction: same statements as extractFlat but typed —
     * IRIs for type/link objects, xsd:string/xsd:dateTime literals. Single
-    * scan + explode, like extractFlat. */
+    * scan + explode, like extractFlat; null lang/warc_ts drop their
+    * statement (a struct whose VALUE is null would be a malformed term,
+    * invisible to the o.isNotNull filter). */
   def extractTriples(pages: DataFrame): DataFrame = {
     def po(p: String, o: Column) = struct(Terms.iri(lit(p)).as("p"), o.as("o"))
     val nullTerm = lit(null).cast(Terms.termSchema)
@@ -153,13 +166,22 @@ object WebKg {
         po(pType, Terms.iri(lit(cWebPage))),
         po(pTitle, when(col("__hp.title") =!= "", Terms.strLit(col("__hp.title")))
           .otherwise(nullTerm)),
-        po(pLang, Terms.strLit(col("lang"))),
+        po(pLang, when(col("lang").isNotNull, Terms.strLit(col("lang")))
+          .otherwise(nullTerm)),
         po(pLink, {
-          val r = resolveHref(col("__hp.href"), col("url"))
+          val r = when(col("__hp.href") =!= "",
+            resolveHref(col("__hp.href"), col("url")))
           when(r.isNotNull, Terms.iri(r)).otherwise(nullTerm)
         }),
-        po(pCreated, Terms.typedLit(
-          date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), Vocab.xsdDateTime)))).as("po"))
+        po(pCreated, {
+          val d = utcDateTime(col("warc_ts"))
+          when(d.isNotNull, Terms.typedLit(d, Vocab.xsdDateTime))
+            .otherwise(nullTerm)
+        }),
+        po(pTextHash, {
+          val h = md5(col("__hp.text"))
+          when(h.isNotNull, Terms.strLit(h)).otherwise(nullTerm)
+        }))).as("po"))
       .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
       .filter(col("o").isNotNull)
   }
@@ -330,11 +352,18 @@ object WebKg {
     * `''` pseudo-domain — one mixed group of unattributable pages, NOT a
     * real host; callers acting on `keep` should pass `''` through rather
     * than wholesale-drop it (PipelineMain's --domain-curation does). */
+  /** The url's host as curation's domain key — ONE definition shared by
+    * [[domainStats]] and the deployment keep-set join (two copies of the
+    * regex could drift and silently empty the semi-join). Non-http(s)
+    * urls parse to the `''` pseudo-domain. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^https?://([^/]+)", 1)
+
   def domainStats(pages: DataFrame, maxDupRate: Double = 0.25,
                   minAvgTokens: Double = 5.0,
                   maxNotitleRate: Double = 0.5): DataFrame = {
     val perPage = pages.select(
-      regexp_extract(col("url"), "^https?://([^/]+)", 1).as("domain"),
+      urlHost(col("url")).as("domain"),
       md5(col("text")).as("h"),
       size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
       (extractedTitle === "").cast("int").as("notitle"))
@@ -766,6 +795,10 @@ object WebKg {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count() // metadata-scale action; N is a plan constant
+    if (n == 0) { // empty graph: empty ranks, not a driver divide-by-zero
+      nodes.unpersist(); e.unpersist()
+      return spark.range(0).select(col("id").as("node"), col("id").as("rank_fp"))
+    }
     val withDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .join(e, "src").select(col("src"), col("dst"), col("deg")).persist()
     val base = (15L * scale) / (100L * n)

@@ -91,6 +91,38 @@ class WebKgSpec extends AnyFunSuite {
     assert(links.forall(_.contains(".example.org/doc/")))
   }
 
+  test("href-less pages emit NO links triple; typed/flat extraction parity") {
+    import spark.implicits._
+    // a page whose html has an EMPTY href: RFC 3986 resolves '' to the
+    // base itself, which must not fabricate a self-link
+    val pages = Seq(
+      ("https://a.org/x", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
+        "<html><head><title>T</title></head><body><p>tx</p><a href=\"\">n</a></body></html>"
+          .getBytes("UTF-8"), "tx", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val flat = WebKg.extractFlat(pages)
+    assert(flat.filter(col("p") === WebKg.pLink).count() == 0)
+    // typed extraction emits the SAME statements as the flat projection
+    // (incl. textSha), just typed — count parity on the synthetic corpus
+    val p2 = WebKg.synthesizeWebPages(docs)
+    assert(WebKg.extractTriples(p2).count() == WebKg.extractFlat(p2).count())
+    // a null lang drops only its own statement, never a malformed term
+    val nullLang = Seq(
+      ("https://a.org/y", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
+        "<html><head><title>T</title></head><body><p>tx</p><a href=\"/z\">n</a></body></html>"
+          .getBytes("UTF-8"), "tx", null))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val typed = WebKg.extractTriples(nullLang)
+    assert(typed.filter(col("o")("value").isNull).count() == 0)
+    assert(typed.count() == WebKg.extractFlat(nullLang).count())
+  }
+
+  test("pageRank of an empty edge table is empty, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(WebKg.pageRank(empty).count() == 0)
+  }
+
   test("created literal is canonical xsd:dateTime UTC") {
     val flat = WebKg.extractFlat(WebKg.synthesizeWebPages(docs))
     val created = flat.filter(col("p") === WebKg.pCreated).collect().map(_.getString(2))
