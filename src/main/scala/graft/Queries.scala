@@ -838,10 +838,10 @@ object Queries {
       },
       Some {
         // mirror of Similarity.lshBucket(nPlanes=8): plane weight
-        // pmod(i*31 + k*17+7, 7) - 3, sequential-fold double sums
+        // pmod(i*31 + k*17+7, 13) - 6, sequential-fold double sums
         def proj(k: Int) =
           s"list_sum(list_transform(range(1, len(e)+1), i -> " +
-            s"e[i] * ((((i-1)*31 + ${k * 17 + 7}) % 7) - 3)::DOUBLE))"
+            s"e[i] * ((((i-1)*31 + ${k * 17 + 7}) % 13) - 6)::DOUBLE))"
         val bucket = (0 until 8)
           .map(k => s"(CASE WHEN ${proj(k)} > 0 THEN ${1 << k} ELSE 0 END)")
           .mkString(" + ")
@@ -2210,7 +2210,7 @@ object Queries {
     * pair set (threshold 0.8), the DuckDB twin of `Dedup.ngramJaccardPairs`.
     * Shared by `dedup_ngram_jaccard` and `dedup_clusters`. */
   private lazy val ngramJacSql: String = lshCandSql +
-    """, sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    """, sizes AS (SELECT doc_id, count(DISTINCT w) AS n FROM tok GROUP BY 1),
       |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
       |  JOIN tok a ON a.doc_id = c.d1
       |  JOIN tok b ON b.doc_id = c.d2 AND b.w = a.w
@@ -2235,13 +2235,13 @@ object Queries {
       |  FROM tok GROUP BY 1,2),
       |bands AS (
       |  SELECT doc_id, source, 0 AS band,
-      |    md5(CAST(s0 AS VARCHAR)||CAST(s1 AS VARCHAR)) AS sig FROM mh UNION ALL
+      |    md5(CAST(s0 AS VARCHAR)||'|'||CAST(s1 AS VARCHAR)) AS sig FROM mh UNION ALL
       |  SELECT doc_id, source, 1,
-      |    md5(CAST(s2 AS VARCHAR)||CAST(s3 AS VARCHAR)) FROM mh UNION ALL
+      |    md5(CAST(s2 AS VARCHAR)||'|'||CAST(s3 AS VARCHAR)) FROM mh UNION ALL
       |  SELECT doc_id, source, 2,
-      |    md5(CAST(s4 AS VARCHAR)||CAST(s5 AS VARCHAR)) FROM mh UNION ALL
+      |    md5(CAST(s4 AS VARCHAR)||'|'||CAST(s5 AS VARCHAR)) FROM mh UNION ALL
       |  SELECT doc_id, source, 3,
-      |    md5(CAST(s6 AS VARCHAR)||CAST(s7 AS VARCHAR)) FROM mh),
+      |    md5(CAST(s6 AS VARCHAR)||'|'||CAST(s7 AS VARCHAR)) FROM mh),
       |stats AS (SELECT doc_id, source, band, sig,
       |    count(*) OVER (PARTITION BY band, sig, source) AS bn,
       |    min(doc_id) OVER (PARTITION BY band, sig, source) AS bmin

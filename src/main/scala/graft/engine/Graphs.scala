@@ -55,9 +55,11 @@ object Graphs {
   def includesAll(g: DataFrame, statements: DataFrame): Boolean =
     antiNullSafe(statements, g).isEmpty
 
-  /** Graph.equal? modulo prefixes (graph.ex:1399-1406). */
+  /** Graph.equal? modulo prefixes (graph.ex:1399-1406). SET semantics
+    * (`except`, not `exceptAll`): RDF graphs are statement sets, so a
+    * frame stating one triple twice equals its deduplicated form. */
   def equalGraphs(a: DataFrame, b: DataFrame): Boolean =
-    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    a.except(b).isEmpty && b.except(a).isEmpty
 
   /** rename_resource (graph.ex:772-792) — the skolemization primitive as a
     * column transform over all positions. */
@@ -75,7 +77,11 @@ object Graphs {
   def updateSubject(g: DataFrame, subject: Term,
                     f: DataFrame => DataFrame): DataFrame = {
     val key = Terms.constTerm(subject)
-    val updated = f(g.filter(col("s") === key))
+    // the reference re-subjects f's output (Description.new(subject),
+    // graph.ex:700-730) — so does [[updateAllDescriptions]]; without this
+    // an f returning foreign subjects would silently mutate OTHER
+    // descriptions instead of being coerced back
+    val updated = f(g.filter(col("s") === key)).withColumn("s", key)
     g.filter(!(col("s") === key)).unionByName(updated).dropDuplicates()
   }
 
@@ -163,14 +169,19 @@ object Graphs {
     * the raw IRI string. The map is a literal expression (the Spark
     * analogue of a broadcast dictionary — PropertyMaps are vocabulary-
     * scale), so the projection stays one codegen'd pass. */
+  /** The PropertyMap `:context` predicate key: mapped predicates render
+    * as their readable term, others fall back to the raw IRI string — ONE
+    * definition for the triple-level and quad-level values projections. */
+  private def contextKey(context: Map[String, String]): Column =
+    if (context.isEmpty) col("p")("value")
+    else {
+      val m = map(context.flatMap { case (iri, term) =>
+        Seq(lit(iri), lit(term)) }.toSeq: _*)
+      coalesce(element_at(m, col("p")("value")), col("p")("value"))
+    }
+
   def valuesWithContext(g: DataFrame, context: Map[String, String]): DataFrame = {
-    val keyed =
-      if (context.isEmpty) col("p")("value")
-      else {
-        val m = map(context.flatMap { case (iri, term) =>
-          Seq(lit(iri), lit(term)) }.toSeq: _*)
-        coalesce(element_at(m, col("p")("value")), col("p")("value"))
-      }
+    val keyed = contextKey(context)
     g.groupBy(col("s")("value").as("subject"), keyed.as("k"))
       .agg(collect_list(col("o")("value")).as("v"))
       .groupBy("subject")
@@ -187,13 +198,7 @@ object Graphs {
     * grouping key — no extra shuffle over the triple-level projection. */
   def datasetValues(quads: DataFrame,
                     context: Map[String, String] = Map.empty): DataFrame = {
-    val keyed =
-      if (context.isEmpty) col("p")("value")
-      else {
-        val m = map(context.flatMap { case (iri, term) =>
-          Seq(lit(iri), lit(term)) }.toSeq: _*)
-        coalesce(element_at(m, col("p")("value")), col("p")("value"))
-      }
+    val keyed = contextKey(context)
     quads.groupBy(col("g")("value").as("graph_name"),
         col("s")("value").as("subject"), keyed.as("k"))
       .agg(collect_list(col("o")("value")).as("v"))
@@ -509,11 +514,13 @@ object Graphs {
       else col("p")("value").isin(predicates: _*)
     // Tuple1 keeps the term as ONE struct column (a bare Dataset[Term]
     // would flatten into kind/value/datatype/lang)
+    import graft.ops.GraphAlgos.releaseLocalCheckpoint
     var visited = Seq(Tuple1(start)).toDF("node").localCheckpoint()
     var frontier = visited
     val layers = scala.collection.mutable.Buffer.empty[DataFrame]
     var d = 1 // depth of the nodes the current expansion may reach
     var done = false
+    try {
     while (!done) {
       val tris = gp.join(frontier, gp("s") === frontier("node"))
         .select(gp("s").as("s"), gp("p").as("p"), gp("o").as("o"))
@@ -539,14 +546,22 @@ object Graphs {
       }
       val newNodes = followed.select(col("o").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti").localCheckpoint()
+      // tris and newNodes are materialized (localCheckpoint is eager): the
+      // frontier they consumed is dead — unless it still IS the visited
+      // frame (round 1). Only the LAYER checkpoints live on: they back
+      // the returned frame (release via releaseLocalCheckpoint(result)).
+      if (frontier ne visited) releaseLocalCheckpoint(frontier)
       done = newNodes.isEmpty
       if (!done) {
         frontier = newNodes
+        val prevVisited = visited
         visited = visited.unionByName(newNodes).localCheckpoint()
-      }
+        releaseLocalCheckpoint(prevVisited)
+      } else releaseLocalCheckpoint(newNodes)
       d += 1
     }
-    gp.unpersist()
+    releaseLocalCheckpoint(visited) // the result references only the layers
+    } finally gp.unpersist() // incl. a throwing custom follow function
     val result =
       if (layers.isEmpty) g.limit(0)
       else layers.reduce(_ unionByName _).dropDuplicates()
@@ -654,6 +669,11 @@ object Graphs {
     val edges = both.unionAll(both.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
     var comp = labels.withColumn("component", col("label")).localCheckpoint()
+    // the frame whose checkpoint blocks back `comp` — released once the
+    // next round's checkpoint supersedes it (the GraphAlgos lifecycle:
+    // at most two rounds' worth of vertex-scale storage, not one per
+    // round accumulating for the session)
+    var live: DataFrame = comp
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -679,16 +699,23 @@ object Graphs {
           when(col("r_c").isNotNull, least(hop("newComp"), col("r_c")))
             .otherwise(hop("newComp")).as("newComp"))
         .localCheckpoint() // truncate lineage; also backs the convergence probe
+      // next is materialized (localCheckpoint is eager): the previous
+      // round's checkpoint and this round's intermediate hop are dead
+      graft.ops.GraphAlgos.releaseLocalCheckpoint(live)
+      graft.ops.GraphAlgos.releaseLocalCheckpoint(hop)
+      live = next
       converged = next.filter(col("newComp") =!= col("component")).isEmpty
       comp = next.select(col("label"), col("newComp").as("component"))
       i += 1
     }
     edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      graft.ops.GraphAlgos.releaseLocalCheckpoint(live)
       throw new IllegalStateException(
         s"bnodeComponents did not converge after $maxIter rounds — " +
           "with pointer doubling that is a component diameter beyond " +
           "~2^maxIter, i.e. a pathological input; raise maxIter if truly needed")
+    }
     comp
   }
 }

@@ -67,14 +67,23 @@ object Dedup {
     element_at(lanes, 1)
   }
 
+  /** "|"-delimited concat that PROPAGATES null (concat_ws would skip null
+    * elements, turning a null signature into md5("") and pooling every
+    * null-text doc into one shared bucket): any null minhash nulls the
+    * band signature, and the explode drops it. The delimiter prevents
+    * digit-boundary collisions of undelimited decimal concat ((1,23) vs
+    * (12,3)). */
+  private def delimitedSig(parts: Seq[Column]): Column =
+    md5(concat(parts.head +: parts.tail.flatMap(p => Seq(lit("|"), p)): _*))
+
   /** LSH band structs `(band, sig)` for a row-signature array, identical
     * band signatures to `minhashLshPairs`. */
   def bandStructs(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
     require(numHashes % rowsPerBand == 0)
     val nBands = numHashes / rowsPerBand
     array((0 until nBands).map { b =>
-      val s = md5(concat((0 until rowsPerBand).map(r =>
-        element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
+      val s = delimitedSig((0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1).cast("string")))
       struct(lit(b).as("band"), s.as("sig"))
     }: _*)
   }
@@ -103,8 +112,8 @@ object Dedup {
     val mh = minhashSignatures(docs, numHashes)
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
-      val sig = md5(concat((0 until rowsPerBand)
-        .map(r => col(s"s${b * rowsPerBand + r}").cast("string")): _*))
+      val sig = delimitedSig((0 until rowsPerBand)
+        .map(r => col(s"s${b * rowsPerBand + r}").cast("string")))
       struct(lit(b).as("band"), sig.as("sig"))
     }
     // The band frame feeds the bucket-size cap AND both sides of the
@@ -192,8 +201,12 @@ object Dedup {
     // HashAggregate) and the cached per-doc array frame materializes
     // eagerly — 2.2s -> 3.1s steady-state at sf0.1 on the same host
     // phase. Two cheap codegen passes beat one heavyweight object agg.
+    // n is the SET size (size of toks), never the relation row count:
+    // a doc_id ingested twice would double its row count while the set
+    // collapses, silently rejecting true near-dups at the verify
     val tokSets = tokenRelation(docs).groupBy("doc_id")
-      .agg(collect_set(col("w")).as("toks"), count(lit(1)).as("n"))
+      .agg(collect_set(col("w")).as("toks"))
+      .withColumn("n", size(col("toks")))
       .persist()
     val jac = pairs
       .join(tokSets.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
