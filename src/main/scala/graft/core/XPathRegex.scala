@@ -52,10 +52,17 @@ object XPathRegex {
     * one pattern string (Spark `rlike`): "(?ism x)" + converted pattern.
     * Only for the regex path — check [[qLiteral]] first. */
   def inlinePattern(pattern: String, flags: String): String = {
-    val fs = flags.filter(c => "ismx".indexOf(c.toInt) >= 0)
     flags.foreach { c =>
       if ("ismxq".indexOf(c.toInt) < 0)
         throw new IllegalArgumentException(s"invalid XPath regex flag '$c'")
+    }
+    // 'i' inlines as "iu": the compiled twin sets CASE_INSENSITIVE |
+    // UNICODE_CASE, and bare (?i) is ASCII-only in Java regex — the two
+    // paths would disagree on any non-ASCII case-insensitive match
+    val fs = flags.distinct.flatMap {
+      case 'i' => "iu"
+      case c if "smx".indexOf(c.toInt) >= 0 => c.toString
+      case _ => "" // 'q' is handled by quoting, not an inline flag
     }
     (if (fs.nonEmpty) s"(?$fs)" else "") + convertUtfEscaping(pattern)
   }

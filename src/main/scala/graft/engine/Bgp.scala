@@ -67,12 +67,18 @@ object Bgp {
     * [s, p1, p2, ..., pn, o] becomes n patterns linked through hidden
     * (non-projected) intermediate variables — `path(Seq(s, p, label, v))`
     * == `Pattern(Seq(pat(s, p, _path1), pat(_path1, label, v)))`. */
+  private val pathCtr = new java.util.concurrent.atomic.AtomicLong
+
   def path(elements: Seq[Node]): Pattern = {
     require(elements.length >= 3, "path needs subject, >=1 predicate, object")
     val s = elements.head
     val preds = elements.slice(1, elements.length - 1)
     val o = elements.last
-    val mids = (1 until preds.length).map(i => V(s"_path$i"))
+    // per-call unique hidden prefix: two path() results composed into ONE
+    // Pattern must never capture each other's intermediates (fixed names
+    // would equi-join unrelated chains through one shared node)
+    val id = pathCtr.incrementAndGet()
+    val mids = (1 until preds.length).map(i => V(s"_path${id}_$i"))
     val subjects = s +: mids
     val objects = mids :+ o
     Pattern(preds.indices.map(i => TriplePattern(subjects(i), preds(i), objects(i))))
@@ -99,7 +105,10 @@ object Bgp {
       val best = remaining.minBy(key)
       ordered += best
       solved ++= best.vars
-      remaining = remaining.filterNot(_ eq best)
+      // remove ONE occurrence by position: filterNot(_ eq best) would
+      // delete every reference-equal duplicate of a repeated pattern
+      val at = remaining.indexWhere(_ eq best)
+      remaining = remaining.patch(at, Nil, 1)
     }
     ordered.result()
   }
@@ -201,17 +210,34 @@ object Bgp {
     * make it the partition-aligned key at corpus scale. */
   def executeGraph(spark: SparkSession, quads: DataFrame, graph: Node,
                    bgp: Pattern): DataFrame = {
+    val (solution, solved) = executeGraphAll(spark, quads, graph, bgp)
+    val projected = solved.toSeq.sorted.filterNot(_.startsWith("_"))
+    if (projected.isEmpty) solution.select(lit(1).as("__exists")).limit(1)
+      .drop("__exists")
+    else solution.select(projected.map(col): _*)
+  }
+
+  /** [[executeGraph]] WITHOUT the hidden-variable projection: hidden vars
+    * stay in the frame as join keys — the SPARQL frontend composes GRAPH
+    * BGPs with per-graph path frames on shared (incl. hidden/bnode)
+    * variables and drops them only at group exit; an early drop here
+    * would degrade those joins to per-graph cross products. */
+  private[graft] def executeGraphAll(spark: SparkSession, quads: DataFrame,
+                                     graph: Node, bgp: Pattern)
+      : (DataFrame, Set[String]) = {
     val named = quads.filter(col("g").isNotNull)
     (graph, bgp.patterns.isEmpty) match {
       case (V(gv), true) =>
-        val graphs = named.select(col("g").as(gv)).distinct()
-        if (gv.startsWith("_")) graphs.select().limit(1) else graphs
-      case (_, true) => spark.range(1).drop("id")
-      case _ =>
-        val (solution, solved) = executeAllQuads(named, graph, bgp)
-        val projected = solved.toSeq.sorted.filterNot(_.startsWith("_"))
-        if (projected.isEmpty) solution.select().limit(1)
-        else solution.select(projected.map(col): _*).drop("__exists")
+        (named.select(col("g").as(gv)).distinct(), Set(gv))
+      case (Bound(t), true) =>
+        // SPARQL §18.6: an IRI naming NO graph in the dataset evaluates to
+        // the empty multiset — one empty solution only if the graph exists
+        (named.filter(col("g") === Terms.constTerm(t))
+          .select(lit(1).as("__exists")).limit(1).drop("__exists"),
+          Set.empty[String])
+      case (_, true) =>
+        (spark.range(1).drop("id"), Set.empty[String])
+      case _ => executeAllQuads(named, graph, bgp)
     }
   }
 
@@ -222,8 +248,9 @@ object Bgp {
     if (bgp.patterns.isEmpty) return spark.range(1).drop("id")
     val (solution, solved) = executeAll(triples, bgp)
     val projected = solved.toSeq.sorted.filterNot(_.startsWith("_"))
-    if (projected.isEmpty) solution.select().limit(1)
-    else solution.select(projected.map(col): _*).drop("__exists")
+    if (projected.isEmpty) solution.select(lit(1).as("__exists")).limit(1)
+      .drop("__exists")
+    else solution.select(projected.map(col): _*)
   }
 
   /** Convenience: execute and flatten each variable to its term `value`
@@ -384,10 +411,14 @@ object Bgp {
       releaseLocalCheckpoint(paths)
       paths = next; n = m; i += 1
     }
-    if (!converged)
+    if (!converged) {
+      // nothing is returned on this path: free the final round's
+      // checkpoint before throwing or it pins storage for the session
+      releaseLocalCheckpoint(paths)
       throw new IllegalStateException(
         s"closure did not converge after $maxIter doubling rounds — a " +
           "diameter beyond ~2^maxIter hops; raise maxIter if truly needed")
+    }
     reflexiveOver match {
       case Some(nodes) =>
         paths.unionAll(

@@ -89,16 +89,19 @@ object Terms {
     regexp_replace(c, java.util.regex.Pattern.quote(from),
       java.util.regex.Matcher.quoteReplacement(to))
 
-  /** Sortable key for the SPARQL-ish total order used for deterministic
-    * output: kind, then NT form (code-point order). */
-  def sortKey(t: Column): Column = concat(t("kind").cast(StringType), lit("|"), ntString(t))
-
-  /** Column twin of `XsdOps.sortKey` for NON-NEGATIVE xsd:integer lexicals
-    * up to 20 digits (the common hot path: ids, counts, order keys) — byte
-    * order == numeric order, whole-stage-codegen friendly. Parity with the
-    * Scala function is asserted in XsdOpsSpec. */
-  def intSortKey(lex: Column): Column =
-    concat(lit(s"${TermKind.LITERAL}|N|5"), lpad(lex, 20, "0"), lit("."))
+  /** Column twin of `XsdOps.sortKey` for NON-NEGATIVE xsd:integer
+    * lexicals (the common hot path: ids, counts, order keys) — byte order
+    * == numeric order, whole-stage-codegen friendly. Lexicals past 20
+    * digits take the Scala twin's length-header form ("5~" + 6-digit
+    * length + digits — lpad alone would TRUNCATE them to their first 20
+    * digits, a silent misordering). Parity asserted in TermsSpec. */
+  def intSortKey(lex: Column): Column = {
+    val len = length(lex)
+    val body = when(len <= 20, concat(lit("5"), lpad(lex, 20, "0"), lit(".")))
+      .otherwise(concat(lit("5~"), lpad(len.cast(StringType), 6, "0"),
+        lex, lit(".")))
+    concat(lit(s"${TermKind.LITERAL}|N|"), body)
+  }
 
   /** Column twin of `Skolem.label` — the deterministic salted skolem id as
     * a pure codegen'd expression for the extraction hot path; the Scala

@@ -189,7 +189,14 @@ object Sparql {
       case Bound(t) =>
         val pinned = ctx.quads.filter(col("g") === Terms.constTerm(t))
           .select("s", "p", "o")
-        evalGroup(Ctx(ctx.spark, pinned, ctx.root), sub, gctx = None)
+        val sol = evalGroup(Ctx(ctx.spark, pinned, ctx.root), sub, gctx = None)
+        // §18.6: an IRI naming NO graph in the dataset is the EMPTY
+        // multiset — even for sub-patterns that match vacuously (empty
+        // group, pure FILTER/BIND). One-row existence gate, cross-joined:
+        // identity when the graph exists, empties the block otherwise.
+        val gate = ctx.quads.filter(col("g") === Terms.constTerm(t))
+          .select(lit(1).as("__gx")).limit(1)
+        sol.crossJoin(gate).drop("__gx")
       case v @ V(_) => evalGroup(ctx, sub, gctx = Some(v))
       case other =>
         throw SparqlEngineError(s"GRAPH needs a variable or IRI, got $other")
@@ -210,7 +217,10 @@ object Sparql {
         // equi-joins on it (within-one-graph semantics, §13.3).
         var sol: DataFrame = null
         if (plain.nonEmpty || paths.isEmpty)
-          sol = Bgp.executeGraph(ctx.spark, ctx.quads, gv, Bgp.Pattern(plain))
+          // the All form keeps hidden (bnode) vars: the per-graph path
+          // frames join on them; group exit drops them (evalGroup)
+          sol = Bgp.executeGraphAll(ctx.spark, ctx.quads, gv,
+            Bgp.Pattern(plain))._1
         for ((s, p, o) <- paths)
           sol = joinInto(sol, evalPathG(ctx, s, p, o, gv))
         sol

@@ -283,6 +283,34 @@ class BgpSpec extends AnyFunSuite {
     assert(graphs == Set(ex + "g1", ex + "g2"))
     assert(Bgp.executeGraph(spark, quads, iri(ex + "g1"),
       Bgp.Pattern(Seq.empty)).count() == 1)
+    // §18.6: an IRI naming NO graph in the dataset = the empty multiset,
+    // never a vacuous solution
+    assert(Bgp.executeGraph(spark, quads, iri(ex + "nope"),
+      Bgp.Pattern(Seq.empty)).count() == 0)
+  }
+
+  test("two path() chains compose without capturing each other's intermediates") {
+    import spark.implicits._
+    // a -p-> m -q-> x and b -r-> n -s2-> y: DIFFERENT mid nodes, so a
+    // shared hidden name would join m to n and kill both chains
+    val edges = Seq(
+      Triple(Term.iri(ex + "a"), Term.iri(ex + "p"), Term.iri(ex + "m")),
+      Triple(Term.iri(ex + "m"), Term.iri(ex + "q"), Term.iri(ex + "x")),
+      Triple(Term.iri(ex + "b"), Term.iri(ex + "r"), Term.iri(ex + "n")),
+      Triple(Term.iri(ex + "n"), Term.iri(ex + "s2"), Term.iri(ex + "y"))).toDF()
+    val p1 = Bgp.path(Seq(v("u"), iri(ex + "p"), iri(ex + "q"), v("ux")))
+    val p2 = Bgp.path(Seq(v("w"), iri(ex + "r"), iri(ex + "s2"), v("wy")))
+    val r = Bgp.values(Bgp.execute(spark, edges,
+      Bgp.Pattern(p1.patterns ++ p2.patterns))).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("u") == ex + "a" && row.getAs[String]("ux") == ex + "x")
+    assert(row.getAs[String]("w") == ex + "b" && row.getAs[String]("wy") == ex + "y")
+  }
+
+  test("a pattern listed twice stays twice in the plan") {
+    val t = pat(v("s"), iri(ex + "knows"), v("o"))
+    assert(Bgp.plan(Seq(t, t)).length == 2)
   }
 
   test("closure fuzz: path doubling matches an in-memory reference closure") {

@@ -15,7 +15,9 @@ class TermsSpec extends AnyFunSuite {
 
   test("intSortKey Column == XsdOps.sortKey for non-negative integers") {
     import spark.implicits._
-    val lexes = Seq("0", "1", "7", "42", "100", "99999", "12345678901234567890")
+    val lexes = Seq("0", "1", "7", "42", "100", "99999", "12345678901234567890",
+      // past 20 digits: the length-header form, never lpad truncation
+      "123456789012345678901", "999999999999999999999999999999")
     val got = lexes.toDF("lex")
       .select(col("lex"), Terms.intSortKey(col("lex")).as("k"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap

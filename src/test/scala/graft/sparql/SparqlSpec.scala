@@ -198,6 +198,29 @@ class SparqlSpec extends AnyFunSuite {
     assert(r == Set(List("Alice", "1"), List("Bob", "1")))
   }
 
+  test("GRAPH naming no graph in the dataset is the empty multiset (§18.6)") {
+    assert(!Sparql.askQuery(spark, quads, P + "ASK { GRAPH :nope {} }"))
+    assert(Sparql.askQuery(spark, quads, P + "ASK { GRAPH :g1 {} }"))
+    // even a vacuously-matching sub-pattern stays empty for a missing graph
+    val r = vals(
+      "SELECT ?s WHERE { GRAPH :nope { OPTIONAL { ?s :knows ?o } } }", quads)
+    assert(r.isEmpty)
+  }
+
+  test("query bnode shared between a plain pattern and a path joins under GRAPH ?g") {
+    import spark.implicits._
+    val g1 = i("gx")
+    val data = Seq(
+      Quad(i("a"), i("p"), i("m1"), g1),
+      Quad(i("m1"), i("q"), i("c"), g1),
+      // a :q chain NOT reachable from ?x :p — joinable only through the
+      // shared bnode, so a dropped bnode column would admit it
+      Quad(i("z"), i("q"), i("e"), g1)).toDF()
+    val r = vals(
+      "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x :p _:mm . _:mm :q+ ?y } }", data)
+    assert(r == Set(List(ex + "gx", ex + "a", ex + "c")))
+  }
+
   test("GRAPH with bound name and with a variable") {
     val r1 = vals("SELECT ?x WHERE { GRAPH :g2 { :alice :knows ?x } }", quads)
     assert(r1 == Set(List(ex + "carol")))
