@@ -117,13 +117,25 @@ object Iri {
   /** RFC 3986 §5.2 transform-reference + §5.3 recomposition. Returns null if
     * base is not absolute (iri.ex:218-231). */
   def resolve(ref: String, base: String): String = {
-    if (isAbsolute(ref)) return ref
+    if (ref == null) return null // a null href column reaches the UDF
+    if (isAbsolute(ref)) {
+      // strict §5.2.2: an absolute reference still gets its path
+      // dot-segments removed ("s:a/../b" resolves to "s:b")
+      val (rs, ra, rp, rq, rf) = parts(ref)
+      val sb = new StringBuilder
+      sb.append(rs).append(':')
+      if (ra != null) sb.append("//").append(ra)
+      sb.append(removeDotSegments(rp))
+      if (rq != null) sb.append('?').append(rq)
+      if (rf != null) sb.append('#').append(rf)
+      return sb.toString
+    }
     if (!isAbsolute(base)) return null
     val (bs, ba, bp, bq, _) = parts(base)
     val (rs, ra, rp, rq, rf) = parts(ref)
     var (ts, ta, tp, tq) = (bs, ba, "", bq)
-    if (rs != null) { ts = rs; ta = ra; tp = removeDotSegments(rp); tq = rq }
-    else if (ra != null) { ta = ra; tp = removeDotSegments(rp); tq = rq }
+    // rs is always null here (isAbsolute(ref) returned above)
+    if (ra != null) { ta = ra; tp = removeDotSegments(rp); tq = rq }
     else if (rp.isEmpty) { tp = bp; tq = if (rq != null) rq else bq }
     else {
       tp = if (rp.startsWith("/")) removeDotSegments(rp)

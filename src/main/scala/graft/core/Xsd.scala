@@ -135,20 +135,46 @@ object Xsd {
   private def validHms(h: Int, mi: Int, s: Int): Boolean =
     h <= 23 && mi <= 59 && s <= 59
 
+  /** XSD timezoneFrag: offsets within -14:00..+14:00, minutes <= 59. The
+    * lexical regexes accept any [+-]\d\d:\d\d shape, so without this an
+    * out-of-range offset like +99:99 validated and canonicalized to a
+    * garbage instant. */
+  private def validTz(tz: String): Boolean =
+    tz == null || tz == "Z" || {
+      val h = tz.substring(1, 3).toInt; val m = tz.substring(4, 6).toInt
+      m <= 59 && (h < 14 || (h == 14 && m == 0))
+    }
+
+  /** XSD yearFrag forbids a leading zero once the year exceeds 4 digits
+    * ("02020" is not a lexical form of year 2020). */
+  private def validYearLex(y: String): Boolean = {
+    val digits = if (y.startsWith("-")) y.substring(1) else y
+    digits.length == 4 || digits.charAt(0) != '0'
+  }
+
   def validDate(lex: String): Boolean = lex match {
-    case dateRe(y, m, d, _) =>
-      !lex.startsWith("+") && validYmd(y.toLong, m.toInt, d.toInt)
+    case dateRe(y, m, d, tz) =>
+      !lex.startsWith("+") && validYearLex(y) && validTz(tz) &&
+        validYmd(y.toLong, m.toInt, d.toInt)
     case _ => false
   }
 
   def canonicalDate(lex: String): Option[String] = lex match {
     case dateRe(y, m, d, tz) if validDate(lex) =>
-      Some(s"$y-$m-$d" + tzCanonical(tz))
+      // year re-rendered %04d (matching canonicalDateTime) so one value
+      // never splits into two canonical keys
+      val yy = y.toLong
+      val ys = if (yy < 0) f"-${-yy}%04d" else f"$yy%04d"
+      Some(s"$ys-$m-$d" + tzCanonical(tz))
     case _ => None
   }
 
   def validTime(lex: String): Boolean = lex match {
-    case timeRe(h, m, s, _, _) => validHms(h.toInt, m.toInt, s.toInt)
+    case timeRe(h, m, s, f, tz) =>
+      validTz(tz) && (validHms(h.toInt, m.toInt, s.toInt) ||
+        // 24:00:00 (fraction zero) is valid and maps to 00:00:00
+        // (XSD 1.1 §3.3.12 — validDateTime has the same special case)
+        (h == "24" && m == "00" && s == "00" && fracCanonical(f).isEmpty))
     case _ => false
   }
 
@@ -156,7 +182,7 @@ object Xsd {
     * kept with trailing zeros stripped. */
   def canonicalTime(lex: String): Option[String] = lex match {
     case timeRe(h0, m0, s, f, tz) if validTime(lex) =>
-      var h = h0.toInt; var m = m0.toInt
+      var h = h0.toInt % 24; var m = m0.toInt // 24:00:00 -> 00:00:00
       if (tz != null && tz != "Z" && tz != "+00:00" && tz != "-00:00") {
         val sign = if (tz.charAt(0) == '+') 1 else -1
         val th = tz.substring(1, 3).toInt; val tm = tz.substring(4, 6).toInt
@@ -177,12 +203,13 @@ object Xsd {
     }
 
   def validDateTime(lex: String): Boolean = lex match {
-    case dateTimeRe(y, mo, d, h, mi, s, _, _) if !lex.startsWith("+") =>
+    case dateTimeRe(y, mo, d, h, mi, s, f, tz) if !lex.startsWith("+") =>
       val yy = y.toLong
-      validYmd(yy, mo.toInt, d.toInt) &&
+      validYearLex(y) && validTz(tz) && validYmd(yy, mo.toInt, d.toInt) &&
         (validHms(h.toInt, mi.toInt, s.toInt) ||
-          // T24:00:00 allowed, rolls to next day (date_time.ex:58-67)
-          (h == "24" && mi == "00" && s == "00"))
+          // T24:00:00 (fraction zero) allowed, rolls to next day
+          // (date_time.ex:58-67)
+          (h == "24" && mi == "00" && s == "00" && fracCanonical(f).isEmpty))
     case _ => false
   }
 

@@ -107,7 +107,10 @@ object XsdOps {
   def round(a: Term, precision: Int = 0): Option[Term] = parseNumeric(a).map {
     case NInt(v) if precision >= 0 => NInt(v)
     case NInt(v) =>
-      NInt(BigInt(new JBD(v.bigInteger).setScale(precision, RoundingMode.HALF_UP)
+      // half toward +inf on negatives too (XPath): HALF_UP would round
+      // -25 at precision -1 to -30 instead of -20
+      NInt(BigInt(new JBD(v.bigInteger).setScale(precision,
+        if (v.signum >= 0) RoundingMode.HALF_UP else RoundingMode.HALF_DOWN)
         .setScale(0).toBigInteger))
     case NDec(v) =>
       val r = v.setScale(precision,
@@ -195,9 +198,21 @@ object XsdOps {
           }
         else if (a.datatype == Vocab.xsdDateTime && b.datatype == Vocab.xsdDateTime)
           (Xsd.canonicalDateTime(a.value), Xsd.canonicalDateTime(b.value)) match {
-            // both-canonical-UTC (or both naive) compare lexicographically
+            // both-canonical-UTC (or both naive): the YEAR compares
+            // numerically (plain string compare inverts all negative
+            // years — "-0002" > "-0001" — and misorders 5-digit years);
+            // past the year the canonical fixed-width fields compare
+            // lexicographically
             case (Some(x), Some(y)) if x.endsWith("Z") == y.endsWith("Z") =>
-              Some(x.compareTo(y))
+              def key(c: String): (Long, String) = {
+                val neg = c.startsWith("-")
+                val body = if (neg) c.substring(1) else c
+                val dash = body.indexOf('-')
+                (body.substring(0, dash).toLong * (if (neg) -1 else 1),
+                  body.substring(dash))
+              }
+              val (ya, ra) = key(x); val (yb, rb) = key(y)
+              Some(if (ya != yb) ya.compare(yb) else ra.compareTo(rb))
             case _ => None // timezone-indeterminate (date_time.ex semantics)
           }
         else None
@@ -214,6 +229,13 @@ object XsdOps {
     * nil). Non-literals compare by identity. */
   def valueEqual(a: Term, b: Term): Option[Boolean] = {
     if (a == null || b == null) return None
+    // op:numeric-equal: NaN equals NOTHING, itself included — checked
+    // before the term-identity shortcut, which would report NaN = NaN
+    def nan(t: Term): Boolean = t.isLiteral && t.value == "NaN" &&
+      (t.datatype == Vocab.xsdDouble || t.datatype == Vocab.xsdFloat)
+    if ((nan(a) || nan(b)) &&
+        parseNumeric(a).isDefined && parseNumeric(b).isDefined)
+      return Some(false)
     if (a == b) return Some(true)
     if (!a.isLiteral || !b.isLiteral)
       return if (a.kind == b.kind) Some(false)
@@ -282,7 +304,9 @@ object XsdOps {
     val lex = t.value
     targetDatatype match {
       case Vocab.xsdString =>
-        Some(Term.str(Xsd.canonicalLexical(lex, t.datatype).getOrElse(lex)))
+        // None = a KNOWN datatype with an invalid lexical (cast error);
+        // unknown datatypes pass through (canonicalLexical yields Some)
+        Xsd.canonicalLexical(lex, t.datatype).map(Term.str)
       case Vocab.xsdBoolean => t.datatype match {
         case Vocab.xsdBoolean => Some(Term.typedLit(Xsd.canonicalBoolean(lex).getOrElse(return None), Vocab.xsdBoolean))
         case Vocab.xsdString => Xsd.canonicalBoolean(lex).map(Term.typedLit(_, Vocab.xsdBoolean))
@@ -293,6 +317,29 @@ object XsdOps {
           Xsd.canonicalBoolean(lex).map(b => Term.dbl(if (b == "true") 1.0 else 0.0))
         case Vocab.xsdString => Xsd.parseDouble(lex).map(Term.dbl)
         case _ => parseNumeric(t).map(n => Term.dbl(n.toDouble))
+      }
+      case Vocab.xsdFloat =>
+        // the float constructor (SPARQL §17.5): double rules, value passed
+        // through float precision, result typed xsd:float
+        def toF(d: Double): Term =
+          Term.typedLit(Xsd.canonicalDoubleValue(d.toFloat.toDouble), Vocab.xsdFloat)
+        t.datatype match {
+          case Vocab.xsdBoolean =>
+            Xsd.canonicalBoolean(lex).map(b => toF(if (b == "true") 1.0 else 0.0))
+          case Vocab.xsdString => Xsd.parseDouble(lex).map(toF)
+          case _ => parseNumeric(t).map(n => toF(n.toDouble))
+        }
+      case Vocab.xsdDateTime => t.datatype match {
+        case Vocab.xsdDateTime | Vocab.xsdString =>
+          Xsd.canonicalDateTime(lex).map(Term.typedLit(_, Vocab.xsdDateTime))
+        case Vocab.xsdDate =>
+          // date -> dateTime: midnight at the date's timezone (XPath 19.1)
+          Xsd.canonicalDate(lex).map { c =>
+            val (d0, tz) =
+              if (c.endsWith("Z")) (c.dropRight(1), "Z") else (c, "")
+            Term.typedLit(s"${d0}T00:00:00$tz", Vocab.xsdDateTime)
+          }
+        case _ => None
       }
       case Vocab.xsdDecimal => t.datatype match {
         case Vocab.xsdBoolean =>

@@ -54,6 +54,15 @@ class IriSpec extends AnyFunSuite {
     assert(Iri.resolve("g", "/not/absolute") == null)
   }
 
+  test("resolve: null ref is null; absolute refs get dot segments removed") {
+    assert(Iri.resolve(null, "http://a/b/c") == null)
+    // strict 5.2.2: the reference's own path normalizes even when absolute
+    // (remove_dot_segments("a/../b") = "/b" — step 2C replaces the "/../"
+    // prefix with "/" after popping the only output segment)
+    assert(Iri.resolve("s:a/../b", "http://a/") == "s:/b")
+    assert(Iri.resolve("http://h/x/./y/../z", "http://a/") == "http://h/x/z")
+  }
+
   test("percent-encoding normalization") {
     assert(Iri.normalizePercentEncoding("http://ex.com/%7euser") == "http://ex.com/~user")
     assert(Iri.normalizePercentEncoding("http://ex.com/%7Euser") == "http://ex.com/~user")

@@ -114,6 +114,33 @@ class XsdOpsSpec extends AnyFunSuite {
     assert(XsdOps.cast(i(0), Vocab.xsdBoolean).contains(Term.bool(false)))
   }
 
+  test("float/dateTime casts, invalid-to-string, BCE compare, NaN equality") {
+    // SPARQL constructor table: xsd:float and xsd:dateTime
+    val f = XsdOps.cast(Term.str("1.5"), Vocab.xsdFloat)
+    assert(f.exists(t => t.datatype == Vocab.xsdFloat && t.value == "1.5E0"))
+    val dtv = XsdOps.cast(Term.str("2020-01-01T10:00:00+01:00"), Vocab.xsdDateTime)
+    assert(dtv.contains(Term.typedLit("2020-01-01T09:00:00Z", Vocab.xsdDateTime)))
+    assert(XsdOps.cast(
+      Term.typedLit("2020-05-06Z", Vocab.xsdDate), Vocab.xsdDateTime)
+      .contains(Term.typedLit("2020-05-06T00:00:00Z", Vocab.xsdDateTime)))
+    // casting an INVALID known-typed literal to xsd:string is an error
+    assert(XsdOps.cast(Term.typedLit("abc", Vocab.xsdInteger), Vocab.xsdString).isEmpty)
+    assert(XsdOps.cast(Term.typedLit("raw", "http://example.com/custom"),
+      Vocab.xsdString).contains(Term.str("raw")))
+    // XPath round: half toward +inf for negative integers at negative
+    // precision (-25 @ -1 -> -20, not -30)
+    assert(XsdOps.round(i(-25), -1).contains(i(-20)))
+    assert(XsdOps.round(i(25), -1).contains(i(30)))
+    // BCE and 5-digit years order numerically, not lexically
+    def dt(s: String) = Term.typedLit(s, Vocab.xsdDateTime)
+    assert(XsdOps.lessThan(dt("-0002-01-01T00:00:00Z"), dt("-0001-01-01T00:00:00Z"))
+      .contains(true))
+    assert(XsdOps.lessThan(dt("2020-01-01T00:00:00Z"), dt("12020-01-01T00:00:00Z"))
+      .contains(true))
+    // op:numeric-equal: NaN equals nothing, itself included
+    assert(XsdOps.valueEqual(dbl("NaN"), dbl("NaN")).contains(false))
+  }
+
   test("XPathRegex.matches: flag table from the reference's regex_test.exs") {
     import XPathRegex.matches
     val poem =

@@ -77,6 +77,28 @@ class XsdSpec extends AnyFunSuite {
     assert(Xsd.canonicalTime("25:30:45").isEmpty)
   }
 
+  test("24:00:00, timezone range, and year leading zeros (XSD edges)") {
+    // 24:00:00 is a valid time mapping to 00:00:00 (validDateTime's T24
+    // case, extended to the time branch)
+    assert(Xsd.valid("24:00:00", Vocab.xsdTime))
+    assert(Xsd.canonicalTime("24:00:00").contains("00:00:00"))
+    assert(Xsd.canonicalTime("24:00:00Z").contains("00:00:00Z"))
+    assert(!Xsd.valid("24:00:01", Vocab.xsdTime))
+    assert(!Xsd.valid("24:00:00.5", Vocab.xsdTime))
+    // timezoneFrag: -14:00..+14:00, minutes <= 59
+    assert(!Xsd.valid("2020-01-01T00:00:00+99:99", Vocab.xsdDateTime))
+    assert(!Xsd.valid("2020-01-01+15:00", Vocab.xsdDate))
+    assert(!Xsd.valid("12:00:00+14:01", Vocab.xsdTime))
+    assert(Xsd.valid("2020-01-01T00:00:00+14:00", Vocab.xsdDateTime))
+    assert(Xsd.valid("2020-01-01T00:00:00-13:59", Vocab.xsdDateTime))
+    // yearFrag: no leading zero past four digits; canonicalDate pads like
+    // canonicalDateTime so one value has one canonical key
+    assert(!Xsd.valid("02020-01-01", Vocab.xsdDate))
+    assert(!Xsd.valid("02020-01-01T00:00:00", Vocab.xsdDateTime))
+    assert(Xsd.valid("12020-01-01", Vocab.xsdDate))
+    assert(Xsd.canonicalDate("-0012-03-04").contains("-0012-03-04"))
+  }
+
   test("canonicalTerm leaves non-literals and unknown datatypes alone") {
     val i = Term.iri("http://example.com/")
     assert(Xsd.canonicalTerm(i) == i)
