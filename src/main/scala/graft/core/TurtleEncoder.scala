@@ -25,7 +25,11 @@ import scala.collection.mutable
   * Ordering is the deterministic sequencing of encoder/sequencer.ex reduced
   * to: subjects sorted IRIs-then-bnodes by code point, predicates
   * rdf:type-first then sorted, objects sorted. Output is always
-  * re-parseable and isomorphic to the input.
+  * re-parseable and isomorphic to the input. Terms are ASSUMED valid RDF
+  * (the parsers enforce this on input, same contract as the reference's
+  * constructors): a programmatically built IRI containing IRIREF-illegal
+  * characters ('>', whitespace, ...) is emitted raw and will not
+  * re-parse — validate at construction, not at every emission.
   */
 object TurtleEncoder {
 
@@ -191,10 +195,10 @@ object TurtleEncoder {
       if (subj.isBnode && objRefs.getOrElse(subj, 0) == 0 && !starRef.contains(subj))
         sb.append("[\n    ").append(body(ts, inline = false)).append("\n] .\n")
       else
-        sb.append(renderTerm(subj) match {
-          case s if subj.isBnode => "_:" + subj.value // subject position: label
-          case s => s
-        }).append("\n    ").append(body(ts, inline = false)).append(" .\n")
+        // renderTerm already labels a top-level bnode subject ("_:" +
+        // value: it is in bySubject and filtered out of lists/propInline)
+        sb.append(renderTerm(subj))
+          .append("\n    ").append(body(ts, inline = false)).append(" .\n")
     }
     sb.toString
   }
@@ -226,11 +230,19 @@ object TurtleEncoder {
   }
 
   /** Conservative PN_LOCAL safety (reference uses a fast regex,
-    * encoder.ex:474-480): letters/digits/_/-/. with sane boundaries. */
-  private def pnLocalSafe(local: String): Boolean =
-    local.nonEmpty &&
-      local.forall(c => Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.') &&
+    * encoder.ex:474-480). Char set mirrors the PARSER's PN_CHARS
+    * (Turtle.scala isPnChars): ASCII letters/digits/_/-/· plus >= U+00C0 —
+    * NOT Character.isLetterOrDigit, which also admits U+00AA/U+00B5/U+00BA
+    * (ª µ º), characters the grammar (and our parser) reject, breaking the
+    * re-parseability invariant. Unsafe locals fall back to <full-IRI>. */
+  private def pnLocalSafe(local: String): Boolean = {
+    def ok(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c.isDigit ||
+        c == '_' || c == '-' || c == '.' || c == '\u00B7' ||
+        (c >= '\u00C0' && Character.isLetter(c))
+    local.nonEmpty && local.forall(ok) &&
       local.head != '-' && local.head != '.' && local.last != '.'
+  }
 
   private def literal(t: Term, prefixes: Map[String, String]): String = {
     val lex = t.value

@@ -80,7 +80,8 @@ object RdfIO {
   def formatByName(name: String): Option[Format] = formats.find(_.name == name)
   def formatByMediaType(mt: String): Option[Format] = formats.find(_.mediaType == mt)
   def formatByExtension(ext: String): Option[Format] = {
-    val e = if (ext.startsWith(".")) ext.substring(1) else ext
+    val e0 = if (ext.startsWith(".")) ext.substring(1) else ext
+    val e = e0.toLowerCase // DATA.TTL is as readable as data.ttl
     formats.find(_.extensions.contains(e))
   }
   def detectFormat(path: String): Option[Format] = {
@@ -97,9 +98,18 @@ object RdfIO {
   def readGraph(spark: SparkSession, path: String,
                 formatName: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val fmt = formatName.flatMap(formatByName).orElse(detectFormat(path))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot detect RDF serialization format of '$path'"))
+    // an EXPLICIT name must resolve or error — silently falling back to
+    // extension detection would parse the file as a format the caller
+    // never asked for on a typo'd name
+    val fmt = formatName match {
+      case Some(n) => formatByName(n).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown RDF serialization format '$n' " +
+            s"(known: ${formats.map(_.name).mkString(", ")})"))
+      case None => detectFormat(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot detect RDF serialization format of '$path'"))
+    }
     fmt.name match {
       case "ntriples" =>
         readNTriples(spark, path).map(t => Quad(t.s, t.p, t.o, null)).toDF()

@@ -61,7 +61,8 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, kind, payload) =>
-          Feature(id, kind, payload.length.toLong, stubDecode(payload))
+          val p = if (payload == null) Array.emptyByteArray else payload
+          Feature(id, kind, p.length.toLong, stubDecode(p))
         }
       }.toDF()
   }
@@ -83,14 +84,22 @@ object Multimodal {
     * plumbing (a decoder would emit one frame per row exactly like this);
     * the frame signature is the deterministic stand-in for decoded frame
     * bytes. Narrow plan: filter + explode, no shuffle. */
-  def frameSample(media: DataFrame, everyMs: Long): DataFrame =
+  def frameSample(media: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    // a null or negative duration has no sampleable frames: such videos
+    // emit ZERO rows (documented drop) rather than a null sequence or a
+    // sequence() boundary exception killing the job
+    val dur = col("meta.duration_ms")
     media.filter(col("kind") === "video")
       .select(col("media_id"),
-        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("ts_ms"),
+        explode(when(dur.isNotNull && dur >= 0,
+          sequence(lit(0L), dur, lit(everyMs)))
+          .otherwise(array().cast("array<bigint>"))).as("ts_ms"),
         col("payload"))
       .select(col("media_id"), col("ts_ms"),
         md5(concat(col("payload").cast("string"), lit("@"),
           col("ts_ms").cast("string"))).as("frame_sig"))
+  }
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                             width: Int, height: Int)
@@ -155,12 +164,15 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
-          val kind = (id % 3) match {
-            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          // floorMod: the Column-based twin uses pmod on purpose — a
+          // negative id under signed % would select the image branch with
+          // a non-positive width and crash BufferedImage
+          val kind = java.lang.Math.floorMod(id, 3L) match {
+            case 0L => "image"; case 1L => "audio"; case _ => "video"
           }
           if (kind == "image") {
-            val w = (id % 16).toInt * 8 + 16
-            val h = (id % 9).toInt * 8 + 16
+            val w = java.lang.Math.floorMod(id, 16L).toInt * 8 + 16
+            val h = java.lang.Math.floorMod(id, 9L).toInt * 8 + 16
             MediaRow(id, kind, encodePng(w, h, id), w, h)
           } else {
             val bytes = if (text == null) Array.emptyByteArray
@@ -198,7 +210,10 @@ object Multimodal {
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("payload"),
+      // a null text is an EMPTY payload — the schema declares payload
+      // non-nullable, and a null Array[Byte] NPEs typed consumers
+      coalesce(col("text").cast("binary"),
+        lit(Array.emptyByteArray)).as("payload"),
       struct(
         (pmod(col("doc_id"), lit(16)) * 64 + 64).cast("int").as("width"),
         (pmod(col("doc_id"), lit(9)) * 64 + 64).cast("int").as("height"),

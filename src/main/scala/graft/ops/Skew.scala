@@ -30,8 +30,13 @@ object Skew {
     * exists for dims too big to broadcast but small enough to replicate). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int, forceShuffle: Boolean = true): DataFrame = {
+    // value hash PLUS row position: a hot key whose rows are byte-
+    // identical (dup ingests, low-cardinality attributes) would all hash
+    // to ONE salt and keep the straggler; the monotonic id round-robins
+    // them while staying deterministic for a stable input partitioning
     val saltedFact = fact.withColumn("__salt",
-      saltCol(saltFactor, fact.columns.map(col).toIndexedSeq: _*))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*) +
+        monotonically_increasing_id(), lit(saltFactor)).cast("int"))
     val explodedDim0 = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<int>")))
     val explodedDim =

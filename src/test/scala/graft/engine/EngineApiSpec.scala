@@ -44,6 +44,13 @@ class EngineApiSpec extends AnyFunSuite {
     assert(RdfIO.formatByMediaType("text/turtle").map(_.name).contains("turtle"))
     assert(RdfIO.formatByExtension(".nq").map(_.name).contains("nquads"))
     assert(RdfIO.formatByName("trig").isDefined)
+    // uppercase extensions detect; a typo'd EXPLICIT name errors instead
+    // of silently falling back to extension detection
+    assert(RdfIO.formatByExtension(".TTL").map(_.name).contains("turtle"))
+    val e = intercept[IllegalArgumentException] {
+      RdfIO.readGraph(spark, nt, Some("turtl"))
+    }
+    assert(e.getMessage.contains("unknown RDF serialization format"))
   }
 
   test("writeGraph round-trips through ntriples/nquads/turtle writers") {

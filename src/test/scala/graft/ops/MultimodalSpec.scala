@@ -23,6 +23,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageDims(Array.emptyByteArray).isEmpty)
   }
 
+  test("null text, negative ids, and null durations never crash the stubs") {
+    import spark.implicits._
+    val docs = Seq((-3L, null.asInstanceOf[String], 0L), (1L, "abc", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    // null text -> EMPTY payload (non-nullable schema), features stay NPE-free
+    val media = Multimodal.synthesize(docs)
+    assert(media.filter(col("payload").isNull).count() == 0)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 2)
+    // row-based synthesis: floorMod keeps negative ids in valid geometry
+    assert(Multimodal.synthesizeImages(docs).count() == 2)
+    // a video with null/negative duration yields zero frames, not a crash
+    val vids = Seq((1L, "video", Array[Byte](1), null.asInstanceOf[java.lang.Long]),
+      (2L, "video", Array[Byte](2), java.lang.Long.valueOf(-5L)),
+      (3L, "video", Array[Byte](3), java.lang.Long.valueOf(10L)))
+      .toDF("media_id", "kind", "payload", "d")
+      .withColumn("meta", struct(lit(1).as("width"), lit(1).as("height"),
+        col("d").as("duration_ms"))).drop("d")
+    val frames = Multimodal.frameSample(vids, 5L)
+    assert(frames.collect().map(_.getLong(0)).toSet == Set(3L))
+    intercept[IllegalArgumentException](Multimodal.frameSample(vids, 0L))
+  }
+
   test("synthesizeImages + decodeImageMeta: decoded dims match the synthesis formula") {
     import spark.implicits._
     val docs = (0L until 30L).map(i => (i, s"text $i")).toDF("doc_id", "text")

@@ -30,6 +30,21 @@ class SkewSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("byte-identical hot rows still spread across salts") {
+    import spark.implicits._
+    // 1000 IDENTICAL fact rows: a purely value-derived salt would send
+    // them all to ONE salt bucket and keep the straggler
+    val fact = Seq.fill(1000)(("hot", 1)).toDF("k", "v")
+    val dim = Seq(("hot", "d")).toDF("k", "d")
+    val joined = Skew.saltedJoin(fact, dim, "k", saltFactor = 8)
+    assert(joined.count() == 1000)
+    val salts = fact.withColumn("__salt",
+      org.apache.spark.sql.functions.pmod(
+        xxhash64(col("k"), col("v")) + monotonically_increasing_id(), lit(8)))
+      .select("__salt").distinct().count()
+    assert(salts > 1, s"identical rows collapsed to $salts salt(s)")
+  }
+
   test("salt is deterministic and bounded") {
     import spark.implicits._
     val df = (1 to 50).map(i => (s"r$i", i)).toDF("a", "b")

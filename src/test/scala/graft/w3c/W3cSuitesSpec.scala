@@ -142,6 +142,20 @@ class W3cSuitesSpec extends AnyFunSuite {
     assert(!enc.contains("rdf-syntax-ns#first"), enc) // chain fully consumed
   }
 
+  test("Turtle encoder: PN_LOCAL-unsafe locals fall back to full IRIs, re-parseable") {
+    import graft.core.Term
+    // µ (U+00B5) passes Character.isLetterOrDigit but is NOT PN_CHARS —
+    // a prefixed name ex:µg would not re-parse; é (U+00E9 >= 0xC0) is fine
+    val g = Seq(
+      graft.core.Triple(Term.iri("http://e/s"), Term.iri("http://e/µg"), Term.str("x")),
+      graft.core.Triple(Term.iri("http://e/s"), Term.iri("http://e/pé"), Term.str("y")))
+    val enc = TurtleEncoder.encode(g, Map("" -> "http://e/"))
+    assert(enc.contains("<http://e/µg>"), enc) // full IRI, not :µg
+    assert(enc.contains(":pé"), enc)           // PN_CHARS-safe local prefixed
+    val back = Turtle.parse(enc, "http://e/").triples
+    assert(Rdfc10.isomorphicTriples(g, back), s"encoded:\n$enc")
+  }
+
   test("Turtle encoder: inline cycles demote to labeled bnodes, still isomorphic") {
     // a <-> b reference cycle, each referenced exactly once
     val a = Term.bnode("a"); val b = Term.bnode("b"); val p = Term.iri("http://e/p")
