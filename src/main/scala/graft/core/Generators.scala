@@ -69,9 +69,13 @@ object Generators {
     * (prefix + undashed). */
   def format(hex32: String, style: String, prefix: String = ""): String =
     style match {
-      case "urn"  => "urn:uuid:" + dashed(hex32)
-      case "hex"  => prefix + hex32
-      case _      => prefix + dashed(hex32)
+      case "urn"     => "urn:uuid:" + dashed(hex32)
+      case "hex"     => prefix + hex32
+      case "default" => prefix + dashed(hex32)
+      case other => throw new IllegalArgumentException(
+        // a typo'd style silently producing the default shape would mint
+        // malformed identifiers with no error
+        s"unknown uuid format style '$other' (urn | hex | default)")
     }
 
   /** The Increment algorithm's pure core (increment.ex:36-45): label for

@@ -38,6 +38,33 @@ object Rdfc10 {
     d.map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** Every blank-node label in a term, recursing through quoted-triple
+    * (RDF-star) terms — RDFC-1.0 predates RDF-star (w3c/rdf-canon#2), so
+    * this extension treats a nested bnode exactly like a bnode in its
+    * containing position: it shares identity with its top-level
+    * occurrences and participates in hashing and relabeling (the
+    * reference skips such inputs; ignoring the nested occurrence would
+    * silently sever the bnode's identity instead). */
+  private def bnodesOfTerm(t: Term): Seq[String] =
+    if (t == null) Nil
+    else if (t.isBnode) Seq(t.value)
+    else if (t.kind == TermKind.TRIPLE && t.value.contains("_:")) {
+      val tr = NTriples.parseQuotedString(t.value)
+      Seq(tr.s, tr.p, tr.o).flatMap(bnodesOfTerm)
+    } else Nil
+
+  /** Rewrite every bnode label in a term (recursing through quoted
+    * triples, rebuilding their canonical byte form). */
+  private def mapBnodes(t: Term, f: String => String): Term =
+    if (t == null) t
+    else if (t.isBnode) {
+      val nv = f(t.value)
+      if (nv == t.value) t else Term(TermKind.BNODE, nv, null, null)
+    } else if (t.kind == TermKind.TRIPLE && t.value.contains("_:")) {
+      val tr = NTriples.parseQuotedString(t.value)
+      Term.quoted(Triple(mapBnodes(tr.s, f), mapBnodes(tr.p, f), mapBnodes(tr.o, f)))
+    } else t
+
   /** Canonicalize: returns (relabeled quads, bnode label -> canonical id).
     * hndqCallLimit <= 0 disables the guard. */
   def canonicalize(quads: Seq[Quad], hndqCallLimit: Int = 50,
@@ -45,16 +72,33 @@ object Rdfc10 {
     val state = new State(quads, hndqCallLimit, hashAlgorithm)
     state.run()
     val mapping = state.canonicalIssuer.issued.toMap
-    def relabel(t: Term): Term =
-      if (t != null && t.isBnode) Term(TermKind.BNODE, mapping(t.value), null, null) else t
+    def relabel(t: Term): Term = mapBnodes(t, mapping)
     val out = quads.map(q => Quad(relabel(q.s), q.p, relabel(q.o), relabel(q.g)))
     (out, mapping)
   }
 
-  /** Canonical N-Quads document: relabeled, sorted, newline-terminated. */
+  /** Unicode CODE POINT order (what RDFC-1.0 sorts by): Java's String
+    * ordering compares UTF-16 code units, which places supplementary-plane
+    * characters (surrogates 0xD800+) BEFORE U+E000..U+FFFF instead of
+    * after them. */
+  private[core] val codePointOrdering: Ordering[String] =
+    (a: String, b: String) => {
+      var i = 0; var j = 0
+      var r = 0
+      while (r == 0 && i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        r = Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      if (r != 0) r else Integer.compare(a.length - i, b.length - j)
+    }
+
+  /** Canonical N-Quads document: relabeled, sorted (code point order),
+    * newline-terminated. */
   def canonicalNQuads(quads: Seq[Quad], hashAlgorithm: String = "SHA-256"): String = {
     val (c, _) = canonicalize(quads, hashAlgorithm = hashAlgorithm)
-    c.map(NTriples.canonicalQuadLine).distinct.sorted.map(_ + "\n").mkString
+    c.map(NTriples.canonicalQuadLine).distinct.sorted(codePointOrdering)
+      .map(_ + "\n").mkString
   }
 
   def isomorphic(a: Seq[Quad], b: Seq[Quad]): Boolean =
@@ -70,13 +114,14 @@ object Rdfc10 {
 
     val bnodeToQuads: Map[String, Seq[Quad]] = {
       val m = mutable.LinkedHashMap.empty[String, mutable.Buffer[Quad]]
-      for (q <- quads; t <- Seq(q.s, q.o, q.g) if t != null && t.isBnode)
-        m.getOrElseUpdate(t.value, mutable.Buffer.empty) += q
+      for (q <- quads; t <- Seq(q.s, q.o, q.g); bn <- bnodesOfTerm(t).distinct)
+        m.getOrElseUpdate(bn, mutable.Buffer.empty) += q
       m.view.mapValues(_.toSeq).toMap
     }
     val canonicalIssuer = new Issuer("c14n")
-    private val maxCalls =
-      if (hndqCallLimit <= 0) Int.MaxValue else hndqCallLimit * math.max(1, bnodeToQuads.size)
+    private val maxCalls: Long = // Long: Int multiply overflows ~42.9M bnodes
+      if (hndqCallLimit <= 0) Long.MaxValue
+      else hndqCallLimit.toLong * math.max(1, bnodeToQuads.size)
     private var calls = 0
 
     private val fdHashCache = mutable.HashMap.empty[String, String]
@@ -109,12 +154,10 @@ object Rdfc10 {
 
     def hashFirstDegree(bn: String): String = fdHashCache.getOrElseUpdate(bn, {
       def sub(t: Term): Term =
-        if (t != null && t.isBnode)
-          Term(TermKind.BNODE, if (t.value == bn) "a" else "z", null, null)
-        else t
+        mapBnodes(t, v => if (v == bn) "a" else "z")
       val lines = bnodeToQuads(bn).map { q =>
         NTriples.canonicalQuadLine(Quad(sub(q.s), q.p, sub(q.o), sub(q.g))) + "\n"
-      }.sorted
+      }.sorted(codePointOrdering)
       sha256hex(lines.mkString)
     })
 
@@ -135,11 +178,11 @@ object Rdfc10 {
       // Hn: related-hash -> bnodes
       val hn = mutable.TreeMap.empty[String, mutable.Buffer[String]]
       for (q <- bnodeToQuads(identifier)) {
-        for ((t, posName) <- Seq((q.s, "s"), (q.o, "o"), (q.g, "g")))
-          if (t != null && t.isBnode && t.value != identifier) {
-            val h = hashRelated(t.value, q, issuer, posName)
-            hn.getOrElseUpdate(h, mutable.Buffer.empty) += t.value
-          }
+        for ((t, posName) <- Seq((q.s, "s"), (q.o, "o"), (q.g, "g"));
+             rel <- bnodesOfTerm(t) if rel != identifier) {
+          val h = hashRelated(rel, q, issuer, posName)
+          hn.getOrElseUpdate(h, mutable.Buffer.empty) += rel
+        }
       }
       val data = new StringBuilder
       for ((relHash, bns) <- hn) {

@@ -29,7 +29,8 @@ object XsdDuration {
   // component. Fractions allowed only on seconds.
   private val durRe =
     ("^(-)?P(?:(\\d+)Y)?(?:(\\d+)M)?(?:(\\d+)D)?" +
-      "(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+(?:\\.\\d+)?)S)?)?$").r
+      // duSecondFrag = [0-9]+ | [0-9]* '.' [0-9]+ : "PT.5S" is valid
+      "(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+(?:\\.\\d+)?|\\.\\d+)S)?)?$").r
 
   /** Parsed value: overall sign, total months, total seconds (both >= 0). */
   final case class Value(negative: Boolean, months: BigInt, seconds: BigDecimal) {
@@ -114,12 +115,19 @@ object XsdDuration {
   def canonicalDuration(lex: String): Option[String] = parse(lex).map(format(_))
 
   def canonicalYearMonthDuration(lex: String): Option[String] =
-    if (validYearMonthDuration(lex)) parse(lex).map(format(_, yearMonthOnly = true))
-    else None
+    // parse ONCE (these run per-literal inside Spark UDF canonicalization);
+    // the subtype facet is a lexical check on top of the shared grammar
+    parse(lex).filter(_ => !lex.exists(c => c == 'D' || c == 'T'))
+      .map(format(_, yearMonthOnly = true))
 
   def canonicalDayTimeDuration(lex: String): Option[String] =
-    if (validDayTimeDuration(lex)) parse(lex).map(format(_))
-    else None
+    parse(lex).filter { _ =>
+      val beforeT = lex.indexOf('T') match {
+        case -1 => lex
+        case i  => lex.substring(0, i)
+      }
+      !lex.contains("Y") && !beforeT.contains("M")
+    }.map(format(_))
 
   private def isLeap(y: Long): Boolean = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
   private val monthDays = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)

@@ -28,6 +28,8 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(Generators.format(h, "default", "http://ex.com/") ==
       "http://ex.com/" + Generators.dashed(h))
     assert(Generators.format(h, "hex", "p:") == "p:" + h)
+    // a typo'd style errors instead of silently minting the default shape
+    intercept[IllegalArgumentException](Generators.format(h, "URN"))
   }
 
   test("uuidV4 is well-formed and (overwhelmingly) unique") {

@@ -24,6 +24,13 @@ class XsdDurationSpec extends AnyFunSuite {
     assert(!XsdDuration.validDuration(""))
   }
 
+  test("duSecondFrag with no leading digits: PT.5S is valid, canonical PT0.5S") {
+    assert(XsdDuration.validDuration("PT.5S"))
+    assert(XsdDuration.canonicalDuration("PT.5S").contains("PT0.5S"))
+    assert(XsdDuration.canonicalDayTimeDuration("-PT.25S").contains("-PT0.25S"))
+    assert(!XsdDuration.validDuration("PT.S"))
+  }
+
   test("duration canonical form: months and seconds normalized, zeros dropped") {
     def c(l: String) = XsdDuration.canonicalDuration(l)
     assert(c("P1Y2M3DT4H5M6S").contains("P1Y2M3DT4H5M6S"))

@@ -25,17 +25,11 @@ class EarlSpec extends AnyFunSuite {
   private val outDir = Paths.get("docs/earl")
 
   // Documented skip list (entry action basename -> reason). Matches the
-  // reference's own star-eval skips: the produced graphs are correct but
-  // carry different bnode labels, and star-aware canonicalization (the
-  // isomorphism backend) is unspecified upstream (w3c/rdf-canon#2).
-  private val starEvalSkipReason =
-    "correct graph, different bnode labels; star-aware canonicalization unspecified (w3c/rdf-canon#2) — same skip as the reference"
-  private val skips: Map[String, String] = Seq(
-    "turtle-star-eval-bnode-1", "turtle-star-eval-bnode-2",
-    "turtle-star-eval-annotation-2",
-    "trig-star-eval-bnode-1", "trig-star-eval-bnode-2",
-    "trig-star-eval-annotation-2"
-  ).map(_ -> starEvalSkipReason).toMap
+  // The reference skips the six star-eval bnode/annotation tests
+  // (star-aware canonicalization is unspecified upstream,
+  // w3c/rdf-canon#2); Rdfc10 now recurses through quoted-triple terms,
+  // so this engine RUNS and passes them — no skips remain.
+  private val skips: Map[String, String] = Map.empty
 
   private case class SuiteDef(id: String, dir: String, base: String,
                               canon: Boolean = false)

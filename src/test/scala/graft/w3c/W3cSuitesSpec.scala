@@ -45,15 +45,14 @@ class W3cSuitesSpec extends AnyFunSuite {
   }
 
   // ---- RDF 1.2 / RDF-star suites (the same ones the reference runs in
-  // test/acceptance/*star*). The three eval skips match the reference's own
-  // skip list: the produced graphs are correct but carry different bnode
-  // labels, and star-aware dataset canonicalization (the isomorphism
-  // backend) is not yet specified (w3c/rdf-canon#2).
+  // test/acceptance/*star*). The reference SKIPS the six *-eval-bnode /
+  // *-eval-annotation tests because star-aware dataset canonicalization
+  // (the isomorphism backend) is not specified upstream (w3c/rdf-canon#2);
+  // Rdfc10 now recurses through quoted-triple terms (a nested bnode keeps
+  // the identity of its top-level occurrences), so this engine runs them.
   private val root12 = "/root/reference/test/data/rdf-tests/rdf12"
   private val webBase12 = "https://w3c.github.io/rdf-tests/rdf/rdf12"
-  private val starEvalSkips = Set(
-    "turtle-star-eval-bnode-1", "turtle-star-eval-bnode-2", "turtle-star-eval-annotation-2",
-    "trig-star-eval-bnode-1", "trig-star-eval-bnode-2", "trig-star-eval-annotation-2")
+  private val starEvalSkips = Set.empty[String]
 
   test("W3C RDF 1.2 Turtle-star syntax suite") {
     runSuite(s"$root12/rdf-turtle/syntax", s"$webBase12/rdf-turtle/syntax/")
@@ -102,6 +101,33 @@ class W3cSuitesSpec extends AnyFunSuite {
       }
     }
     assert(failures.isEmpty, failures.take(10).mkString("\n"))
+  }
+
+  test("star-aware canonicalization: nested bnodes keep their identity") {
+    val p = Term.iri("http://e/p"); val o = Term.iri("http://e/o")
+    def g(label: String): Seq[Quad] = {
+      val b = Term.bnode(label)
+      Seq(Quad(b, p, Term.quoted(Triple(b, p, o)), null))
+    }
+    // same shape, different labels: isomorphic (previously false — the
+    // quoted occurrence was an opaque byte string)
+    assert(Rdfc10.isomorphic(g("b1"), g("zzz")))
+    // canonical output keeps the top-level/nested identity linked
+    val (canon, _) = Rdfc10.canonicalize(g("b1"))
+    assert(canon.head.s.value == "c14n0")
+    assert(canon.head.o.value.contains("_:c14n0"), canon.head.o.value)
+    assert(Rdfc10.isomorphic(g("b1"), canon))
+    // a bnode appearing ONLY inside a quoted term still canonicalizes
+    val only = Seq(Quad(Term.iri("http://e/s"), p,
+      Term.quoted(Triple(Term.bnode("x"), p, o)), null))
+    val (c2, m2) = Rdfc10.canonicalize(only)
+    assert(m2.contains("x") && c2.head.o.value.contains("_:c14n0"))
+    // code point order: astral chars sort AFTER U+E000.. (UTF-16 order
+    // would invert these two lines)
+    val l1 = Quad(Term.iri("http://e/s"), p, Term.str("�"), null)
+    val l2 = Quad(Term.iri("http://e/s"), p, Term.str("😀"), null)
+    val doc = Rdfc10.canonicalNQuads(Seq(l2, l1))
+    assert(doc.indexOf("�") < doc.indexOf("😀"), doc)
   }
 
   test("isomorphism fixtures: isomorphic pairs match, non-isomorphic do not") {
