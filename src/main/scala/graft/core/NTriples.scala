@@ -119,9 +119,11 @@ object NTriples {
 
   def encode(triples: Iterator[Triple], sorted: Boolean = false): Iterator[String] = {
     val lines = triples.map(tripleLine)
-    // :sort option = Unicode code-point sort of emitted lines
-    // (ntriples/encoder.ex:24-30)
-    if (sorted) lines.toSeq.sorted.iterator else lines
+    // :sort option = Unicode CODE POINT sort of emitted lines
+    // (ntriples/encoder.ex:24-30) — default String order compares UTF-16
+    // units, inverting supplementary-plane vs U+E000.. (the Column path's
+    // orderBy compares UTF-8 bytes, which IS code point order)
+    if (sorted) lines.toSeq.sorted(Rdfc10.codePointOrdering).iterator else lines
   }
 
   // ------------------------------------------------------------------ decode
@@ -230,12 +232,21 @@ object NTriples {
         val c = line.charAt(pos)
         if (c == '>') { done = true; pos += 1 }
         else if (c == '\\') {
-          // only UCHAR allowed in IRIREF
-          line.charAt(pos + 1) match {
-            case 'u' => sb.append(Integer.parseInt(line.substring(pos + 2, pos + 6), 16).toChar); pos += 6
-            case 'U' => sb.appendAll(Character.toChars(Integer.parseInt(line.substring(pos + 2, pos + 10), 16))); pos += 10
-            case _ => fail("bad escape in IRI")
-          }
+          // only UCHAR allowed in IRIREF — and the DECODED character must
+          // itself be legal in an IRI (an escaped space or '>' would
+          // produce a term string its own parser rejects)
+          val decoded: Seq[Char] =
+            if (pos + 1 >= line.length) fail("dangling backslash in IRI")
+            else line.charAt(pos + 1) match {
+              case 'u' => val v = readHexAt(4); Seq(v.toChar)
+              case 'U' => readHexCharsAt()
+              case _ => fail("bad escape in IRI")
+            }
+          for (dc <- decoded)
+            if (dc <= ' ' || dc == '<' || dc == '>' || dc == '"' || dc == '{' ||
+              dc == '}' || dc == '|' || dc == '^' || dc == '`' || dc == '\\')
+              fail("escaped char not allowed in IRI")
+          sb.appendAll(decoded)
         } else if (c <= ' ' || c == '<' || c == '"' || c == '{' || c == '}' || c == '|' || c == '^' || c == '`') {
           fail(s"character '$c' not allowed in IRI")
         } else { sb.append(c); pos += 1 }
@@ -260,9 +271,34 @@ object NTriples {
     }
 
     private def isBnodeChar(c: Char, first: Boolean): Boolean = {
+      // PN_CHARS-shaped: beyond ASCII, only LETTERS continue (>= 'À'
+      // alone admitted punctuation like the em-dash, producing labels the
+      // Turtle parser's exact tables reject on re-parse)
       val base = Character.isLetterOrDigit(c) || c == '_' ||
-        (c >= 'À' && c != '×' && c != '÷')
+        (c >= 'À' && Character.isLetter(c))
       if (first) base else base || c == '-' || c == '.' || c == '·'
+    }
+
+    /** n hex digits at pos+2 as an int; ParseError (never a raw JVM
+      * exception) on truncation or bad digits. Advances pos. */
+    private def readHexAt(n: Int): Int = {
+      if (pos + 2 + n > line.length) fail("truncated \\u escape")
+      val h = line.substring(pos + 2, pos + 2 + n)
+      if (!h.forall(ch => Character.digit(ch, 16) >= 0)) fail(s"bad hex '$h'")
+      pos += 2 + n
+      Integer.parseInt(h, 16)
+    }
+
+    /** \U escape: 8 hex digits to chars, range-checked. Advances pos. */
+    private def readHexCharsAt(): Seq[Char] = {
+      if (pos + 10 > line.length) fail("truncated \\U escape")
+      val h = line.substring(pos + 2, pos + 10)
+      if (!h.forall(ch => Character.digit(ch, 16) >= 0)) fail(s"bad hex '$h'")
+      val v = java.lang.Long.parseLong(h, 16)
+      if (v > Character.MAX_CODE_POINT || !Character.isValidCodePoint(v.toInt))
+        fail(s"code point out of range: \\U$h")
+      pos += 10
+      Character.toChars(v.toInt).toSeq
     }
 
     private def literal(): Term = {
@@ -284,8 +320,8 @@ object NTriples {
             case '"' => sb.append('"'); pos += 2
             case '\'' => sb.append('\''); pos += 2
             case '\\' => sb.append('\\'); pos += 2
-            case 'u' => sb.append(Integer.parseInt(line.substring(pos + 2, pos + 6), 16).toChar); pos += 6
-            case 'U' => sb.appendAll(Character.toChars(Integer.parseInt(line.substring(pos + 2, pos + 10), 16))); pos += 10
+            case 'u' => sb.append(readHexAt(4).toChar)
+            case 'U' => sb.appendAll(readHexCharsAt())
             case other => fail(s"bad escape \\$other")
           }
         } else { sb.append(c); pos += 1 }
@@ -310,6 +346,12 @@ object NTriples {
         Term(TermKind.LITERAL, lex, dt, tag.toLowerCase)
       } else if (pos + 1 < line.length && line.charAt(pos) == '^' && line.charAt(pos + 1) == '^') {
         pos += 2
+        // '^^' and IRIREF are separate terminals: whitespace between them
+        // is legal, and a missing '<' must say so rather than swallowing
+        // the next character as the bracket
+        skipWs()
+        if (pos >= line.length || line.charAt(pos) != '<')
+          fail("expected '<' after '^^'")
         val dt = iriRef()
         Term.typedLit(lex, dt.value)
       } else Term.str(lex)

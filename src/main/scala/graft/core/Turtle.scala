@@ -100,6 +100,14 @@ object Turtle {
       !isPnChars(after) && after != ':'
     }
 
+    /** True when position `pos + len` cannot continue a name (so an exact
+      * keyword match at `pos` really is the keyword, not a prefix of a
+      * prefixed name like `true:x`). */
+    private def keywordBoundary(len: Int): Boolean = {
+      val after = peekAt(len)
+      !isPnChars(after) && after != ':'
+    }
+
     // ---- document
 
     def parseDoc(): DocQ = {
@@ -277,8 +285,13 @@ object Turtle {
         else bnodePropertyList()
       case '"' | '\'' => rdfLiteral()
       case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') => numericLiteral()
-      case 't' if matchesKeyword("true") => pos += 4; Term.bool(true)
-      case 'f' if matchesKeyword("false") => pos += 5; Term.bool(false)
+      // BooleanLiteral is case-SENSITIVE in the grammar ('tRue' is a
+      // syntax error, not a boolean); the boundary check keeps `true:x`
+      // lexing as a prefixed name
+      case 't' if in.startsWith("true", pos) && keywordBoundary(4) =>
+        pos += 4; Term.bool(true)
+      case 'f' if in.startsWith("false", pos) && keywordBoundary(5) =>
+        pos += 5; Term.bool(false)
       case _ => iriTerm()
     }
 
@@ -379,9 +392,14 @@ object Turtle {
       v.toChar
     }
     private def readHexChars(n: Int): Array[Char] = {
-      val v = Integer.parseInt(safeSub(pos + 2, pos + 2 + n), 16)
+      // parse as Long: 8 hex digits can overflow Int (\UFFFFFFFF), and an
+      // in-range-but-invalid code point must be a TurtleError, not an
+      // IllegalArgumentException from Character.toChars
+      val v = java.lang.Long.parseLong(safeSub(pos + 2, pos + 2 + n), 16)
       pos += 2 + n
-      Character.toChars(v)
+      if (v > Character.MAX_CODE_POINT || !Character.isValidCodePoint(v.toInt))
+        fail(f"code point out of range: \\U$v%08X")
+      Character.toChars(v.toInt)
     }
     private def safeSub(a: Int, b: Int): String = {
       if (b > in.length) fail("truncated escape")
@@ -395,7 +413,18 @@ object Turtle {
       val start = pos
       if (isPnCharsBase(peek)) {
         pos += 1
-        while (isPnChars(peek) || (peek == '.' && isPnChars(peekAt(1)))) pos += 1
+        // interior dot RUNS are legal in PN_PREFIX ("e..g:"): consume a
+        // run only when PN_CHARS continues after it
+        var scanning = true
+        while (scanning) {
+          if (isPnChars(peek)) pos += 1
+          else if (peek == '.') {
+            var j = pos
+            while (j < in.length && in.charAt(j) == '.') j += 1
+            if (j < in.length && isPnChars(in.charAt(j))) pos = j
+            else scanning = false
+          } else scanning = false
+        }
       }
       val name = in.substring(start, pos)
       expect(':')
@@ -452,9 +481,29 @@ object Turtle {
       val start = pos
       if (!(isPnCharsU(peek) || (peek >= '0' && peek <= '9'))) fail("bad bnode label start")
       pos += 1
-      while (isPnChars(peek) || (peek == '.' && (isPnChars(peekAt(1)) || peekAt(1) == '.'))) pos += 1
-      Term.bnode(in.substring(start, pos))
+      // dots are interior-only (a label cannot END with '.'): consume a
+      // dot run only when PN_CHARS continues after it — the trailing
+      // dot(s) lex as statement terminators / syntax errors instead
+      var scanning = true
+      while (scanning) {
+        if (isPnChars(peek)) pos += 1
+        else if (peek == '.') {
+          var j = pos
+          while (j < in.length && in.charAt(j) == '.') j += 1
+          if (j < in.length && isPnChars(in.charAt(j))) pos = j
+          else scanning = false
+        } else scanning = false
+      }
+      // explicit labels are REMAPPED through the same per-document issuer
+      // as anonymous nodes (the reference's decoder does the same): a
+      // verbatim label could collide with a generated `genid<n>`, silently
+      // merging two distinct nodes
+      Term.bnode(labelMap.getOrElseUpdate(in.substring(start, pos), {
+        val id = s"genid$bnodeCounter"; bnodeCounter += 1; id
+      }))
     }
+
+    private val labelMap = scala.collection.mutable.HashMap.empty[String, String]
 
     private def freshBnode(): Term = {
       val t = Term.bnode(s"genid$bnodeCounter")

@@ -127,4 +127,29 @@ class NTriplesSpec extends AnyFunSuite {
     assert(ts.contains(Triple(Term.quoted(base), Term.iri(ex + "w"), Term.str("v"))))
     assert(ts.size == 3)
   }
+
+  test("IRI escapes cannot smuggle forbidden chars; errors are ParseError") {
+    // an escaped space/'>' inside an IRIREF is forbidden even when \u-encoded
+    intercept[NTriples.ParseError](NTriples.parseLine(
+      "<http://e/a\\u0020b> <http://e/p> <http://e/o> ."))
+    intercept[NTriples.ParseError](NTriples.parseLine(
+      "<http://e/a\\u003Eb> <http://e/p> <http://e/o> ."))
+    // truncated / malformed escapes raise ParseError, never raw JVM errors
+    intercept[NTriples.ParseError](NTriples.parseLine("<http://x/\\"))
+    intercept[NTriples.ParseError](NTriples.parseLine(
+      "<http://e/s> <http://e/p> \"\\uWXYZ\" ."))
+    intercept[NTriples.ParseError](NTriples.parseLine(
+      "<http://e/s> <http://e/p> \"\\U00110000\" ."))
+    // whitespace between '^^' and the datatype IRIREF is legal
+    val t = NTriples.parseLine(
+      "<http://e/s> <http://e/p> \"5\"^^ <http://www.w3.org/2001/XMLSchema#integer> .")
+    assert(t.exists(_.o.datatype.endsWith("integer")))
+    // a missing '<' after '^^' names the real problem
+    val e = intercept[NTriples.ParseError](NTriples.parseLine(
+      "<http://e/s> <http://e/p> \"5\"^^xsd:integer ."))
+    assert(e.msg.contains("expected '<'"))
+    // non-letter punctuation beyond ASCII cannot continue a bnode label
+    intercept[NTriples.ParseError](NTriples.parseLine(
+      "<http://e/s> <http://e/p> _:a\u2014b ."))
+  }
 }

@@ -147,6 +147,30 @@ class W3cSuitesSpec extends AnyFunSuite {
       assert(!Rdfc10.isomorphic(a, b), s"$d should NOT be isomorphic")
   }
 
+  test("Turtle parser edges: label remap, case-sensitive booleans, dotted names") {
+    // an explicit _:genid0 label can never merge with a generated
+    // anonymous node (labels remap through the same per-document issuer)
+    val g = Turtle.parse(
+      "@prefix : <http://e/> . _:genid0 :p :o . [] :q :r .", "http://e/").triples
+    assert(g.map(_.s.value).distinct.size == 2, g)
+    // BooleanLiteral is case-sensitive: tRue is a syntax error...
+    intercept[Turtle.TurtleError](
+      Turtle.parse("@prefix : <http://e/> . :s :p tRue .", "http://e/"))
+    // ...while `true:x` is a prefixed name, not a boolean
+    val pn = Turtle.parse(
+      "@prefix true: <http://t/> . true:x true:p true:o .", "http://e/").triples
+    assert(pn.head.s.value == "http://t/x")
+    // PN_PREFIX and bnode labels allow interior dot RUNS, never trailing
+    val dots = Turtle.parse(
+      "@prefix e..g: <http://d/> . e..g:a.b e..g:p _:l..m .", "http://e/").triples
+    assert(dots.head.s.value == "http://d/a.b")
+    intercept[Turtle.TurtleError](Turtle.parse(
+      "@prefix : <http://e/> . :s :p _:b1.. ", "http://e/")) // stray 2nd dot
+    // out-of-range \\U escapes are TurtleErrors, not JVM exceptions
+    intercept[Turtle.TurtleError](Turtle.parse(
+      "<http://e/s> <http://e/p> \"a\\UFFFFFFFF\" .", "http://e/"))
+  }
+
   test("Turtle encoder compact forms: [] inlining and () list reconstruction") {
     val doc = """@prefix : <http://e/> .
                 |:s :p [ :q "v" ; :r [ :t 1 ] ] .
