@@ -226,15 +226,22 @@ object Queries {
              |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
              |GROUP BY 1""".stripMargin)),
 
-    // window function (first event per key)
+    // first event per key. The oracle stays the window formulation
+    // (row_number = 1); the Spark plan computes the identical row as a
+    // MIN over the (shipdate, orderkey, linenumber) struct — lexicographic
+    // struct comparison IS the window's ORDER BY, and min is a hash
+    // aggregation with map-side partial combine, so the exchange carries
+    // one row per supplier instead of sorting every lineitem row inside
+    // its partition (guide §2.3 "aggregate before you shuffle"; plan:
+    // Exchange+Sort+Window -> partial HashAggregate+Exchange+HashAggregate)
     "q4_window" -> Q(
-      (s, d) => {
-        val w = Window.partitionBy("l_suppkey")
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-        t(s, d, "lineitem").withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
-      },
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(min(struct(col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))).as("w"))
+        .select(col("l_suppkey"), col("w.l_orderkey").as("l_orderkey"),
+          col("w.l_linenumber").as("l_linenumber"),
+          col("w.l_shipdate").as("l_shipdate")),
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate FROM (
              |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
              |    row_number() OVER (PARTITION BY l_suppkey

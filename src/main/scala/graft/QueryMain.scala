@@ -258,11 +258,16 @@ object QueryMain {
                 sys.error(s"--buckets $n does not match the store's " +
                   s"recorded bucket count $stored")
             case None =>
-              val maxB = lin.agg(org.apache.spark.sql.functions.max("bucket"))
-                .collect()(0).getAs[Number](0).intValue()
-              if (maxB >= n)
-                sys.error(s"--buckets $n cannot be the store's bucket count: " +
-                  s"its lineage records bucket id $maxB")
+              // empty lineage (crash before the first stats append): max
+              // is null — nothing recorded to validate against
+              val maxRow = lin.agg(org.apache.spark.sql.functions.max("bucket"))
+                .collect()(0)
+              if (!maxRow.isNullAt(0)) {
+                val maxB = maxRow.getAs[Number](0).intValue()
+                if (maxB >= n)
+                  sys.error(s"--buckets $n cannot be the store's bucket count: " +
+                    s"its lineage records bucket id $maxB")
+              }
           }
         }
         val sel = q.asInstanceOf[Ast.Select]

@@ -333,10 +333,18 @@ object XsdOps {
         case Vocab.xsdDateTime | Vocab.xsdString =>
           Xsd.canonicalDateTime(lex).map(Term.typedLit(_, Vocab.xsdDateTime))
         case Vocab.xsdDate =>
-          // date -> dateTime: midnight at the date's timezone (XPath 19.1)
+          // date -> dateTime: midnight at the date's timezone (XPath 19.1).
+          // The timezone may be ANY offset, not just 'Z' — split the full
+          // tz suffix off and re-append it after T00:00:00 (a '-05:00'
+          // left in place would land before the time part, an invalid
+          // xsd:dateTime lexical; reference: date.ex
+          // comparison_normalization)
           Xsd.canonicalDate(lex).map { c =>
-            val (d0, tz) =
-              if (c.endsWith("Z")) (c.dropRight(1), "Z") else (c, "")
+            val tzRe = "(Z|[+-]\\d{2}:\\d{2})$".r
+            val (d0, tz) = tzRe.findFirstIn(c) match {
+              case Some(z) => (c.dropRight(z.length), z)
+              case None => (c, "")
+            }
             Term.typedLit(s"${d0}T00:00:00$tz", Vocab.xsdDateTime)
           }
         case _ => None

@@ -188,11 +188,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLshPairs(docs)
     // tokSets joins against BOTH pair sides; jac feeds BOTH direction
-    // unions. Cache lifecycle: the CORPUS-scale token-set frame is
-    // persisted only while the verify join materializes (eager
-    // localCheckpoint of the RESULT-scale jac frame), then released —
-    // the method never leaks corpus-sized cached blocks into the caller's
-    // session (the returned frame references only the small checkpoint).
+    // unions (eager localCheckpoint of the RESULT-scale jac frame).
+    //
+    // The token set is computed ROW-LOCALLY: `distinctTokens` already IS
+    // the per-document distinct token set, so re-deriving it by exploding
+    // the token relation and collect_set-ing it back (the r2-r5 shape)
+    // paid a corpus-wide token-level shuffle through an
+    // ObjectHashAggregate for a value each row can compute in place — the
+    // verify stage now shuffles only at its two result-scale pair joins
+    // (guide §2.4: remove shuffles outright). Like every operator keyed
+    // on doc_id (exact dedup's min, the cluster output), this assumes
+    // doc_id identifies one document; the exploded re-aggregation would
+    // have unioned the token sets of a doc_id ingested twice, every other
+    // stage of the family would still have treated the two rows
+    // independently.
     //
     // A fused variant (minhash mins + collect_set in ONE aggregation, so
     // the token relation shuffles once instead of twice) was measured in
@@ -201,13 +210,12 @@ object Dedup {
     // HashAggregate) and the cached per-doc array frame materializes
     // eagerly — 2.2s -> 3.1s steady-state at sf0.1 on the same host
     // phase. Two cheap codegen passes beat one heavyweight object agg.
-    // n is the SET size (size of toks), never the relation row count:
-    // a doc_id ingested twice would double its row count while the set
-    // collapses, silently rejecting true near-dups at the verify
-    val tokSets = tokenRelation(docs).groupBy("doc_id")
-      .agg(collect_set(col("w")).as("toks"))
+    // The row-local form above removes that shuffle entirely instead of
+    // fusing it, at the price of tokenizing the two joined sides'
+    // documents again (a scan + regex split, no exchange).
+    val tokSets = docs.select(col("doc_id"),
+      TextOps.distinctTokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
-      .persist()
     val jac = pairs
       .join(tokSets.select(col("doc_id").as("d1"), col("toks").as("t1"), col("n").as("n1")), "d1")
       .join(tokSets.select(col("doc_id").as("d2"), col("toks").as("t2"), col("n").as("n2")), "d2")
@@ -216,7 +224,6 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select("d1", "d2")
       .localCheckpoint() // eager: runs the verify join ONCE, truncates plan
-    tokSets.unpersist()
     jac
   }
 
@@ -244,8 +251,11 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     requireLongDocIds(docs)
     val pairs = ngramJaccardPairs(docs, threshold)
+    // dedupEdges=false: the verified pair set is strictly d1 < d2 and
+    // distinct (minhashLshPairs ends in a distinct), so the symmetrized
+    // edge set cannot contain duplicates — skip that shuffle
     val comp = GraphAlgos.connectedComponents(
-      pairs.select(col("d1").as("a"), col("d2").as("b")))
+      pairs.select(col("d1").as("a"), col("d2").as("b")), dedupEdges = false)
     // the pair checkpoint fed the (eager) component rounds and nothing
     // else — release it so repeated clustering in a long-lived session
     // doesn't accumulate pair-scale storage
@@ -279,7 +289,7 @@ object Dedup {
     requireLongDocIds(docs)
     val pairs = ngramJaccardPairs(docs, threshold)
     val comp = GraphAlgos.connectedComponents(
-      pairs.select(col("d1").as("a"), col("d2").as("b")))
+      pairs.select(col("d1").as("a"), col("d2").as("b")), dedupEdges = false)
     GraphAlgos.releaseLocalCheckpoint(pairs) // see nearDupClusters
     // eager result-scale checkpoint, then release the VERTEX-scale
     // component checkpoint behind it: unlike nearDupClusters (whose

@@ -67,34 +67,55 @@ object GraphAlgos {
     * singleton clusters coalesce them back (see [[Dedup.nearDupClusters]]).
     *
     * Scale shape (the [[graft.engine.Graphs.bnodeComponents]] recipe): the
-    * symmetrized edge set is cached once; each round is one shuffled
-    * equi-join + one min-aggregation (neighbor minimum) followed by the
-    * pointer-doubling shortcut join (adopt the component of my component),
-    * so labels chase 2^i-hop representatives and a chain of diameter D
-    * converges in O(log D) rounds — `maxIter`=20 covers diameters to ~2^20.
+    * symmetrized edge set is cached once (deduped only when `dedupEdges` —
+    * min propagation is idempotent under duplicates, so callers with
+    * unique-by-construction edges skip that shuffle); round 1 is a single
+    * min-aggregation over the edges (labels start at vertex ids, so the
+    * neighbor minimum needs no join yet); each later round is one shuffled
+    * equi-join + one min-aggregation (neighbor minimum) followed — only
+    * when labels still changed — by the pointer-doubling shortcut join
+    * (adopt the component of my component), so labels chase 2^i-hop
+    * representatives and a chain of diameter D converges in O(log D)
+    * rounds — `maxIter`=20 covers diameters to ~2^20.
     * Every round's label frame is `localCheckpoint`ed: round i is one join
     * over materialized labels, not a replay of rounds 1..i-1, and the
     * convergence probe reads the materialized frame. Non-convergence
     * THROWS — a silently split component would merge/drop the wrong
     * downstream rows (e.g. keep two representatives of one dup cluster). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          dedupEdges: Boolean = true): DataFrame = {
     // vertex ids must already be integral: a string id would cast("long")
     // to null and be FILTERED — every edge silently dropped, an empty
     // (not wrong-looking) component frame. Reject at plan-build time.
     requireIntegral(edges, Seq("a", "b"), "connectedComponents")
     val sym = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-    val und = sym.unionAll(sym.select(col("b").as("a"), col("a").as("b")))
+    // `dedupEdges = false` skips the symmetrized-set distinct (a full edge
+    // shuffle): min-label propagation is IDEMPOTENT under duplicate edges
+    // (min over a multiset equals min over its set), so callers whose edge
+    // frame is unique by construction (the verified near-dup pairs are
+    // strictly d1 < d2 distinct) pay only join fan-out, and zero when
+    // there are in fact no duplicates.
+    val und0 = sym.unionAll(sym.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a").isNotNull && col("b").isNotNull)
-      .distinct().persist()
+    val und = (if (dedupEdges) und0.distinct() else und0).persist()
+    // ROUND 1 IS A PLAIN AGGREGATION, not a join: with component0(v) = v,
+    // the neighbor minimum is just min(b) per a, so the first label frame
+    // is least(id, min-neighbor) in ONE shuffle — this replaces both the
+    // vertex-set distinct (same exchange key) and round 1's edge⋈label
+    // join of the generic loop. For the star/clique-shaped components the
+    // LSH->verify pipeline produces this single aggregation already IS the
+    // fixed point, and the loop below only runs the confirming round.
+    //
     // `live` tracks the checkpoint backing the CURRENT comp frame; each
     // round's eager checkpoints supersede the previous round's, whose
     // blocks are released immediately (see releaseLocalCheckpoint) — at
     // any moment the algorithm holds at most two rounds' worth of
     // vertex-scale storage, independent of round count.
-    var live = und.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+    var live = und.groupBy(col("a").as("id")).agg(min(col("b")).as("nb"))
+      .select(col("id"), least(col("id"), col("nb")).as("component"))
+      .localCheckpoint()
     var comp = live
-    var i = 0
+    var i = 1 // round 1 = the init aggregation above
     var converged = false
     while (i < maxIter && !converged) {
       val neighborMin = und
@@ -106,18 +127,29 @@ object GraphAlgos {
           when(col("nc").isNotNull, least(col("component"), col("nc")))
             .otherwise(col("component")).as("newComp"))
         .localCheckpoint()
-      val reps = hop.select(col("id").as("r_id"), col("newComp").as("r_c"))
-      val next = hop.join(reps, hop("newComp") === reps("r_id"), "left")
-        .select(hop("id").as("id"), hop("component").as("component"),
-          when(col("r_c").isNotNull, least(hop("newComp"), col("r_c")))
-            .otherwise(hop("newComp")).as("newComp"))
-        .localCheckpoint()
-      // next is materialized (localCheckpoint is eager): the previous
-      // round's checkpoint and this round's intermediate hop are dead
-      releaseLocalCheckpoint(live); releaseLocalCheckpoint(hop)
-      live = next
-      converged = next.filter(col("newComp") =!= col("component")).isEmpty
-      comp = next.select(col("id"), col("newComp").as("component"))
+      // convergence is decided on the PROPAGATION step alone (hop), before
+      // paying the pointer-doubling join: a stable hop (no label changed
+      // under min-over-neighbors) is the fixed point by definition, and
+      // the doubling shortcut can never change a fixed point — so the
+      // final confirming round costs one join, not three.
+      converged = hop.filter(col("newComp") =!= col("component")).isEmpty
+      if (converged) {
+        releaseLocalCheckpoint(live)
+        live = hop
+        comp = hop.select(col("id"), col("component"))
+      } else {
+        val reps = hop.select(col("id").as("r_id"), col("newComp").as("r_c"))
+        val next = hop.join(reps, hop("newComp") === reps("r_id"), "left")
+          .select(hop("id").as("id"),
+            when(col("r_c").isNotNull, least(hop("newComp"), col("r_c")))
+              .otherwise(hop("newComp")).as("component"))
+          .localCheckpoint()
+        // next is materialized (localCheckpoint is eager): the previous
+        // round's checkpoint and this round's intermediate hop are dead
+        releaseLocalCheckpoint(live); releaseLocalCheckpoint(hop)
+        live = next
+        comp = next
+      }
       i += 1
     }
     und.unpersist()

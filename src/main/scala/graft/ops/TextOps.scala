@@ -450,9 +450,17 @@ object TextOps {
     */
   def lmScore(docs: DataFrame, reference: DataFrame,
               maxNll: Double = 9.0): DataFrame = {
+    // eager checkpoint: the count table feeds BOTH the (T, V) scalar
+    // aggregate below and the broadcast join — without it the reference
+    // corpus is tokenized and aggregated twice (once for the head(), once
+    // when the broadcast builds). The checkpoint is vocab-scale and backs
+    // the returned frame (the repo's iterative-operator convention;
+    // sessions release it via GraphAlgos.releaseLocalCheckpoint after
+    // consuming the result).
     val counts = reference
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // T and V: metadata-scale (vocab-sized) aggregate, collected once
     val row = counts.agg(sum("c"), count(lit(1))).head()
     val denom = (if (row.isNullAt(0)) 0L else row.getLong(0)) + row.getLong(1)

@@ -134,10 +134,16 @@ object Materialize {
           s"store at $root was materialized with $n buckets; resuming with " +
             s"numBuckets=$numBuckets would silently drop or misplace data")
       case None =>
-        val maxB = lin.agg(max("bucket")).collect()(0).getAs[Number](0).intValue()
-        require(maxB < numBuckets,
-          s"store at $root records bucket id $maxB in its lineage — it cannot " +
-            s"have been materialized with numBuckets=$numBuckets")
+        // a lineage directory can exist with ZERO rows (crash before the
+        // first stats append): max is then null — treat as "no recorded
+        // buckets" (nothing to validate) instead of an NPE
+        val maxRow = lin.agg(max("bucket")).collect()(0)
+        if (!maxRow.isNullAt(0)) {
+          val maxB = maxRow.getAs[Number](0).intValue()
+          require(maxB < numBuckets,
+            s"store at $root records bucket id $maxB in its lineage — it cannot " +
+              s"have been materialized with numBuckets=$numBuckets")
+        }
     }
 
   /** The shared write core of every snapshot/increment store layout:

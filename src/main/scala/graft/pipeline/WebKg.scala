@@ -402,20 +402,31 @@ object WebKg {
       .map(w => w -> (entityNs + w))
 
   /** Character 3-gram shingles of a string column (distinct). */
-  private def shingles(c: String): Column =
-    array_distinct(expr(s"transform(sequence(1, length($c)-2), i -> substr($c, i, 3))"))
+  private def shinglesOf(c: Column): Column =
+    array_distinct(transform(sequence(lit(1), length(c) - 2),
+      i => c.substr(i, lit(3))))
 
-  private def minhash4(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val aggs = (0 until 4).map(i =>
-      min(md5(concat(lit(s"$i:"), col("g")))).as(s"s$i"))
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  private def shingles(c: String): Column = shinglesOf(col(c))
+
+  /** The two LSH band rows of a short string, computed ROW-LOCALLY: the
+    * four minhash lanes are `array_min` over the shingle set (min over md5
+    * hex strings — the same lexicographic min the old exploded groupBy
+    * aggregation computed), paired into two band signatures. The shingle
+    * set is bound ONCE through the single-element `transform` wrapper
+    * (HOFs are CodegenFallback with no subexpression elimination — the
+    * measured N× pitfall); each lane is then referenced exactly once by
+    * its band md5. Shingle sets here are tiny (a k-char token has k-2
+    * 3-grams), so the interpreted per-element cost is noise while the
+    * explode relation + 4-min aggregation shuffle the old shape paid per
+    * side disappears outright (guide §2.4). */
+  private def rowShingleBands(c: Column): Column = {
+    def lane(gs: Column, i: Int) =
+      array_min(transform(gs, g => md5(concat(lit(s"$i:"), g))))
+    element_at(transform(array(shinglesOf(c)), gs =>
+      array(
+        struct(lit(0).as("band"), md5(concat(lane(gs, 0), lane(gs, 1))).as("sig")),
+        struct(lit(1).as("band"), md5(concat(lane(gs, 2), lane(gs, 3))).as("sig")))), 1)
   }
-
-  private def bandRows(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.select(keys.map(col) :+ explode(array(
-        struct(lit(0).as("band"), md5(concat(col("s0"), col("s1"))).as("sig")),
-        struct(lit(1).as("band"), md5(concat(col("s2"), col("s3"))).as("sig")))).as("bs"): _*)
-      .select(keys.map(col) :+ col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
 
   /** Entity linking, FULL two-stage (the north star's "batched mention
     * detection with entity-link scoring": blocked candidate generation by
@@ -667,27 +678,34 @@ object WebKg {
     val tokR0 = tok.join(surfSide, col("w") === col("surface"), "left_anti")
     val tokR = if (materialize) tokR0.persist() else tokR0
     // the fuzzy machinery runs at VOCABULARY scale: one row per distinct
-    // residual token. The shingle relation feeds the minhash-band
-    // blocking AND the exact-Jaccard verify sets — persisted so the
-    // vocabulary shingling runs once, RELEASED as soon as the scored
-    // candidates materialize (so the method leaks no corpus-scale cache
-    // into the session)
+    // residual token. Shingle sets and minhash bands are both computed
+    // ROW-LOCALLY ([[rowShingleBands]]/[[shinglesOf]]): the r2-r5 shape
+    // exploded a (key, shingle) relation and aggregated it back twice
+    // (4-min minhash groupBy + collect_set verify sets) per side — four
+    // shingle-scale exchanges and two persisted relations for values every
+    // row can compute in place over its own ≤(len-2)-element shingle set.
+    // The only remaining exchanges are the bucket-cap windows, the
+    // candidate join, and the verify joins themselves.
     val vocab = tokR.select("w").distinct()
-    val sh0 = vocab.select(col("w"), explode(shingles("w")).as("g"))
-    val sh = if (materialize) sh0.persist() else sh0
     def capped(bands: DataFrame): DataFrame = {
       val w = Window.partitionBy("band", "sig")
       bands.withColumn("__bn", count(lit(1)).over(w))
         .filter(col("__bn") <= bucketCap).drop("__bn")
     }
-    val mentionBands = capped(bandRows(minhash4(sh, Seq("w")), Seq("w")))
-    val dsh0 = dict.select(col("surface"), col("entity"), explode(shingles("surface")).as("g"))
-    // big-dict mode reuses the dictionary shingle relation on both join
-    // sides without broadcast — persist it for the two passes, released
-    // with sh below
-    val dsh = if (!broadcastDict && materialize) dsh0.persist() else dsh0
-    val dictBands =
-      capped(bandRows(minhash4(dsh, Seq("surface", "entity")), Seq("surface", "entity")))
+    val mentionBands = capped(vocab
+      .select(col("w"), explode(rowShingleBands(col("w"))).as("bs"))
+      .select(col("w"), col("bs.band").as("band"), col("bs.sig").as("sig")))
+    // duplicate (surface, entity) dictionary rows collapse here — the old
+    // minhash groupBy / collect_set aggregations deduped them implicitly,
+    // and the bucket-cap counts and verify fan-out must not see them
+    // twice; a dictionary-scale narrow dedup is far cheaper than the
+    // shingle-relation shuffles it replaces
+    val dictU = dict.dropDuplicates("surface", "entity")
+    val dictBands = capped(dictU
+      .select(col("surface"), col("entity"),
+        explode(rowShingleBands(col("surface"))).as("bs"))
+      .select(col("surface"), col("entity"),
+        col("bs.band").as("band"), col("bs.sig").as("sig")))
     val dictBandSide =
       if (broadcastDict) broadcast(dictBands) else dictBands.hint("shuffle_merge")
     // stage 1: blocked candidates — equi-join on (band, sig), both sides
@@ -695,9 +713,10 @@ object WebKg {
     val cand = mentionBands.join(dictBandSide, Seq("band", "sig"))
       .select("w", "surface", "entity").distinct()
     // stage 2: exact Jaccard verify on shingle sets (vocabulary × matched
-    // surfaces, never mentions)
-    val wsets = sh.groupBy("w").agg(collect_set(col("g")).as("wg"))
-    val dsets0 = dsh.groupBy("surface", "entity").agg(collect_set(col("g")).as("sg"))
+    // surfaces, never mentions), sets row-local as above
+    val wsets = vocab.select(col("w"), shinglesOf(col("w")).as("wg"))
+    val dsets0 = dictU.select(col("surface"), col("entity"),
+      shinglesOf(col("surface")).as("sg"))
     val dsetSide =
       if (broadcastDict) broadcast(dsets0) else dsets0.hint("shuffle_merge")
     val scored0 = cand.join(wsets, Seq("w"))
@@ -710,8 +729,7 @@ object WebKg {
       // must not ride into any downstream materialization
       .select(col("w"), col("entity"), col("jac"))
     ScoredTiers(exact, scored0, tokR, () => {
-      sh.unpersist(); tokR.unpersist(); tok.unpersist()
-      if (!broadcastDict) dsh.unpersist()
+      tokR.unpersist(); tok.unpersist()
       ()
     })
   }
@@ -797,7 +815,11 @@ object WebKg {
     val n = nodes.count() // metadata-scale action; N is a plan constant
     if (n == 0) { // empty graph: empty ranks, not a driver divide-by-zero
       nodes.unpersist(); e.unpersist()
-      return spark.range(0).select(col("id").as("node"), col("id").as("rank_fp"))
+      // keep the REAL schema (node = the src column's own type): a
+      // spark.range-derived frame would make both columns bigint and
+      // downstream unionByName/joins on the empty-graph path hit type
+      // mismatches or silent casts
+      return e.select(col("src").as("node"), lit(0L).as("rank_fp")).limit(0)
     }
     val withDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .join(e, "src").select(col("src"), col("dst"), col("deg")).persist()
