@@ -37,7 +37,9 @@ object PlanDump {
           WebKg.fuzzyScored(docs, WebKg.defaultDictionary.toDF("surface", "entity"),
             0.5, broadcastDict = false, materialize = false)),
         "rdf_bgp_idspace" -> (() =>
-          Queries.idspaceBgp(spark, sfDir, materialize = false)))
+          Queries.idspaceBgp(spark, sfDir, materialize = false)),
+        "dedup_ngram_jaccard" -> (() =>
+          graft.ops.Dedup.ngramJaccardPairsLazy(docs)))
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (n <- names) {

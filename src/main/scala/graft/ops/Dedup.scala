@@ -185,7 +185,15 @@ object Dedup {
     * exact token-Jaccard >= `threshold` over only the candidate pairs.
     * RESULT-scale and eagerly checkpointed — the shared primitive behind
     * [[ngramJaccardNearDups]] and [[nearDupClusters]]. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    ngramJaccardPairsLazy(docs, threshold)
+      .localCheckpoint() // eager: runs the verify join ONCE, truncates plan
+
+  /** The UNcheckpointed [[ngramJaccardPairs]] plan — the inspection hook
+    * for dumping the block->verify join shape (the production path's
+    * eager checkpoint truncates it to an ExistingRDD stub). */
+  private[graft] def ngramJaccardPairsLazy(docs: DataFrame,
+                                           threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLshPairs(docs)
     // tokSets joins against BOTH pair sides; jac feeds BOTH direction
     // unions (eager localCheckpoint of the RESULT-scale jac frame).
@@ -223,7 +231,6 @@ object Dedup {
       .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select("d1", "d2")
-      .localCheckpoint() // eager: runs the verify join ONCE, truncates plan
     jac
   }
 

@@ -73,10 +73,10 @@ object GraphAlgos {
     * min-aggregation over the edges (labels start at vertex ids, so the
     * neighbor minimum needs no join yet); each later round is one shuffled
     * equi-join + one min-aggregation (neighbor minimum) followed — only
-    * when labels still changed — by the pointer-doubling shortcut join
-    * (adopt the component of my component), so labels chase 2^i-hop
-    * representatives and a chain of diameter D converges in O(log D)
-    * rounds — `maxIter`=20 covers diameters to ~2^20.
+    * when labels still changed — by two pointer-doubling shortcut joins
+    * (adopt the component of my component, twice), so labels chase
+    * multi-hop representatives and a chain of diameter D converges in
+    * O(log D) rounds — `maxIter`=20 covers any realistic diameter.
     * Every round's label frame is `localCheckpoint`ed: round i is one join
     * over materialized labels, not a replay of rounds 1..i-1, and the
     * convergence probe reads the materialized frame. Non-convergence
@@ -97,7 +97,15 @@ object GraphAlgos {
     // there are in fact no duplicates.
     val und0 = sym.unionAll(sym.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a").isNotNull && col("b").isNotNull)
-    val und = (if (dedupEdges) und0.distinct() else und0).persist()
+    // cache the symmetrized edges HASH-PARTITIONED BY b: every round's
+    // neighbor-min join probes them on b, and without the explicit
+    // repartition the cached partitioning is the upstream scan's/union's —
+    // each round would re-shuffle the whole edge set (the dominant
+    // per-round cost at scale); with it only the vertex-scale label frame
+    // moves per round (guide §2.4). The round-1 aggregation still pays its
+    // own exchange on a — one edge shuffle total either way, paid once.
+    val und = (if (dedupEdges) und0.distinct() else und0)
+      .repartition(col("b")).persist()
     // ROUND 1 IS A PLAIN AGGREGATION, not a join: with component0(v) = v,
     // the neighbor minimum is just min(b) per a, so the first label frame
     // is least(id, min-neighbor) in ONE shuffle — this replaces both the
@@ -111,10 +119,15 @@ object GraphAlgos {
     // blocks are released immediately (see releaseLocalCheckpoint) — at
     // any moment the algorithm holds at most two rounds' worth of
     // vertex-scale storage, independent of round count.
-    var live = und.groupBy(col("a").as("id")).agg(min(col("b")).as("nb"))
+    //
+    // The init frame is NOT checkpointed: round 2's hop plan references it
+    // twice (join probe + left base), but both references are the same
+    // aggregation over the cached edge set, so the exchange is computed
+    // once (ReuseExchange) inside round 2's own materialization job — a
+    // separate eager init checkpoint was one whole extra job per call.
+    var live: DataFrame = null
+    var comp = und.groupBy(col("a").as("id")).agg(min(col("b")).as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("component"))
-      .localCheckpoint()
-    var comp = live
     var i = 1 // round 1 = the init aggregation above
     var converged = false
     while (i < maxIter && !converged) {
@@ -134,21 +147,36 @@ object GraphAlgos {
       // final confirming round costs one join, not three.
       converged = hop.filter(col("newComp") =!= col("component")).isEmpty
       if (converged) {
-        releaseLocalCheckpoint(live)
+        if (live ne null) releaseLocalCheckpoint(live)
         live = hop
         comp = hop.select(col("id"), col("component"))
       } else {
-        val reps = hop.select(col("id").as("r_id"), col("newComp").as("r_c"))
-        val next = hop.join(reps, hop("newComp") === reps("r_id"), "left")
-          .select(hop("id").as("id"),
-            when(col("r_c").isNotNull, least(hop("newComp"), col("r_c")))
-              .otherwise(hop("newComp")).as("component"))
-          .localCheckpoint()
-        // next is materialized (localCheckpoint is eager): the previous
-        // round's checkpoint and this round's intermediate hop are dead
-        releaseLocalCheckpoint(live); releaseLocalCheckpoint(hop)
-        live = next
-        comp = next
+        // pointer doubling, TWICE per round: each shortcut join replaces a
+        // label by its label's label, so two applications chase 4-hop
+        // representatives per propagation round instead of 2 — measured
+        // one fewer full (edge-join) round on the near-dup chain graphs at
+        // sf0.1 for the cost of one extra vertex-scale self-join, and a
+        // deep-chain worst case converges in ~log4 instead of ~log2
+        // rounds. Labels only ever move down within the component, so any
+        // number of doubling steps preserves the invariant.
+        var cur = hop.select(col("id"), col("newComp").as("component"))
+        var prev: DataFrame = hop
+        for (_ <- 1 to 2) {
+          val reps = cur.select(col("id").as("r_id"), col("component").as("r_c"))
+          val next = cur.join(reps, cur("component") === reps("r_id"), "left")
+            .select(cur("id").as("id"),
+              when(col("r_c").isNotNull, least(cur("component"), col("r_c")))
+                .otherwise(cur("component")).as("component"))
+            .localCheckpoint()
+          // next is materialized (localCheckpoint is eager): the frame it
+          // was derived from is dead
+          releaseLocalCheckpoint(prev)
+          prev = next
+          cur = next
+        }
+        if (live ne null) releaseLocalCheckpoint(live)
+        live = cur
+        comp = cur
       }
       i += 1
     }
@@ -156,7 +184,7 @@ object GraphAlgos {
     if (!converged) {
       // no frame is returned on this path, so the caller can never free
       // the final round's checkpoint — release it before throwing
-      releaseLocalCheckpoint(live)
+      if (live ne null) releaseLocalCheckpoint(live)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter rounds — " +
           "with pointer doubling that is a component diameter beyond " +

@@ -287,8 +287,13 @@ object Dict {
         (sol, dict.select(col("id"), col("term")), () => ())
       else {
         val s = sol.localCheckpoint()
+        // NOT checkpointed: the distinct id set is a cheap projection over
+        // the solution checkpoint, and its two consumers (the count here,
+        // the broadcast build inside the decode-map job) each re-derive it
+        // from cached blocks — a third eager materialization job per query
+        // bought nothing
         val ids = project.map(vn => s.select(col(vn).as("id")))
-          .reduce(_ unionAll _).distinct().localCheckpoint()
+          .reduce(_ unionAll _).distinct()
         val n = ids.count()
         val dictSide =
           if (n <= pruneCollectMax && dict.columns.contains("bucket") &&
@@ -307,7 +312,6 @@ object Dict {
             dictSide.join(broadcast(ids), Seq("id"))
           else dictSide.join(ids, Seq("id")) // corpus-scale result: honest shuffle
         val m = joined.select(col("id"), col("term")).localCheckpoint()
-        releaseLocalCheckpoint(ids)
         (s, m, () => { releaseLocalCheckpoint(s); releaseLocalCheckpoint(m) })
       }
     var out = solFrame

@@ -744,7 +744,10 @@ object WebKg {
   def reachable(edges: DataFrame, start: Long, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.persist()
+    // hash-partitioned by the per-depth join key so each frontier join
+    // moves only the frontier, never the cached edge set (see pageRank's
+    // withDeg comment)
+    val e = edges.repartition(col("src")).persist()
     var visited = Seq((start, 0)).toDF("node", "depth").localCheckpoint()
     var frontier = visited
     var d = 1
@@ -821,8 +824,18 @@ object WebKg {
       // mismatches or silent casts
       return e.select(col("src").as("node"), lit(0L).as("rank_fp")).limit(0)
     }
+    // HASH-PARTITION the cached degree-edge frame by src ONCE: every
+    // round's contribution join probes it on src, but the frame would
+    // otherwise cache with the SCAN's partitioning (AQE broadcasts the
+    // tiny degree side, so the join preserves no useful distribution) and
+    // each round would re-shuffle the whole edge set — the dominant
+    // per-round cost at scale. With the explicit repartition the cached
+    // partitioning satisfies the join's requirement and only the
+    // node-scale rank side moves per round (guide §2.4: two operations
+    // keyed the same way share one exchange).
     val withDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .join(e, "src").select(col("src"), col("dst"), col("deg")).persist()
+      .join(e, "src").select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src")).persist()
     val base = (15L * scale) / (100L * n)
     // zero contribution per node: unioned into every round's aggregation
     // input so nodes with no incoming edge keep a rank row without a
