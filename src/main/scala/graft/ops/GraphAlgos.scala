@@ -120,14 +120,17 @@ object GraphAlgos {
     // any moment the algorithm holds at most two rounds' worth of
     // vertex-scale storage, independent of round count.
     //
-    // The init frame is NOT checkpointed: round 2's hop plan references it
-    // twice (join probe + left base), but both references are the same
-    // aggregation over the cached edge set, so the exchange is computed
-    // once (ReuseExchange) inside round 2's own materialization job — a
-    // separate eager init checkpoint was one whole extra job per call.
-    var live: DataFrame = null
-    var comp = und.groupBy(col("a").as("id")).agg(min(col("b")).as("nb"))
+    // The init frame IS eagerly checkpointed: round 2 references it twice
+    // (join probe + left base), and an intra-JVM A/B on both the sparse
+    // chain graph (sf0.1 near-dups) and a dense 640k-vertex cluster graph
+    // measured the checkpoint equal-or-faster than relying on exchange
+    // reuse inside round 2's plan (2.10 vs 2.26 s sparse, 4.39 vs 4.97 s
+    // dense, warm) — the reused exchange still pays a second aggregation
+    // read where the checkpoint pays one narrow cached scan.
+    var live = und.groupBy(col("a").as("id")).agg(min(col("b")).as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("component"))
+      .localCheckpoint()
+    var comp = live
     var i = 1 // round 1 = the init aggregation above
     var converged = false
     while (i < maxIter && !converged) {
@@ -147,7 +150,7 @@ object GraphAlgos {
       // final confirming round costs one join, not three.
       converged = hop.filter(col("newComp") =!= col("component")).isEmpty
       if (converged) {
-        if (live ne null) releaseLocalCheckpoint(live)
+        releaseLocalCheckpoint(live)
         live = hop
         comp = hop.select(col("id"), col("component"))
       } else {
@@ -174,7 +177,7 @@ object GraphAlgos {
           prev = next
           cur = next
         }
-        if (live ne null) releaseLocalCheckpoint(live)
+        releaseLocalCheckpoint(live)
         live = cur
         comp = cur
       }
@@ -184,7 +187,7 @@ object GraphAlgos {
     if (!converged) {
       // no frame is returned on this path, so the caller can never free
       // the final round's checkpoint — release it before throwing
-      if (live ne null) releaseLocalCheckpoint(live)
+      releaseLocalCheckpoint(live)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter rounds — " +
           "with pointer doubling that is a component diameter beyond " +
