@@ -686,7 +686,18 @@ object WebKg {
     // row can compute in place over its own ≤(len-2)-element shingle set.
     // The only remaining exchanges are the bucket-cap windows, the
     // candidate join, and the verify joins themselves.
-    val vocab = tokR.select("w").distinct()
+    //
+    // What IS still persisted: the narrow distinct-token/dedup'd-dict
+    // frames the row-local expressions are computed OVER. The vocabulary
+    // distinct is a full shuffle of the residual mention relation (~10M
+    // distinct tokens on the 2.56M-page deployment table) with two
+    // consumers (band rows + verify sets) — without the persist it ran
+    // twice, measured as a 68 s -> 146 s link-stage regression on that
+    // table before this cache was added. Persisting one string column per
+    // vocabulary row is far cheaper than the r5 shape's persisted
+    // (key, shingle) explode relation.
+    val vocab0 = tokR.select("w").distinct()
+    val vocab = if (materialize) vocab0.persist() else vocab0
     def capped(bands: DataFrame): DataFrame = {
       val w = Window.partitionBy("band", "sig")
       bands.withColumn("__bn", count(lit(1)).over(w))
@@ -699,8 +710,10 @@ object WebKg {
     // minhash groupBy / collect_set aggregations deduped them implicitly,
     // and the bucket-cap counts and verify fan-out must not see them
     // twice; a dictionary-scale narrow dedup is far cheaper than the
-    // shingle-relation shuffles it replaces
-    val dictU = dict.dropDuplicates("surface", "entity")
+    // shingle-relation shuffles it replaces. Persisted for its two
+    // consumers (band rows + verify sets) like vocab above.
+    val dictU0 = dict.dropDuplicates("surface", "entity")
+    val dictU = if (materialize) dictU0.persist() else dictU0
     val dictBands = capped(dictU
       .select(col("surface"), col("entity"),
         explode(rowShingleBands(col("surface"))).as("bs"))
@@ -729,7 +742,7 @@ object WebKg {
       // must not ride into any downstream materialization
       .select(col("w"), col("entity"), col("jac"))
     ScoredTiers(exact, scored0, tokR, () => {
-      tokR.unpersist(); tok.unpersist()
+      vocab.unpersist(); dictU.unpersist(); tokR.unpersist(); tok.unpersist()
       ()
     })
   }
